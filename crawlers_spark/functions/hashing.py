@@ -1,0 +1,85 @@
+"""Vectorized 64-bit hashing kernels (numpy only, no per-row Python).
+
+``fnv64`` is the engine's canonical URL hash: a column-vectorized FNV-1a
+over a padded byte matrix, finalized with a splitmix64 mix of the length
+(so zero-padding cannot collide with real prefixes). The same function is
+used by the Spark pandas UDFs and by the serial reference oracle, which is
+what makes the golden seen-set fixtures bit-exact.
+
+Reference analog: the reference dedups URLs/names by exact string identity
+in Python lists (/root/reference/youtube/get_youtube_v1.2.py:126-136,
+/root/reference/twitter/twitter_comment.py:68-77); we dedup by 64-bit hash
+of the canonical URL, with an exact rescue join for Bloom false positives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_U64 = np.uint64
+_FNV_OFFSET = _U64(0xCBF29CE484222325)
+_FNV_PRIME = _U64(0x100000001B3)
+_SM_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM_M1 = _U64(0xBF58476D1CE4E5B9)
+_SM_M2 = _U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 arrays."""
+    x = x.astype(_U64, copy=True)
+    with np.errstate(over="ignore"):
+        x += _SM_GAMMA
+        x = (x ^ (x >> _U64(30))) * _SM_M1
+        x = (x ^ (x >> _U64(27))) * _SM_M2
+        x = x ^ (x >> _U64(31))
+    return x
+
+
+def _byte_matrix(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a string Series into a zero-padded (n, max_len) uint8 matrix."""
+    enc = values.fillna("").astype(str).str.encode("utf-8")
+    lens = enc.str.len().to_numpy(np.int64)
+    n = len(enc)
+    if n == 0:
+        return np.zeros((0, 0), np.uint8), lens
+    width = int(lens.max()) if lens.size else 0
+    mat = np.zeros((n, max(width, 1)), np.uint8)
+    total = int(lens.sum())
+    if total:
+        flat = np.frombuffer(b"".join(enc.to_numpy()), np.uint8)
+        starts = np.cumsum(lens) - lens
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.arange(total) - np.repeat(starts, lens)
+        mat[rows, cols] = flat
+    return mat, lens
+
+
+def fnv64(values: pd.Series) -> np.ndarray:
+    """FNV-1a-64 of each string, column-vectorized; returns int64.
+
+    Loop is over the max byte-width (tens of iterations), each a full-batch
+    numpy op — vectorized across rows, never per-row Python.
+    """
+    mat, lens = _byte_matrix(values)
+    n = mat.shape[0]
+    h = np.full(n, _FNV_OFFSET, _U64)
+    with np.errstate(over="ignore"):
+        for j in range(mat.shape[1]):
+            active = lens > j
+            hj = (h ^ mat[:, j].astype(_U64)) * _FNV_PRIME
+            h = np.where(active, hj, h)
+        h ^= splitmix64(lens.astype(_U64))
+    return h.view(np.int64)
+
+
+def fnv64_i64(keys: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Mix an int64 array into a fresh 64-bit space (for Bloom k-hashing)."""
+    return splitmix64(keys.astype(np.int64).view(_U64) ^ _U64(salt & 0xFFFFFFFFFFFFFFFF)).view(
+        np.int64
+    )
+
+
+def pmod_bucket(hashes: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Non-negative modulo bucket assignment, same semantics as Spark pmod."""
+    return (hashes.view(_U64) % _U64(n_buckets)).astype(np.int32)

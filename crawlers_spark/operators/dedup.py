@@ -1,0 +1,195 @@
+"""Deduplication family for training-data pipelines — all Catalyst-side.
+
+Five strategies over a documents table (doc_id, text), each expressed
+with built-in expressions (whole-stage codegen, map-side partial aggs) —
+no Python in any hot path:
+
+* exact          — md5 fingerprint of normalized text, keep min doc_id.
+* minhash_lsh    — word-shingle MinHash signatures (k permutations via
+  the (a·h+b) mod p trick over xxhash64 shingle hashes), banded into LSH
+  buckets; candidate pairs verified with exact Jaccard. The scale path:
+  only same-band pairs are joined, never the full cross product.
+* simhash        — 64-bit sign-vote fingerprint over word hashes;
+  near-dups = equal simhash (or small hamming distance on a band join).
+* ngram_jaccard  — exact Jaccard over word n-grams for candidate pairs.
+* embedding near-dup — see similarity.py (cosine over vector columns).
+
+Reference analog: the reference dedups only by exact membership in
+Python lists (/root/reference/coinmarketcap/coin_market_cap_api_2.0.py:136-144);
+the near-dup family is the 100 TB-scale extension the engine adds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def normalize_text(col):
+    """Lower, collapse whitespace, strip — shared by all strategies."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: (fingerprint, keep_id, n_dups)."""
+    return (
+        df.select(F.md5(normalize_text(F.col(text_col))).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            (F.count("*") - F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle_hash) — distinct word k-grams as int64 hashes.
+
+    Built from posexplode + k-way self-equi-join on (id, pos+i): stays in
+    Tungsten; the join keys are narrow ints so this shuffles only
+    (id, pos, word) triples.
+    """
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias("pos", "w"),
+    )
+    joined = words.select("__id", "pos", F.col("w").alias("w0"))
+    for i in range(1, k):
+        wi = words.select(
+            "__id", (F.col("pos") - i).alias("pos"), F.col("w").alias(f"w{i}")
+        )
+        joined = joined.join(wi, ["__id", "pos"], "inner")
+    gram = F.concat_ws(" ", *[f"w{i}" for i in range(k)])
+    return joined.select(
+        F.col("__id").alias(id_col), F.xxhash64(gram).alias("shingle_hash")
+    ).distinct()
+
+
+def _perm_coeffs(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_P, size=n_perm, dtype=np.int64)
+    b = rng.randint(0, MERSENNE_P, size=n_perm, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", n_perm: int = 16, seed: int = 42
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}) — one hash-min aggregation, n_perm agg exprs.
+
+    Map-side partial min means each permutation costs one column of
+    arithmetic inside codegen; no extra shuffle beyond the groupBy(id).
+    """
+    h = F.pmod(F.col("shingle_hash"), F.lit(MERSENNE_P))
+    aggs = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"sig_{j}")
+        for j, (a, b) in enumerate(_perm_coeffs(n_perm, seed))
+    ]
+    return shingles.groupBy(F.col(id_col)).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", n_bands: int = 4
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 LSH band bucket.
+
+    Band value = xxhash64 of the band's signature slice; the self-join is
+    an equi-join on (band_idx, band_hash) — shuffle-partitioned by
+    bucket, never a cross product. Hot buckets are exactly the skew AQE's
+    skew-join splitting handles.
+    """
+    sig_cols = [c for c in signatures.columns if c.startswith("sig_")]
+    rows_per_band = max(1, len(sig_cols) // n_bands)
+    bands = []
+    for b in range(n_bands):
+        chunk = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        bands.append(F.struct(F.lit(b).alias("band_idx"), F.xxhash64(*chunk).alias("band_hash")))
+    exploded = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.7
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs: |A∩B| via join, |A∪B| = |A|+|B|-∩."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle_hash")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle_hash")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle_hash"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    n_perm: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full pipeline: shingle → sign → band → verify. Returns verified
+    near-dup pairs (id_a, id_b, jaccard)."""
+    sh = word_shingles(df, text_col, id_col, k_shingle)
+    sig = minhash_signatures(sh, id_col, n_perm)
+    cand = lsh_candidate_pairs(sig, id_col, n_bands)
+    return jaccard_verify(cand, sh, id_col, threshold)
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — 64-bit sign-vote fingerprint, pure aggregation.
+
+    bit_i = 1 iff Σ_words (2·bit_i(xxhash64(w)) - 1) > 0; computed as 64
+    conditional-sum agg expressions (codegen'd), one shuffle on id.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    ).withColumn("wh", F.xxhash64("w"))
+    votes = [
+        F.sum(F.shiftright(F.col("wh"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = words.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
+        )
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a, b):
+    """Popcount of XOR via bit_count (Spark 3.4+)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``      — exact brute-force top-k per query: cosine via
+  built-in ``zip_with`` + ``aggregate`` (no UDF), ranked with a
+  per-query window. Baseline / oracle-checkable path.
+* ``lsh_bucket_topk``  — the scale path: sign-random-projection buckets
+  (deterministic hyperplanes from a seeded RNG, shipped as literal
+  arrays); candidates are only same-bucket pairs, so the join is
+  equi on bucket — 10^10-row friendly, with multi-probe (t tables).
+* ``embedding_near_dups`` — near-duplicate pairs above a cosine
+  threshold via the same bucketing.
+
+Part of the engine's training-data toolkit (BASELINE/judge axis), not a
+reference port — the reference has no vector ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query row (brute force, broadcast queries)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    joined = data.alias("d").crossJoin(F.broadcast(q))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(f"d.{id_col}").alias(id_col),
+        cosine(F.col(f"d.{vec_col}"), F.col("__qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_bits, dim)).round(6).tolist()
+
+
+def srp_bucket(vec_col, dim: int, n_bits: int = 8, seed: int = 42):
+    """Sign-random-projection bucket id (0..2^n_bits-1) as a column expr.
+
+    Hyperplanes are literal arrays folded by Catalyst — deterministic
+    across runs and engines, no UDF, no broadcast needed.
+    """
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, n_bits, seed)):
+        d = _dot(vec_col, F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket.bitwiseOR(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
+        )
+    return bucket
+
+
+def lsh_bucket_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_tables: int = 2,
+) -> DataFrame:
+    """Approximate top-k: candidates share an SRP bucket in ≥1 table.
+
+    Each table is an independent hyperplane set (seed offset); equi-join
+    on (table, bucket) keeps the pair space ~|data|·k instead of
+    |data|·|queries|.
+    """
+    def bucketize(df: DataFrame, idc: str) -> DataFrame:
+        parts = []
+        for t in range(n_tables):
+            parts.append(
+                df.select(
+                    F.col(idc),
+                    F.col(vec_col).alias("__vec"),
+                    F.lit(t).alias("table"),
+                    srp_bucket(F.col(vec_col), dim, n_bits, seed=42 + t).alias("bucket"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    d = bucketize(data, id_col)
+    q = bucketize(queries, query_id_col).withColumnRenamed("__vec", "__qvec")
+    cand = (
+        d.join(q, ["table", "bucket"])
+        .select(query_id_col, id_col, "__vec", "__qvec")
+        .distinct()
+    )
+    scored = cand.select(
+        query_id_col, id_col, cosine(F.col("__vec"), F.col("__qvec")).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    data: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, cos_sim ≥ threshold) via SRP buckets."""
+    b = data.select(
+        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), dim, n_bits).alias("bucket")
+    )
+    left = b.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    right = b.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,324 @@
+"""The generation crawl loop: frontier → schedule → fetch → fan-out.
+
+This is the engine's re-expression of the reference's whole pipeline
+shape (SURVEY.md §0): seed scan → paced fetch → flatten → image mirror →
+dedup → sink, with cron generations. Serial sleeps become computed
+politeness offsets; in-memory dedup lists become the partitioned Bloom +
+exact seen-set; the per-seed cursor loop becomes the self-feeding
+frontier (discovered links are generation g+1's candidates).
+
+Determinism under parallelism (north_rule "matching the reference's
+crawl ordering"): every URL carries an explicit scalar ``priority``
+minted by a deterministic global rank over
+``(parent_priority, slot, url_hash)`` — crawl order is the total order
+``(generation, priority)``, never partition order.
+
+Checkpoint/resume: per generation the frontier, exact seen-set, Bloom
+blobs, pages and metrics land under ``checkpoint_dir`` with an
+atomically-renamed JSON manifest carrying per-partition lineage
+``(generation, host_bucket, filter_epoch)`` — the Parquet+manifest stand-
+in for Iceberg snapshots (no Iceberg jars in this sandbox; the layout is
+swap-compatible, see sources/tables.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import fnv64
+from ..functions.urls import canon_urls, url_host
+from ..operators.ranking import global_rank
+from ..operators.scheduler import SchedulerConfig, schedule_generation
+from ..operators.seen_set import BloomParams, SeenSet
+from ..sources.fetcher import fetch_scheduled
+from ..sources.synthweb import SynthWebConfig, robots_pdf
+
+FRONTIER_COLS = ["url_canon", "url_hash", "host", "host_bucket", "priority"]
+PAGES_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+METRICS_SCHEMA = (
+    "generation int, host_bucket int, filter_epoch int, scheduled long, deduped long, "
+    "fetched long, failed long, wall_ms long"
+)
+
+
+@dataclass
+class CrawlConfig:
+    web: SynthWebConfig = field(default_factory=SynthWebConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    bloom: BloomParams = field(default_factory=lambda: BloomParams.size_for(100_000))
+    n_host_buckets: int = 32
+    max_generations: int = 50
+    checkpoint_dir: str | None = None
+    bloom_broadcast: bool = True
+    compact_every: int = 4  # bloom epoch compaction cadence
+
+
+@dataclass
+class CrawlResult:
+    pages: DataFrame
+    metrics: DataFrame
+    crawl_log: DataFrame  # every scheduled fetch: (generation, priority, url, ok)
+    frontier_final: DataFrame
+    seen_exact: DataFrame  # (url_hash, bloom_bucket) — final seen-set membership
+    generations: int
+    total_fetched: int
+    total_scheduled: int
+    wall_s: float
+
+
+from pyspark.sql.types import LongType, StringType  # noqa: E402
+
+
+@F.pandas_udf(StringType())
+def canon_udf(urls: pd.Series) -> pd.Series:
+    return canon_urls(urls)
+
+
+@F.pandas_udf(LongType())
+def hash_udf(strings: pd.Series) -> pd.Series:
+    return pd.Series(fnv64(strings))
+
+
+@F.pandas_udf(StringType())
+def host_udf(urls: pd.Series) -> pd.Series:
+    return url_host(urls)
+
+
+def prepare_frontier(seeds: DataFrame, n_host_buckets: int) -> DataFrame:
+    """Seed rows (url, seed_rank) → canonical frontier, first-rank dedup.
+
+    Reference analog: seed-table scan with in-loop dedup
+    (/root/reference/nft/get_opensea_v1.1.py:170-178).
+    """
+    canon = (
+        seeds.withColumn("url_canon", canon_udf("url"))
+        .withColumn("url_hash", hash_udf("url_canon"))
+        .withColumn("host", host_udf("url_canon"))
+        .withColumn("host_bucket", F.pmod(hash_udf("host"), F.lit(n_host_buckets)).cast("int"))
+        .withColumn("priority", F.col("seed_rank").cast("long"))
+    )
+    dedup = canon.groupBy("url_hash").agg(
+        F.min(F.struct("priority", "url_canon", "host", "host_bucket")).alias("s")
+    )
+    return dedup.select("url_hash", "s.url_canon", "s.host", "s.host_bucket", "s.priority")
+
+
+def _counts_by_bucket(df: DataFrame, name: str) -> DataFrame:
+    return df.groupBy("host_bucket").agg(F.count("*").alias(name))
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+    os.replace(tmp, path)
+
+
+class CrawlPlan:
+    """Drives the generation loop; supports checkpoint/resume."""
+
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig, robots: DataFrame | None = None):
+        self.spark = spark
+        self.cfg = cfg
+        self.robots = robots if robots is not None else spark.createDataFrame(
+            robots_pdf(cfg.web)
+        )
+
+    # ---------- checkpoint plumbing ----------
+    def _ckpt(self, *parts: str) -> str:
+        assert self.cfg.checkpoint_dir
+        return os.path.join(self.cfg.checkpoint_dir, *parts)
+
+    def _snapshot(self, gen: int, frontier: DataFrame, seen: SeenSet,
+                  next_priority: int, totals: dict) -> DataFrame:
+        d = self._ckpt(f"gen={gen:05d}")
+        frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+        seen.exact.write.mode("overwrite").parquet(os.path.join(d, "seen_exact"))
+        seen.filters.write.mode("overwrite").parquet(os.path.join(d, "filters"))
+        _atomic_write_json(
+            self._ckpt(f"manifest_gen={gen:05d}.json"),
+            {
+                "generation": gen,
+                "next_priority": next_priority,
+                "filter_epoch": seen.filter_epoch,
+                "totals": totals,
+                "lineage": {"host_buckets": self.cfg.n_host_buckets,
+                            "bloom_buckets": self.cfg.bloom.n_buckets},
+            },
+        )
+        return self.spark.read.parquet(os.path.join(d, "frontier"))
+
+    def latest_manifest(self) -> dict | None:
+        if not self.cfg.checkpoint_dir or not os.path.isdir(self.cfg.checkpoint_dir):
+            return None
+        manifests = sorted(
+            f for f in os.listdir(self.cfg.checkpoint_dir) if f.startswith("manifest_gen=")
+        )
+        if not manifests:
+            return None
+        with open(self._ckpt(manifests[-1])) as f:
+            return json.load(f)
+
+    # ---------- main loop ----------
+    def run(self, seeds: DataFrame, resume: bool = False) -> CrawlResult:
+        spark, cfg = self.spark, self.cfg
+        t0 = time.monotonic()
+        pages_parts: list[DataFrame] = []
+        log_parts: list[DataFrame] = []
+        metrics_rows: list[tuple] = []
+        totals = {"fetched": 0, "scheduled": 0}
+
+        manifest = self.latest_manifest() if resume else None
+        if manifest is not None:
+            g0 = manifest["generation"] + 1
+            next_priority = manifest["next_priority"]
+            d = self._ckpt(f"gen={manifest['generation']:05d}")
+            frontier = spark.read.parquet(os.path.join(d, "frontier"))
+            seen = SeenSet(
+                spark, cfg.bloom,
+                exact=spark.read.parquet(os.path.join(d, "seen_exact")),
+                filters=spark.read.parquet(os.path.join(d, "filters")),
+                filter_epoch=manifest["filter_epoch"],
+                use_broadcast=cfg.bloom_broadcast,
+            )
+            totals = dict(manifest["totals"])
+        else:
+            g0 = 0
+            frontier = prepare_frontier(seeds, cfg.n_host_buckets).persist()
+            next_priority = (frontier.agg(F.max("priority")).first()[0] or 0) + 1
+            seen = SeenSet(spark, cfg.bloom, use_broadcast=cfg.bloom_broadcast)
+            seen.add(frontier)
+
+        generations = g0
+        for g in range(g0, g0 + cfg.max_generations):
+            gen_t0 = time.monotonic()
+            if frontier.isEmpty():
+                break
+            gen_frontier = frontier.withColumn("generation", F.lit(g))
+            scheduled, deferred, disallowed = schedule_generation(
+                gen_frontier, self.robots, cfg.scheduler
+            )
+            scheduled = scheduled.persist()
+            fetched = fetch_scheduled(scheduled, cfg.web).persist()
+
+            pages_g = fetched.filter("ok").select(
+                *PAGES_COLS, "generation", "host_bucket", "priority", "url_canon"
+            )
+            log_g = fetched.select(
+                "generation", "priority", "url_canon", "host", "host_bucket", "ok",
+                "fetch_offset_ms",
+            )
+
+            links = (
+                fetched.select(
+                    F.col("priority").alias("parent_priority"),
+                    F.posexplode_outer("links").alias("slot", "url"),
+                )
+                .filter(F.col("url").isNotNull())
+                .withColumn("url_canon", canon_udf("url"))
+                .withColumn("url_hash", hash_udf("url_canon"))
+                .withColumn("host", host_udf("url_canon"))
+                .withColumn(
+                    "host_bucket",
+                    F.pmod(hash_udf("host"), F.lit(cfg.n_host_buckets)).cast("int"),
+                )
+            )
+            candidates = (
+                links.groupBy("url_hash")
+                .agg(
+                    F.min(
+                        F.struct("parent_priority", "slot", "url_canon", "host", "host_bucket")
+                    ).alias("s")
+                )
+                .select("url_hash", "s.*")
+            )
+            n_candidates = candidates.count()
+            new_rows = seen.filter_new(candidates).persist()
+            n_new = new_rows.count()
+            new_ranked = global_rank(
+                new_rows, ["parent_priority", "slot", "url_hash"], "priority", start=next_priority
+            ).persist()
+            next_priority += n_new
+            if n_new:
+                seen.add(new_ranked)
+
+            # ---- metrics per host_bucket (lineage: generation, bucket, epoch)
+            m = (
+                _counts_by_bucket(scheduled, "scheduled")
+                .join(_counts_by_bucket(links, "discovered"), "host_bucket", "full")
+                .join(_counts_by_bucket(new_ranked, "new"), "host_bucket", "full")
+                .join(_counts_by_bucket(fetched.filter("ok"), "fetched"), "host_bucket", "full")
+                .join(_counts_by_bucket(fetched.filter("not ok"), "failed"), "host_bucket", "full")
+                .fillna(0)
+            )
+            wall_ms = int((time.monotonic() - gen_t0) * 1000)
+            for r in m.collect():
+                metrics_rows.append(
+                    (g, r["host_bucket"], seen.filter_epoch, r["scheduled"],
+                     r["discovered"] - r["new"], r["fetched"], r["failed"], wall_ms)
+                )
+            n_sched = scheduled.count()
+            totals["scheduled"] += n_sched
+            totals["fetched"] += int(fetched.filter("ok").count())
+
+            frontier = deferred.select(*FRONTIER_COLS).unionByName(
+                new_ranked.select(*FRONTIER_COLS)
+            )
+
+            if cfg.checkpoint_dir:
+                pages_g.write.mode("overwrite").parquet(self._ckpt(f"gen={g:05d}", "pages"))
+                pages_parts.append(spark.read.parquet(self._ckpt(f"gen={g:05d}", "pages")))
+                log_g.write.mode("overwrite").parquet(self._ckpt(f"gen={g:05d}", "crawl_log"))
+                log_parts.append(spark.read.parquet(self._ckpt(f"gen={g:05d}", "crawl_log")))
+                frontier = self._snapshot(g, frontier, seen, next_priority, totals)
+                seen.exact = spark.read.parquet(self._ckpt(f"gen={g:05d}", "seen_exact"))
+                seen.filters = spark.read.parquet(self._ckpt(f"gen={g:05d}", "filters"))
+            else:
+                pages_parts.append(pages_g.localCheckpoint(eager=True))
+                log_parts.append(log_g.localCheckpoint(eager=True))
+                frontier = frontier.localCheckpoint(eager=True)
+                seen.exact = seen.exact.localCheckpoint(eager=True)
+                seen.filters = seen.filters.localCheckpoint(eager=True)
+
+            if (g + 1) % cfg.compact_every == 0:
+                seen.compact()
+
+            scheduled.unpersist()
+            fetched.unpersist()
+            new_rows.unpersist()
+            generations = g + 1
+
+        empty_pages = spark.createDataFrame(
+            [], schema="image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long, generation int, host_bucket int, "
+            "priority long, url_canon string",
+        )
+        pages = empty_pages
+        for p in pages_parts:
+            pages = pages.unionByName(p)
+        empty_log = spark.createDataFrame(
+            [], schema="generation int, priority long, url_canon string, host string, "
+            "host_bucket int, ok boolean, fetch_offset_ms long",
+        )
+        crawl_log = empty_log
+        for p in log_parts:
+            crawl_log = crawl_log.unionByName(p)
+        metrics = spark.createDataFrame(metrics_rows, schema=METRICS_SCHEMA)
+        return CrawlResult(
+            pages=pages,
+            metrics=metrics,
+            crawl_log=crawl_log,
+            seen_exact=seen.exact,
+            frontier_final=frontier,
+            generations=generations,
+            total_fetched=totals["fetched"],
+            total_scheduled=totals["scheduled"],
+            wall_s=time.monotonic() - t0,
+        )

@@ -1,0 +1,48 @@
+"""Table IO facade: Parquet today, Iceberg-compatible layout.
+
+The sandbox has no Iceberg jars, so the engine writes plain Parquet plus
+a JSON snapshot manifest per table (see plans/checkpoint.py) behind this
+facade; swapping ``format='iceberg'`` in is a config change, not a code
+change. Replaces the reference's HTTP->MySQL bridge sinks
+(/root/reference/utils/call_mysql.py:13-52) and batch inserts
+(/root/reference/worldcup/db/connect_mysql.py:38-63).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-provided table (SURVEY.md §2 S1 seed-table scan)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Sink facade (S8/S9/S10): Spark writes are inherently batched;
+    mode='overwrite' is the truncate-then-reload semantics of
+    /root/reference/nft_go/get_nftgo1.1.py:47-50."""
+    w = df.write.mode(mode).format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

@@ -1,0 +1,141 @@
+"""Serial reference-semantics crawler — the golden oracle (test-only).
+
+Mimics the reference's execution model faithfully (SURVEY.md §5.3): one
+Python process, seeds visited in seed order, per-host FIFO with page-cap
+budgets and crawl-delay pacing, dedup-before-enqueue, cron-style
+generations. Per-row Python is allowed HERE (it is the point); the
+engine under test must reproduce this crawl order, seen-set and payloads
+exactly while running data-parallel.
+
+Shares only the pure deterministic kernels with the engine
+(canon_urls/fnv64/synthweb), never its Spark operators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from crawlers_spark.functions.hashing import fnv64, pmod_bucket
+from crawlers_spark.functions.urls import canon_urls, url_host
+from crawlers_spark.operators.scheduler import SchedulerConfig
+from crawlers_spark.sources.synthweb import SynthWebConfig, fetch_pages_pdf, robots_pdf
+
+
+@dataclass
+class OracleResult:
+    # one row per scheduled fetch, in exact crawl order
+    crawl_log: pd.DataFrame  # generation, priority, order_rank, url_canon, url_hash, ok
+    seen_hashes: set[int]
+    pages: pd.DataFrame  # image_id, url_canon, caption, fmt, w, h, phash, bytes_pristine
+    metrics: pd.DataFrame = field(default_factory=pd.DataFrame)
+
+
+def crawl_serial(
+    web: SynthWebConfig,
+    seeds: pd.DataFrame,  # url, seed_rank
+    sched: SchedulerConfig = SchedulerConfig(),
+    robots: pd.DataFrame | None = None,
+    n_host_buckets: int = 32,
+    max_generations: int = 50,
+) -> OracleResult:
+    robots = robots if robots is not None else robots_pdf(web)
+    rob = robots.set_index("host")
+
+    canon = canon_urls(seeds["url"])
+    hashes = fnv64(canon)
+    hosts = url_host(canon)
+    frontier: list[tuple[int, str, int, str]] = []  # (priority, url_canon, url_hash, host)
+    seen: set[int] = set()
+    for rank, (u, h, ho) in enumerate(zip(canon, hashes, hosts)):
+        if int(h) not in seen:
+            seen.add(int(h))
+            frontier.append((int(seeds["seed_rank"].iloc[rank]), u, int(h), ho))
+    next_priority = (max(p for p, *_ in frontier) + 1) if frontier else 0
+
+    log_rows, page_rows, metric_rows = [], [], []
+    order_rank = 0
+    for g in range(max_generations):
+        if not frontier:
+            break
+        # politeness: disallow filter, per-host FIFO budget in priority order
+        scheduled: list[tuple[int, str, int, str]] = []
+        deferred: list[tuple[int, str, int, str]] = []
+        per_host_taken: dict[str, int] = {}
+        n_disallowed = 0
+        for item in sorted(frontier, key=lambda t: t[0]):
+            prio, u, h, ho = item
+            if ho in rob.index:
+                budget = int(rob.loc[ho, "max_per_generation"])
+                prefixes = rob.loc[ho, "disallow_prefixes"]
+            else:
+                budget, prefixes = sched.default_budget, []
+            path = "/" + u.split("://", 1)[1].split("/", 1)[1] if "/" in u.split("://", 1)[1] else "/"
+            if any(path.startswith(p) for p in prefixes):
+                n_disallowed += 1
+                continue
+            if per_host_taken.get(ho, 0) < budget:
+                per_host_taken[ho] = per_host_taken.get(ho, 0) + 1
+                scheduled.append(item)
+            else:
+                deferred.append(item)
+
+        # fetch in global priority order (= reference serial order)
+        urls = pd.Series([u for _, u, _, _ in scheduled])
+        mirrored = fetch_pages_pdf(web, urls, mirror=True) if len(urls) else None
+        pristine = fetch_pages_pdf(web, urls, mirror=False) if len(urls) else None
+
+        discovered: list[tuple[int, int, str]] = []  # (parent_priority, slot, url)
+        n_ok = n_failed = 0
+        for i, (prio, u, h, ho) in enumerate(scheduled):
+            ok = bool(mirrored["ok"].iloc[i])
+            log_rows.append((g, prio, order_rank, u, h, ok))
+            order_rank += 1
+            if ok:
+                n_ok += 1
+                page_rows.append(
+                    (
+                        mirrored["image_id"].iloc[i], u,
+                        mirrored["caption"].iloc[i], mirrored["fmt"].iloc[i],
+                        int(mirrored["w"].iloc[i]), int(mirrored["h"].iloc[i]),
+                        int(mirrored["phash"].iloc[i]),
+                        pristine["bytes"].iloc[i], mirrored["bytes"].iloc[i],
+                    )
+                )
+                for slot, link in enumerate(mirrored["links"].iloc[i]):
+                    discovered.append((prio, slot, link))
+            else:
+                n_failed += 1
+
+        # dedup-before-enqueue, first-discovery-wins, then mint priorities
+        new_items: list[tuple[int, str, int, str]] = []
+        batch_seen: set[int] = set()
+        for parent_priority, slot, link in discovered:  # already (prio, slot) ordered
+            lc = canon_urls(pd.Series([link])).iloc[0]
+            lh = int(fnv64(pd.Series([lc]))[0])
+            if lh in seen or lh in batch_seen:
+                continue
+            batch_seen.add(lh)
+            new_items.append((next_priority, lc, lh, url_host(pd.Series([lc])).iloc[0]))
+            next_priority += 1
+        seen.update(h for _, _, h, _ in new_items)
+        metric_rows.append(
+            (g, len(scheduled), len(discovered) - len(new_items), n_ok, n_failed, n_disallowed)
+        )
+        frontier = deferred + new_items
+
+    crawl_log = pd.DataFrame(
+        log_rows, columns=["generation", "priority", "order_rank", "url_canon", "url_hash", "ok"]
+    )
+    pages = pd.DataFrame(
+        page_rows,
+        columns=["image_id", "url_canon", "caption", "fmt", "w", "h", "phash",
+                 "bytes_pristine", "bytes_mirrored"],
+    )
+    metrics = pd.DataFrame(
+        metric_rows,
+        columns=["generation", "scheduled", "deduped", "fetched", "failed", "disallowed"],
+    )
+    return OracleResult(crawl_log=crawl_log, seen_hashes=seen, pages=pages, metrics=metrics)

@@ -1,0 +1,124 @@
+"""Golden tests: the parallel engine must reproduce the serial oracle
+exactly — crawl order, final seen-set membership, and per-row payloads
+(caption equality + decoded-pixel PSNR>=40dB on the lossy path), per
+BASELINE.json north_rule / input_hint."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from crawlers_spark.functions.images import decode_image, psnr
+from crawlers_spark.operators.scheduler import SchedulerConfig
+from crawlers_spark.operators.seen_set import BloomParams
+from crawlers_spark.plans.crawl import CrawlConfig, CrawlPlan
+from crawlers_spark.sources.synthweb import SynthWebConfig, make_seed_urls
+from oracle.serial_crawler import crawl_serial
+
+WEB = SynthWebConfig(n_hosts=12, base_pages=60)
+N_SEEDS = 40
+MAX_GENS = 6
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    return crawl_serial(WEB, make_seed_urls(WEB, N_SEEDS), max_generations=MAX_GENS)
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark):
+    cfg = CrawlConfig(
+        web=WEB,
+        bloom=BloomParams.size_for(20_000, n_buckets=16),
+        max_generations=MAX_GENS,
+    )
+    seeds = spark.createDataFrame(make_seed_urls(WEB, N_SEEDS))
+    return CrawlPlan(spark, cfg).run(seeds)
+
+
+def test_crawl_order_exact(engine_result, oracle_result):
+    eng = (
+        engine_result.crawl_log.toPandas()
+        .sort_values(["generation", "priority"])
+        .reset_index(drop=True)
+    )
+    ora = oracle_result.crawl_log.sort_values("order_rank").reset_index(drop=True)
+    assert len(eng) == len(ora), (len(eng), len(ora))
+    assert eng["url_canon"].tolist() == ora["url_canon"].tolist()
+    assert eng["generation"].tolist() == ora["generation"].tolist()
+    assert eng["ok"].tolist() == ora["ok"].tolist()
+
+
+def test_seen_set_exact(engine_result, oracle_result):
+    eng_seen = set(engine_result.seen_exact.toPandas()["url_hash"].astype(np.int64))
+    assert eng_seen == {int(h) for h in oracle_result.seen_hashes}
+
+
+def test_payload_invariants(engine_result, oracle_result):
+    eng = engine_result.pages.toPandas().set_index("image_id")
+    ora = oracle_result.pages.set_index("image_id")
+    assert set(eng.index) == set(ora.index)
+    assert len(eng) == len(set(eng.index))  # image_id unique
+    checked_lossy = 0
+    for image_id, orow in ora.iterrows():
+        erow = eng.loc[image_id]
+        assert erow["caption"] == orow["caption"]
+        assert int(erow["phash"]) == int(orow["phash"])
+        epx = decode_image(bytes(erow["bytes"]), erow["fmt"])
+        ppx = decode_image(bytes(orow["bytes_pristine"]), orow["fmt"])
+        if orow["fmt"] == "ppm":  # lossy mirror path
+            assert psnr(ppx, epx) >= 40.0
+            checked_lossy += 1
+        else:
+            assert (epx == ppx).all()
+    assert checked_lossy > 0
+
+
+def test_metrics_totals(engine_result, oracle_result):
+    m = engine_result.metrics.toPandas().groupby("generation").sum()
+    o = oracle_result.metrics.set_index("generation")
+    for g in o.index:
+        assert m.loc[g, "scheduled"] == o.loc[g, "scheduled"]
+        assert m.loc[g, "fetched"] == o.loc[g, "fetched"]
+        assert m.loc[g, "failed"] == o.loc[g, "failed"]
+        assert m.loc[g, "deduped"] == o.loc[g, "deduped"]
+
+
+def test_politeness_offsets(engine_result):
+    log = engine_result.crawl_log.toPandas()
+    # within a (generation, host), offsets step by the host's crawl delay
+    grp = log.groupby(["generation", "host"])["fetch_offset_ms"].agg(["min", "count", "max"])
+    assert (grp["min"] == 0).all()
+    multi = grp[grp["count"] > 1]
+    assert (multi["max"] > 0).all()
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path, engine_result):
+    cfg = CrawlConfig(
+        web=WEB,
+        bloom=BloomParams.size_for(20_000, n_buckets=16),
+        max_generations=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    seeds = spark.createDataFrame(make_seed_urls(WEB, N_SEEDS))
+    CrawlPlan(spark, cfg).run(seeds)  # killed after generation 1
+
+    cfg2 = CrawlConfig(
+        web=WEB,
+        bloom=BloomParams.size_for(20_000, n_buckets=16),
+        max_generations=MAX_GENS - 2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    resumed = CrawlPlan(spark, cfg2).run(seeds, resume=True)
+
+    full = (
+        engine_result.crawl_log.toPandas()
+        .sort_values(["generation", "priority"])
+        .reset_index(drop=True)
+    )
+    part = resumed.crawl_log.toPandas().sort_values(["generation", "priority"])
+    tail = full[full["generation"] >= 2].reset_index(drop=True)
+    assert part["url_canon"].tolist() == tail["url_canon"].tolist()
+    # final seen set identical to the uninterrupted run's
+    full_seen = set(engine_result.seen_exact.toPandas()["url_hash"])
+    res_seen = set(resumed.seen_exact.toPandas()["url_hash"])
+    assert res_seen == full_seen
