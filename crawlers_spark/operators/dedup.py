@@ -5,10 +5,11 @@ with built-in expressions (whole-stage codegen, map-side partial aggs) —
 no Python in any hot path:
 
 * exact          — md5 fingerprint of normalized text, keep min doc_id.
-* minhash_lsh    — word-shingle MinHash signatures (k permutations via
-  the (a·h+b) mod p trick over xxhash64 shingle hashes), banded into LSH
-  buckets; candidate pairs verified with exact Jaccard. The scale path:
-  only same-band pairs are joined, never the full cross product.
+* minhash_lsh    — word-shingle MinHash signatures (k independent hash
+  functions via seeded ``xxhash64(seed, j, shingle_hash)`` — wraparound-
+  free, so safe under Spark 4 ANSI arithmetic), banded into LSH buckets;
+  candidate pairs verified with exact Jaccard. The scale path: only
+  same-band pairs are joined, never the full cross product.
 * simhash        — 64-bit sign-vote fingerprint over word hashes;
   near-dups = equal simhash (or small hamming distance on a band join).
 * ngram_jaccard  — exact Jaccard over word n-grams for candidate pairs.
@@ -21,12 +22,8 @@ the near-dup family is the 100 TB-scale extension the engine adds.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-MERSENNE_P = (1 << 61) - 1
-
 
 def normalize_text(col):
     """Lower, collapse whitespace, strip — shared by all strategies."""
@@ -68,25 +65,18 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     ).distinct()
 
 
-def _perm_coeffs(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE_P, size=n_perm, dtype=np.int64)
-    b = rng.randint(0, MERSENNE_P, size=n_perm, dtype=np.int64)
-    return list(zip(a.tolist(), b.tolist()))
-
-
 def minhash_signatures(
     shingles: DataFrame, id_col: str = "doc_id", n_perm: int = 16, seed: int = 42
 ) -> DataFrame:
     """(id, sig_0..sig_{n-1}) — one hash-min aggregation, n_perm agg exprs.
 
-    Map-side partial min means each permutation costs one column of
-    arithmetic inside codegen; no extra shuffle beyond the groupBy(id).
+    Each "permutation" j is the independent hash x → xxhash64(seed, j, x)
+    (wraparound-free under ANSI arithmetic, all inside codegen). Map-side
+    partial min means no extra shuffle beyond the groupBy(id).
     """
-    h = F.pmod(F.col("shingle_hash"), F.lit(MERSENNE_P))
     aggs = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"sig_{j}")
-        for j, (a, b) in enumerate(_perm_coeffs(n_perm, seed))
+        F.min(F.xxhash64(F.lit(seed), F.lit(j), F.col("shingle_hash"))).alias(f"sig_{j}")
+        for j in range(n_perm)
     ]
     return shingles.groupBy(F.col(id_col)).agg(*aggs)
 

@@ -1,0 +1,816 @@
+"""Driver-contract query registry: Spark query + matching DuckDB oracle SQL.
+
+Each entry re-expresses one operator family from SURVEY.md §2 (reference
+file:line cited per query) or one training-data-pipeline operator
+(dedup / similarity / text analysis) over the driver's testdata tables
+``region nation customer supplier part orders lineitem events documents
+embeddings``. Crawl-engine queries (frontier / scheduler / fetch — custom
+stateful, not SQL-expressible) carry no oracle and get the driver's
+rows-only check.
+
+Exactness rules (the driver hash-compares values with columns sorted by
+name): every computed column is aliased identically in Spark and SQL, and
+every numeric output is bit-deterministic across engines —
+
+* money/value sums are integer fixed-point: each row is rounded to an
+  exact integer (``round(x * 10^k)`` of a k-dp decimal is never near a
+  tie) *before* the sum, so aggregation order can't shift a decimal
+  rounding boundary;
+* per-row divisions are emitted unrounded: both engines divide identical
+  IEEE doubles, giving identical bits;
+* ratios that feed thresholds are compared in integer cross-multiplied
+  form (``n_punct*5 < length`` ⇔ ``ratio < 0.2``), exactly;
+* only irrational quantities (cosine, via sqrt) use decimal rounding,
+  where a tie is measure-zero;
+* timestamps are emitted as formatted strings; every ranking carries a
+  deterministic tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import BPE_TOKEN_RE, LANG_MARKERS
+from .operators.dedup import (
+    dedup_exact,
+    jaccard_verify,
+    minhash_lsh_dedup,
+    normalize_text,
+    simhash64,
+    word_shingles,
+)
+from .operators.similarity import cosine, embedding_near_dups
+from .sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# relational battery (SURVEY.md §2.2-2.7)
+# --------------------------------------------------------------------------
+
+
+def _e(col, k: int):
+    """Exact fixed-point sum term: per-row round to integer 10^-k units.
+
+    A k-dp decimal scaled by 10^k sits within 1e-6 of an integer, so the
+    per-row round is tie-free and bit-identical across engines; the sum is
+    then exact int64 arithmetic, immune to aggregation-order float drift.
+    """
+    return F.sum(F.round(col * F.lit(10**k)).cast("long"))
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A4 running sums + counts (reference: per-page accumulation,
+    /root/reference/chain_browser/etherscan_api.py:46-56) as one hash agg."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _e(F.col("l_quantity"), 2).alias("sum_qty_e2"),
+            _e(F.col("l_extendedprice"), 2).alias("sum_base_e2"),
+            _e(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("sum_disc_e4"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT))      AS sum_qty_e2,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_e2,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_e4,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_orders_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    """P1/P2 flatten-project + F6 split + F14/W5 case chains (reference:
+    /root/reference/nft/get_opensea_v1.1.py:181-224,
+    /root/reference/worldcup/applications.py:37)."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.split("o_orderpriority", "-").getItem(0).cast("int").alias("prio_code"),
+        F.year("o_orderdate").alias("order_year"),
+        F.when(F.col("o_totalprice") > 300000, "large")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+        (F.coalesce(F.col("o_totalprice"), F.lit(0.0)) / 1000).alias("kprice"),
+    )
+
+
+ORACLE_ORDERS_FLATTEN = """
+SELECT o_orderkey,
+       o_orderstatus AS status,
+       CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_code,
+       year(o_orderdate) AS order_year,
+       CASE WHEN o_totalprice > 300000 THEN 'large'
+            WHEN o_totalprice > 150000 THEN 'mid'
+            ELSE 'small' END AS size_band,
+       coalesce(o_totalprice, 0.0) / 1000 AS kprice
+FROM orders
+"""
+
+
+def q_events_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """P5/F4/A2 tumbling-day aggregation (reference: day-window fetch
+    bounds, /root/reference/youtube/get_youtube_v1.2.py:144-145)."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), _e(F.col("value"), 2).alias("sum_value_e2"))
+    )
+
+
+ORACLE_EVENTS_DAILY = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_e2
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_brand_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1/J2 broadcast equi-join (reference: dict-lookup joins,
+    /root/reference/twitter/twitter_comment.py:93-94,
+    /root/reference/worldcup/applications.py:98-113)."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            _e(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue_e4"),
+        )
+    )
+
+
+ORACLE_BRAND_JOIN = """
+SELECT p_brand, count(*) AS n_items,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q_region_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """J3 chained dimension lookups (reference: per-row SELECT joins,
+    /root/reference/worldcup/db/deal_mysql_info.py:20-24) as two broadcast
+    joins."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _e(F.col("c_acctbal"), 2).alias("acctbal_e2"),
+        )
+    )
+
+
+ORACLE_REGION_ROLLUP = """
+SELECT r_name, count(*) AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_e2
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+def q_customers_no_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """J5 existence anti-join (reference: query-before-insert dedup,
+    /root/reference/worldcup/db/deal_mysql_info.py:38-57)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_CUSTOMERS_NO_ORDERS = """
+SELECT c_mktsegment, count(*) AS n
+FROM customer ANTI JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+def q_orders_with_discount(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-join + predicate filter (P4; reference: value predicates,
+    /root/reference/dappradar/get_dappradar_v2.2.py:30-31)."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_ORDERS_WITH_DISCOUNT = """
+SELECT o_orderpriority, count(*) AS n
+FROM orders SEMI JOIN (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05) li
+  ON o_orderkey = li.l_orderkey
+GROUP BY 1
+"""
+
+
+def q_top_event_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    """A3/W3 max-by selection with deterministic tie-break (reference:
+    max-bitrate pick, /root/reference/twitter/timer_twitter.py:152-158)."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "event_id", "user_id", "value")
+    )
+
+
+ORACLE_TOP_EVENT_PER_TYPE = """
+SELECT event_type, event_id, user_id, value
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value DESC, event_id ASC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_nation_share(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 percent-of-total via window-over-all (reference: trait_count /
+    total_supply * 100, /root/reference/nft/get_opensea_v1.1.py:100-111)."""
+    c = load_table(spark, sf, "customer")
+    g = c.groupBy("c_nationkey").agg(_e(F.col("c_acctbal"), 2).alias("s"))
+    return g.select(
+        "c_nationkey",
+        (F.lit(100.0) * F.col("s") / F.sum("s").over(Window.partitionBy())).alias("share_pct"),
+    )
+
+
+ORACLE_NATION_SHARE = """
+SELECT c_nationkey, 100.0 * s / sum(s) OVER () AS share_pct
+FROM (SELECT c_nationkey, sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s
+      FROM customer GROUP BY 1)
+"""
+
+
+def q_top_parts_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 per-group top-k (reference: ranked top lists,
+    /root/reference/nft_go/get_nftgo1.1.py:132-163)."""
+    p = load_table(spark, sf, "part")
+    w = Window.partitionBy("p_type").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_type", "rank", "p_partkey", "p_retailprice")
+    )
+
+
+ORACLE_TOP_PARTS_PER_TYPE = """
+SELECT p_type, rank, p_partkey, p_retailprice
+FROM (SELECT p_type, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_type
+                                ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+      FROM part)
+WHERE rank <= 3
+"""
+
+
+def q_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """W2 global ordered limit (reference: PRICE_ASC first-10 scan,
+    /root/reference/looksrare/get_look_srare.py:73-81)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_event_value_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """W5 winner/rank derivation case chain (reference:
+    /root/reference/worldcup/applications.py:37)."""
+    e = load_table(spark, sf, "events")
+    band = (
+        F.when(F.col("value") > 10, "high")
+        .when(F.col("value") > 5, "mid")
+        .otherwise("low")
+    )
+    return e.groupBy(band.alias("band")).agg(F.count("*").alias("n"))
+
+
+ORACLE_EVENT_VALUE_BANDS = """
+SELECT CASE WHEN value > 10 THEN 'high' WHEN value > 5 THEN 'mid' ELSE 'low' END AS band,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_nations_present(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 union + distinct (reference: per-page list unions,
+    /root/reference/discord/discord_http.py:39-44)."""
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+ORACLE_NATIONS_PRESENT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_user_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 distinct-key accumulation (reference: in-memory dedup lists,
+    /root/reference/coinmarketcap/coin_market_cap_api_2.0.py:136-144)."""
+    e = load_table(spark, sf, "events")
+    return e.groupBy("user_id").agg(F.count_distinct("event_type").alias("n_types"))
+
+
+ORACLE_USER_EVENT_TYPES = """
+SELECT user_id, count(DISTINCT event_type) AS n_types FROM events GROUP BY 1
+"""
+
+
+def q_customer_strings(spark: SparkSession, sf: str) -> DataFrame:
+    """F1/F10 scalar string + unit-scale ops (reference:
+    /root/reference/nft/get_opensea_v1.1.py:265 slice/upper;
+    /root/reference/looksrare/get_look_srare.py:95-101 str→scaled float)."""
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 10, 9).alias("digits"),
+        F.regexp_replace("c_name", "Customer#", "C-").alias("short_name"),
+        (F.col("c_acctbal") / 1000).alias("kbal"),
+    )
+
+
+ORACLE_CUSTOMER_STRINGS = """
+SELECT c_custkey, upper(c_name) AS name_upper, substring(c_name, 10, 9) AS digits,
+       regexp_replace(c_name, 'Customer#', 'C-') AS short_name,
+       c_acctbal / 1000 AS kbal
+FROM customer
+"""
+
+
+def q_events_tz(spark: SparkSession, sf: str) -> DataFrame:
+    """F2/F3 UTC+8 shift + format (reference: formatGMTime,
+    /root/reference/utils/tool.py:4-12)."""
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.date_format(
+            F.from_utc_timestamp("ts", "Asia/Shanghai"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("ts_cn"),
+    )
+
+
+ORACLE_EVENTS_TZ = """
+SELECT event_id, strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%d %H:%M:%S') AS ts_cn
+FROM events
+"""
+
+
+def q_events_json(spark: SparkSession, sf: str) -> DataFrame:
+    """F9/F11 regex field extraction from serialized JSON (reference:
+    embedded-JSON regex, /root/reference/nft_go/get_nftgo1.1.py:330;
+    json storage, /root/reference/coinmarketcap/coin_market_cap_api_2.0.py:250)."""
+    e = load_table(spark, sf, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    return (
+        e.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), _e(F.col("value"), 2).alias("sum_value_e2"))
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k,
+       count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_e2
+FROM events GROUP BY 1
+"""
+
+
+def q_doc_first_word(spark: SparkSession, sf: str) -> DataFrame:
+    """F9 regexp_extract over text (reference: regex scrape,
+    /root/reference/coinmarketcap/coin_market_cap_api_2.0.py:155-158)."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"))
+        .groupBy("first_word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_DOC_FIRST_WORD = """
+SELECT regexp_extract(text, '^(\\w+)', 1) AS first_word, count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data toolkit: dedup / text analysis / similarity
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by md5 of normalized text (training-data toolkit)."""
+    return dedup_exact(load_table(spark, sf, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) - 1 AS n_dups
+FROM documents GROUP BY 1
+"""
+
+# near-dup corpus: each sampled doc plus a tail-truncated mutant — gives the
+# jaccard/minhash paths true positives to find (the raw corpus is random
+# word soup with no near-dups).
+_MUTANT_OFFSET = 1_000_000
+
+
+def _docs_with_mutants(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.pmod("doc_id", F.lit(5)) == 0)
+        .select("doc_id", "text")
+    )
+    mut = d.select(
+        (F.col("doc_id") + _MUTANT_OFFSET).alias("doc_id"),
+        F.regexp_replace("text", r" \w+$", "").alias("text"),
+    )
+    return d.unionByName(mut)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs; candidates = pairs sharing ≥1
+    word 3-gram (a superset of any Jaccard≥τ pair, so pruning is lossless)."""
+    docs = _docs_with_mutants(spark, sf)
+    sh = word_shingles(docs, "text", "doc_id", k=3)
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    out = jaccard_verify(pairs, sh, "doc_id", threshold=0.5)
+    # jaccard is a single division of identical int64 operands → identical
+    # IEEE doubles in both engines; emit unrounded.
+    return out.select("id_a", "id_b", "jaccard")
+
+
+ORACLE_DEDUP_NGRAM = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+alldocs AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_MUTANT_OFFSET}, regexp_replace(text, ' \\w+$', '') FROM base
+),
+t AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM alldocs),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       FROM t WHERE len(w) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jaccard
+FROM inter
+JOIN sz za ON za.doc_id = id_a
+JOIN sz zb ON zb.doc_id = id_b
+WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (shingle→sign→band→verify); xxhash64
+    banding is not DuckDB-expressible → rows-only driver check."""
+    docs = _docs_with_mutants(spark, sf)
+    out = minhash_lsh_dedup(docs, n_perm=16, n_bands=8, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (rows-only: xxhash64-based)."""
+    return simhash64(load_table(spark, sf, "documents"))
+
+
+def _marker_count(col, marker: str):
+    return F.regexp_count(F.lower(col), F.lit(rf"\b{marker}\b"))
+
+
+def _lang_counts(col):
+    return {
+        lang: sum([_marker_count(col, m) for m in marks], F.lit(0))
+        for lang, marks in LANG_MARKERS.items()
+    }
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID by stopword-marker argmax (preference order en>de>fr>es,
+    'unk' when no marker hits), scored against the corpus lang label."""
+    d = load_table(spark, sf, "documents")
+    c = _lang_counts(F.col("text"))
+    pred = (
+        F.when((c["en"] == 0) & (c["de"] == 0) & (c["fr"] == 0) & (c["es"] == 0), "unk")
+        .when((c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["es"]), "en")
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]), "de")
+        .when(c["fr"] >= c["es"], "fr")
+        .otherwise("es")
+    )
+    return d.groupBy("lang", pred.alias("pred_lang")).agg(F.count("*").alias("n"))
+
+
+def _oracle_marker_sum(lang: str) -> str:
+    return " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{m}\\b'))" for m in LANG_MARKERS[lang]
+    )
+
+
+ORACLE_LANG_ID = f"""
+WITH c AS (
+  SELECT lang,
+         {_oracle_marker_sum('en')} AS c_en,
+         {_oracle_marker_sum('de')} AS c_de,
+         {_oracle_marker_sum('fr')} AS c_fr,
+         {_oracle_marker_sum('es')} AS c_es
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'unk'
+            WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+            WHEN c_fr >= c_es THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       count(*) AS n
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting, all JVM-side regexp kernels."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    ws = F.when(F.length(norm) == 0, 0).otherwise(F.size(F.split(norm, " ")))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_TOKEN_RE)).alias("bpe_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = """
+SELECT doc_id,
+       CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+            ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END
+         AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality score: length band + punctuation ratio + stopword
+    presence (en markers). Ratios are emitted as exact integer ppm
+    (integer division) and thresholds compared in cross-multiplied integer
+    form, so both engines compute identical integers."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    ws = F.when(F.length(norm) == 0, 0).otherwise(F.size(F.split(norm, " ")))
+    n_punct = F.regexp_count("text", F.lit(r"[^\w\s]"))
+    stop_hits = sum([_marker_count(F.col("text"), m) for m in LANG_MARKERS["en"]], F.lit(0))
+    length = F.length("text")
+    punct_ppm = (n_punct.cast("long") * 1000000).cast("long") / F.greatest(length, F.lit(1))
+    stop_ppm = (stop_hits.cast("long") * 1000000).cast("long") / F.greatest(ws, F.lit(1))
+    # ratio < 0.2  ⇔  n_punct * 5 < length ; ratio > 0.01 ⇔ hits * 100 > ws
+    quality_x10 = (
+        F.when(length.between(50, 20000), 4).otherwise(0)
+        + F.when(n_punct * 5 < length, 3).otherwise(0)
+        + F.when(stop_hits * 100 > ws, 3).otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        F.floor(punct_ppm).cast("long").alias("punct_ppm"),
+        F.floor(stop_ppm).cast("long").alias("stop_ppm"),
+        quality_x10.cast("int").alias("quality_x10"),
+    )
+
+
+ORACLE_DOC_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END
+           AS ws,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         {_oracle_marker_sum('en')} AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       CAST(floor(CAST(n_punct AS DOUBLE) * 1000000 / greatest(length(text), 1)) AS BIGINT)
+         AS punct_ppm,
+       CAST(floor(CAST(stop_hits AS DOUBLE) * 1000000 / greatest(ws, 1)) AS BIGINT)
+         AS stop_ppm,
+       CAST(CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 4 ELSE 0 END
+          + CASE WHEN n_punct * 5 < length(text) THEN 3 ELSE 0 END
+          + CASE WHEN stop_hits * 100 > ws THEN 3 ELSE 0 END AS INT) AS quality_x10
+FROM t
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 per query vector (queries = vec_id<5),
+    all built-in zip_with/aggregate — the exact ANN baseline."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("embedding"), F.col("qv")).alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank", F.round("cs", 6).alias("cos_sim"))
+    )
+
+
+ORACLE_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+ex AS (
+  SELECT q.query_id, d.vec_id,
+         CAST(unnest(d.embedding) AS DOUBLE) AS xd,
+         CAST(unnest(q.qv) AS DOUBLE) AS xq
+  FROM embeddings d CROSS JOIN q
+),
+s AS (SELECT query_id, vec_id, sum(xd * xq) AS dot,
+             sqrt(sum(xd * xd)) AS nd, sqrt(sum(xq * xq)) AS nq
+      FROM ex GROUP BY 1, 2),
+r AS (SELECT query_id, vec_id, dot / (nd * nq) AS cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot / (nd * nq) DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, rank, round(cs, 6) AS cos_sim FROM r WHERE rank <= 10
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """SRP-LSH bucketed near-dup pairs over embeddings (scale path;
+    rows-only — hyperplane bucketing is not SQL-expressible)."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_near_dups(emb, dim=64, threshold=0.5, n_bits=4)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+# --------------------------------------------------------------------------
+# crawl-engine queries (custom stateful — rows-only driver check)
+# --------------------------------------------------------------------------
+
+
+def _small_crawl(spark: SparkSession, generations: int = 2):
+    from .plans.crawl import CrawlConfig, CrawlPlan, prepare_frontier
+    from .sources.synthweb import SynthWebConfig, make_seed_urls
+
+    web = SynthWebConfig(n_hosts=8, base_pages=60)
+    cfg = CrawlConfig(web=web, max_generations=generations, n_host_buckets=8)
+    plan = CrawlPlan(spark, cfg)
+    seeds = spark.createDataFrame(make_seed_urls(web, 16))
+    return plan.run(seeds)
+
+
+def q_crawl_pages_by_host(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship crawl slice: 2 generations over the deterministic synthetic
+    web → pages table aggregated per host (SURVEY.md §7 minimum slice)."""
+    res = _small_crawl(spark)
+    return (
+        res.pages.groupBy(F.regexp_extract("url_canon", r"http://([^/]+)", 1).alias("host"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.round(F.avg(F.col("w") * F.col("h")), 2).alias("avg_pixels"),
+        )
+    )
+
+
+def q_crawl_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Politeness scheduler output for generation 0: per-host priority rank
+    and computed crawl-delay offsets (no fetch)."""
+    from .operators.scheduler import SchedulerConfig, schedule_generation
+    from .plans.crawl import prepare_frontier
+    from .sources.synthweb import SynthWebConfig, make_seed_urls, robots_pdf
+
+    web = SynthWebConfig(n_hosts=8, base_pages=60)
+    seeds = spark.createDataFrame(make_seed_urls(web, 64))
+    frontier = prepare_frontier(seeds, 8).withColumn("generation", F.lit(0))
+    robots = spark.createDataFrame(robots_pdf(web))
+    scheduled, _, _ = schedule_generation(frontier, robots, SchedulerConfig())
+    return scheduled.select("host", "url_canon", "host_rank", "fetch_offset_ms")
+
+
+def q_image_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: decode the pages table's binary image column
+    (numpy codecs) inside mapInPandas and aggregate pixel stats per fmt."""
+    import pandas as pd
+
+    from .functions.images import decode_image
+
+    res = _small_crawl(spark)
+
+    def stats(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            means = [float(decode_image(b, f).mean()) for b, f in zip(pdf["bytes"], pdf["fmt"])]
+            yield pd.DataFrame({"fmt": pdf["fmt"], "mean_px": means})
+
+    decoded = res.pages.select("bytes", "fmt").mapInPandas(
+        stats, schema="fmt string, mean_px double"
+    )
+    return decoded.groupBy("fmt").agg(
+        F.count("*").alias("n_images"), F.round(F.avg("mean_px"), 2).alias("avg_mean_px")
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    # name: (spark_fn, oracle_sql | None)
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "orders_flatten": (q_orders_flatten, ORACLE_ORDERS_FLATTEN),
+    "events_daily": (q_events_daily, ORACLE_EVENTS_DAILY),
+    "brand_join": (q_brand_join, ORACLE_BRAND_JOIN),
+    "region_rollup": (q_region_rollup, ORACLE_REGION_ROLLUP),
+    "customers_no_orders": (q_customers_no_orders, ORACLE_CUSTOMERS_NO_ORDERS),
+    "orders_with_discount": (q_orders_with_discount, ORACLE_ORDERS_WITH_DISCOUNT),
+    "top_event_per_type": (q_top_event_per_type, ORACLE_TOP_EVENT_PER_TYPE),
+    "nation_share": (q_nation_share, ORACLE_NATION_SHARE),
+    "top_parts_per_type": (q_top_parts_per_type, ORACLE_TOP_PARTS_PER_TYPE),
+    "top_orders": (q_top_orders, ORACLE_TOP_ORDERS),
+    "event_value_bands": (q_event_value_bands, ORACLE_EVENT_VALUE_BANDS),
+    "nations_present": (q_nations_present, ORACLE_NATIONS_PRESENT),
+    "user_event_types": (q_user_event_types, ORACLE_USER_EVENT_TYPES),
+    "customer_strings": (q_customer_strings, ORACLE_CUSTOMER_STRINGS),
+    "events_tz": (q_events_tz, ORACLE_EVENTS_TZ),
+    "events_json": (q_events_json, ORACLE_EVENTS_JSON),
+    "doc_first_word": (q_doc_first_word, ORACLE_DOC_FIRST_WORD),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
+    "dedup_minhash_lsh": (q_minhash_lsh, None),
+    "dedup_simhash": (q_simhash, None),
+    "lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
+    "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
+    "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
+    "embedding_near_dups": (q_embedding_near_dups, None),
+    "crawl_pages_by_host": (q_crawl_pages_by_host, None),
+    "crawl_schedule": (q_crawl_schedule, None),
+    "image_decode_stats": (q_image_decode_stats, None),
+}
+
+
+def queries_dict():
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+
+
+def oracle_dict():
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

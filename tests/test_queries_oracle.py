@@ -1,0 +1,94 @@
+"""Driver-contract replica: every queries() entry vs its DuckDB oracle.
+
+Mimics the driver's CORRECTNESS gate at small scale: run the Spark query
+and the oracle SQL on the same parquet tables, compare row count, column
+names (sorted), and an order-insensitive value hash. Rows-only queries
+are smoke-checked for schema stability and (where expected) rows > 0.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from crawlers_spark.queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+ORACLE_NAMES = [n for n, (_f, sql) in QUERIES.items() if sql is not None]
+ROWS_ONLY_NAMES = [n for n, (_f, sql) in QUERIES.items() if sql is None]
+
+
+def _canon_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # driver-style canonicalization: collapse float noise
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append("\x01".join(_canon_cell(r[i]) for i in order))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    fn, sql = QUERIES[name]
+    sdf = fn(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    cur = ddb.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} != {len(orows)}"
+    s_canon = _canon_rows(scols, [[r[c] for c in scols] for r in srows])
+    o_canon = _canon_rows(ocols, orows)
+    mism = [i for i, (a, b) in enumerate(zip(s_canon, o_canon)) if a != b]
+    assert not mism, f"{name}: {len(mism)} mismatched rows; first: " \
+        f"spark={s_canon[mism[0]]!r} oracle={o_canon[mism[0]]!r}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_query_runs(spark, name):
+    fn, _ = QUERIES[name]
+    df = fn(spark, SF_DIR)
+    rows = df.collect()
+    assert df.columns, name
+    if name in ("dedup_minhash_lsh", "crawl_pages_by_host", "crawl_schedule",
+                "image_decode_stats", "dedup_simhash"):
+        assert len(rows) > 0, f"{name}: expected rows"
+
+
+def test_entry_contract(spark):
+    df = entry_mod.entry(spark)
+    assert len(df.collect()) > 0
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 25
