@@ -35,8 +35,13 @@ def global_rank(
     out_col: str = "rank",
     start: int = 0,
     num_partitions: int | None = None,
-) -> DataFrame:
-    """Add ``out_col`` = deterministic global 0-based rank + ``start``."""
+    with_count: bool = False,
+):
+    """Add ``out_col`` = deterministic global 0-based rank + ``start``.
+
+    With ``with_count=True`` returns ``(df, n_rows)`` — the row count is
+    free here (it is the sum of the per-partition counts this operator
+    already collects), saving callers a separate count job."""
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ordered = (
         df.repartitionByRange(int(parts), *[F.col(c) for c in order_cols])
@@ -66,4 +71,6 @@ def global_rank(
             yield pdf
 
     out = ordered.mapInPandas(add_rank, schema=schema).drop("__pid")
+    if with_count:
+        return out, acc - start
     return out

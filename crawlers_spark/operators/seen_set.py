@@ -221,17 +221,37 @@ class SeenSet:
         self.filters = filters  # columns: bloom_bucket, epoch, filter, n_items
         self.filter_epoch = filter_epoch
         self.use_broadcast = use_broadcast
+        # driver-side merged-blob cache for the broadcast path: updated
+        # incrementally per add() (64 small rows collected + OR-merged),
+        # so the per-generation treeAggregate disappears from the loop;
+        # treeAggregate remains the compaction / cache-rebuild path.
+        self._blob_cache: dict[int, bytes] | None = None
+        self._prev_flagged: DataFrame | None = None
+
+    def _merged_blobs(self) -> dict[int, bytes]:
+        if self._blob_cache is None:
+            self._blob_cache = tree_merge_filters(self.filters, self.params)
+        return self._blob_cache
 
     def filter_new(self, candidates: DataFrame, hash_col: str = "url_hash") -> DataFrame:
         if self.exact is None:
             return candidates
         if self.use_broadcast:
-            blobs = tree_merge_filters(self.filters, self.params)
             flagged = bloom_maybe_seen_broadcast(
-                self.spark, candidates, blobs, self.params, hash_col
+                self.spark, candidates, self._merged_blobs(), self.params, hash_col
             )
         else:
             flagged = bloom_maybe_seen_cogroup(candidates, self.filters, self.params, hash_col)
+        # Both output branches read `flagged`. A lazy persist is not
+        # enough: AQE submits the two downstream exchanges concurrently,
+        # and before the cache is materialized each re-computes the whole
+        # upstream (canonize + dedup agg) — the event log shows the map
+        # stage twice. Persist + eager count() materializes once.
+        if self._prev_flagged is not None:
+            self._prev_flagged.unpersist()
+        flagged = flagged.persist()
+        flagged.count()
+        self._prev_flagged = flagged
         negatives = flagged.filter(~F.col("maybe_seen"))
         positives = flagged.filter(F.col("maybe_seen"))
         rescued = positives.join(self.exact, on=hash_col, how="left_anti")
@@ -244,16 +264,29 @@ class SeenSet:
         delta_filters = build_bucket_filters(
             new_rows, self.params, hash_col, epoch=self.filter_epoch
         )
+        if self.use_broadcast:
+            cache = self._merged_blobs() if self.filters is not None else {}
+            for row in delta_filters.select("bloom_bucket", "filter").collect():
+                b, blob = row["bloom_bucket"], bytes(row["filter"])
+                cache[b] = bloom_merge_blobs(cache[b], blob) if b in cache else blob
+            self._blob_cache = cache
         self.exact = delta_exact if self.exact is None else self.exact.unionByName(delta_exact)
         self.filters = (
             delta_filters if self.filters is None else self.filters.unionByName(delta_filters)
         )
 
     def compact(self) -> None:
-        """Merge filter deltas (treeAggregate) into one blob per bucket; bump epoch."""
+        """Merge filter deltas into one blob per bucket; bump epoch.
+
+        Uses the driver cache when warm, else the treeAggregate merge
+        (the cogroup/scale path never builds a driver cache)."""
         if self.filters is None:
             return
-        merged = tree_merge_filters(self.filters, self.params)
+        merged = (
+            self._merged_blobs()
+            if self.use_broadcast
+            else tree_merge_filters(self.filters, self.params)
+        )
         self.filter_epoch += 1
         pdf = pd.DataFrame(
             {

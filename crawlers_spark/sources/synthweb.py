@@ -191,12 +191,17 @@ def fetch_pages_pdf(cfg: SynthWebConfig, url_canon: pd.Series, mirror: bool = Tr
 
 
 def make_seed_urls(cfg: SynthWebConfig, n_seeds: int) -> pd.DataFrame:
-    """Messy seed list exercising canonicalization (5 spelling variants).
+    """Messy seed list exercising canonicalization (5 spelling variants)."""
+    return seed_urls_pdf(cfg, np.arange(n_seeds, dtype=np.int64))
+
+
+def seed_urls_pdf(cfg: SynthWebConfig, rank: np.ndarray) -> pd.DataFrame:
+    """Vectorized core of :func:`make_seed_urls` for an arbitrary rank array.
 
     Returns columns (url, seed_rank); canon(url) is always a valid page
     URL of the synthetic web.
     """
-    rank = np.arange(n_seeds, dtype=np.int64)
+    rank = np.asarray(rank, np.int64)
     ppl = cfg.pages_per_host()
     host_idx = (splitmix64(rank.view(_U64) ^ _U64(cfg.seed * 31)) % _U64(cfg.n_hosts)).astype(
         np.int64
@@ -214,6 +219,21 @@ def make_seed_urls(cfg: SynthWebConfig, n_seeds: int) -> pd.DataFrame:
     messy = messy.mask(variant == 3, canon + "?utm_source=feed&utm_medium=x&utm_campaign=1")
     messy = messy.mask(variant == 4, "http://" + host + "/x/../" + path.str.lstrip("/"))
     return pd.DataFrame({"url": messy, "seed_rank": rank})
+
+
+def distributed_seed_urls(spark, cfg: SynthWebConfig, n: int, start: int = 0,
+                          partitions: int | None = None):
+    """Executor-side URL generation for frontiers too big to build on the
+    driver: ``spark.range`` → ``mapInPandas`` over :func:`seed_urls_pdf`.
+    This is how a 10^10-row frontier is *simulated* — pure hash-range
+    math, never materialized driver-side (SURVEY.md §7 item 1)."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield seed_urls_pdf(cfg, pdf["id"].to_numpy())
+
+    rng = spark.range(start, start + n, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, schema="url string, seed_rank long")
 
 
 def robots_pdf(cfg: SynthWebConfig) -> pd.DataFrame:
