@@ -63,7 +63,7 @@ CRAWL_BENCH = dict(
     n_preseen=2_500_000,
     n_host_buckets=256,
     fetch_cap=80_000,  # pages actually fetched for the images/sec figure
-    reps=3,  # min-of-reps filters sandbox scheduler/GC jitter
+    reps=4,  # min-of-reps filters sandbox scheduler/GC jitter
 )
 # two-parallelism levels for the N -> 4N scaling evidence: on this
 # 32-core box, local[4] vs local[16] keeps JVM task threads + Python UDF
@@ -252,6 +252,7 @@ def main() -> None:
         levels = {}
         env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
         for cpus in (n, n4):
+            time.sleep(15)  # let the previous JVM fully exit
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--crawl", "--cpus", str(cpus)],
                 capture_output=True, text=True, timeout=3000, env=env,

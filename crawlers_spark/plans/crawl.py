@@ -41,6 +41,9 @@ from ..sources.fetcher import fetch_scheduled
 from ..sources.synthweb import SynthWebConfig, robots_pdf
 
 FRONTIER_COLS = ["url_canon", "url_hash", "host", "host_bucket", "priority"]
+# slot packing base for the candidates agg: lexicographic (parent, slot)
+# min as one long; requires max_links < MAX_LINK_SLOTS
+MAX_LINK_SLOTS = 16
 PAGES_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 METRICS_SCHEMA = (
     "generation int, host_bucket int, filter_epoch int, scheduled long, deduped long, "
@@ -129,14 +132,13 @@ def prepare_frontier(seeds: DataFrame, n_host_buckets: int) -> DataFrame:
     canon = canonize(seeds, n_host_buckets).withColumn(
         "priority", F.col("seed_rank").cast("long")
     )
-    # url_canon/host/host_bucket are functions of url_hash, so any_value is
-    # deterministic here — and unlike min(struct(strings...)) it keeps the
-    # aggregation in codegen'd HashAggregate instead of SortAggregate.
-    dedup = canon.groupBy("url_hash").agg(
-        F.min("priority").alias("priority"),
-        F.any_value("url_canon").alias("url_canon"),
-        F.any_value("host").alias("host"),
-        F.any_value("host_bucket").alias("host_bucket"),
+    # url_canon/host/host_bucket are functions of url_hash, so including
+    # them in the GROUPING KEY keeps the same granularity while the agg
+    # buffer stays fixed-width (one long) — codegen'd HashAggregate.
+    # (min(struct(strings)) or any_value(string) buffers would silently
+    # fall back to SortAggregate.)
+    dedup = canon.groupBy("url_hash", "url_canon", "host", "host_bucket").agg(
+        F.min("priority").alias("priority")
     )
     return dedup.select("url_hash", "url_canon", "host", "host_bucket", "priority")
 
@@ -263,19 +265,18 @@ class CrawlPlan:
                 ).filter(F.col("url").isNotNull()),
                 cfg.n_host_buckets,
             )
-            # min over (parent_priority, slot) — two longs, HashAggregate-
-            # friendly; string cols are functions of url_hash → any_value.
+            # Lexicographic min over (parent_priority, slot) packed into
+            # one long (slot < 16 = MAX_LINK_SLOTS) so the agg buffer is
+            # fixed-width → HashAggregate; string cols are functions of
+            # url_hash and ride in the grouping key.
+            packed = F.col("parent_priority") * MAX_LINK_SLOTS + F.col("slot")
             candidates = (
-                links.groupBy("url_hash")
-                .agg(
-                    F.min(F.struct("parent_priority", "slot")).alias("s"),
-                    F.any_value("url_canon").alias("url_canon"),
-                    F.any_value("host").alias("host"),
-                    F.any_value("host_bucket").alias("host_bucket"),
-                )
+                links.groupBy("url_hash", "url_canon", "host", "host_bucket")
+                .agg(F.min(packed).alias("__pk"))
                 .select(
-                    "url_hash", "s.parent_priority", "s.slot",
-                    "url_canon", "host", "host_bucket",
+                    "url_hash", "url_canon", "host", "host_bucket",
+                    F.expr(f"__pk div {MAX_LINK_SLOTS}").alias("parent_priority"),
+                    F.pmod("__pk", F.lit(MAX_LINK_SLOTS)).cast("int").alias("slot"),
                 )
             )
             new_rows = seen.filter_new(candidates).persist()

@@ -432,6 +432,88 @@ FROM documents GROUP BY 1
 """
 
 
+def q_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Window frame (rows unbounded-preceding..current): per-user running
+    sum, integer cents so accumulation order can't drift."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id", "user_id", F.sum(cents).over(w).alias("run_sum_e2")
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+       sum(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum_e2
+FROM events
+"""
+
+
+def q_event_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization via lag: a session break is a >30 min gap between a
+    user's consecutive events; count sessions per user."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("double")  # NTZ needs 2-step cast
+    gap = epoch - F.lag(epoch).over(w)
+    breaks = F.when(gap > 1800.0, 1).otherwise(0)
+    return (
+        e.select("user_id", breaks.alias("brk"))
+        .groupBy("user_id")
+        .agg((F.sum("brk") + 1).cast("long").alias("n_sessions"))
+    )
+
+
+ORACLE_EVENT_SESSIONS = """
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN gap > 1800.0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions
+FROM g GROUP BY 1
+"""
+
+
+def q_region_rollup_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets over region→nation (an engine addition; the
+    reference has no grouping sets, SURVEY.md §2.4)."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n",
+        )
+    )
+
+
+ORACLE_REGION_ROLLUP_CUBE = """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data toolkit: dedup / text analysis / similarity
 # --------------------------------------------------------------------------
@@ -791,6 +873,9 @@ QUERIES: dict[str, tuple] = {
     "user_event_types": (q_user_event_types, ORACLE_USER_EVENT_TYPES),
     "customer_strings": (q_customer_strings, ORACLE_CUSTOMER_STRINGS),
     "events_tz": (q_events_tz, ORACLE_EVENTS_TZ),
+    "running_total": (q_running_total, ORACLE_RUNNING_TOTAL),
+    "event_sessions": (q_event_sessions, ORACLE_EVENT_SESSIONS),
+    "region_rollup_cube": (q_region_rollup_cube, ORACLE_REGION_ROLLUP_CUBE),
     "events_json": (q_events_json, ORACLE_EVENTS_JSON),
     "doc_first_word": (q_doc_first_word, ORACLE_DOC_FIRST_WORD),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),

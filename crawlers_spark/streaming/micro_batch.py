@@ -1,0 +1,143 @@
+"""Structured Streaming surface: the reference's cron generations as
+micro-batches.
+
+The reference re-crawls on wall-clock triggers — hourly/daily APScheduler
+jobs (/root/reference/nft_go/get_nftgo1.1.py:398-410,
+/root/reference/nft/get_opensea_v1.1.py:303-314) and 3-minute loops
+(/root/reference/worldcup/applications.py:167-172) — with state (seen
+lists, token caches) carried across runs in process memory. Spark-first,
+that is Structured Streaming:
+
+* ``stream_events_daily`` — tumbling-day windowed aggregation with a
+  watermark over a parquet file stream (the reference's day-window fetch
+  bounds, /root/reference/youtube/get_youtube_v1.2.py:144-145, plus its
+  late-data tolerance: re-crawl keeps updating until "end",
+  /root/reference/worldcup/applications.py:39-40).
+* ``stream_crawl`` — ``foreachBatch`` crawl: each arriving seed-batch
+  file becomes one frontier generation driven through the same
+  canonize → seen-filter → schedule → fetch step as the batch engine,
+  with the SeenSet carried across micro-batches (the idempotent-upsert
+  analog of /root/reference/worldcup/db/deal_mysql_info.py:44-57).
+
+At cluster scale the same code runs with ``trigger(processingTime=...)``
+against a landing bucket; tests use ``availableNow`` for determinism.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.scheduler import SchedulerConfig, schedule_generation
+from ..operators.seen_set import BloomParams, SeenSet
+from ..plans.crawl import canonize
+from ..sources.fetcher import fetch_scheduled
+from ..sources.synthweb import SynthWebConfig, robots_pdf
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events_daily(
+    spark: SparkSession, events_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """Streaming tumbling-day aggregation with a 1-day watermark.
+
+    Returns an unstarted streaming DataFrame; callers attach a sink
+    (``writeStream``). Late rows beyond the watermark are dropped —
+    the engine's principled version of the reference's "keep updating
+    until end_status" loop.
+    """
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(events_dir)
+    )
+    return (
+        src.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd").alias("day"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+@dataclass
+class StreamCrawlState:
+    """Cross-batch crawl state: the seen-set and generation counter."""
+
+    seen: SeenSet
+    generation: int = 0
+    pages_batches: list = field(default_factory=list)
+    scheduled_total: int = 0
+
+
+def stream_crawl(
+    spark: SparkSession,
+    seeds_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    web: SynthWebConfig | None = None,
+    n_host_buckets: int = 8,
+    bloom: BloomParams | None = None,
+):
+    """Micro-batch crawl: each seed parquet file that lands in
+    ``seeds_dir`` is one generation. Returns (query, state).
+
+    Seed schema: (url string, seed_rank long). Pages land under
+    ``out_dir`` partitioned by generation; the exact seen-set and Bloom
+    blobs persist across batches in driver+executor state exactly like
+    the batch loop.
+    """
+    web = web or SynthWebConfig()
+    bloom = bloom or BloomParams.size_for(100_000)
+    robots = spark.createDataFrame(robots_pdf(web))
+    state = StreamCrawlState(seen=SeenSet(spark, bloom))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        g = state.generation
+        frontier = (
+            canonize(batch_df, n_host_buckets)
+            .withColumn("priority", F.col("seed_rank").cast("long"))
+            .groupBy("url_hash")
+            .agg(
+                F.min("priority").alias("priority"),
+                F.any_value("url_canon").alias("url_canon"),
+                F.any_value("host").alias("host"),
+                F.any_value("host_bucket").alias("host_bucket"),
+            )
+        )
+        new = state.seen.filter_new(frontier).persist()
+        if new.isEmpty():
+            return
+        state.seen.add(new)
+        scheduled, _deferred, _dis = schedule_generation(
+            new.withColumn("generation", F.lit(g)), robots, SchedulerConfig()
+        )
+        fetched = fetch_scheduled(scheduled, web)
+        pages = fetched.filter("ok").select(
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+            "generation", "url_canon",
+        )
+        pages.write.mode("append").parquet(f"{out_dir}/generation={g}")
+        state.scheduled_total += scheduled.count()
+        state.generation += 1
+        new.unpersist()
+
+    query = (
+        spark.readStream.schema("url string, seed_rank long")
+        .parquet(seeds_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return query, state

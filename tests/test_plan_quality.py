@@ -1,0 +1,80 @@
+"""Physical-plan audits: the plans we'd want at 100 TB, not just plans
+that pass.
+
+Checks that Catalyst actually gives us the scale-critical properties:
+filter pushdown into the parquet scan, column pruning (ReadSchema),
+broadcast joins for small dims, and whole-stage codegen around the
+aggregations.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlers_spark.queries import (
+    q_brand_join,
+    q_pricing_summary,
+    q_region_rollup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = q_pricing_summary(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning(spark):
+    df = q_pricing_summary(spark, SF)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 5 needed columns of lineitem's 11 are read
+    assert "l_returnflag" in read_schema and "l_quantity" in read_schema
+    assert "l_partkey" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_broadcast_join_small_dims(spark):
+    assert "BroadcastHashJoin" in _plan(q_brand_join(spark, SF))
+    rollup_plan = _plan(q_region_rollup(spark, SF))
+    assert rollup_plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in rollup_plan
+
+
+def _simple_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def test_whole_stage_codegen_spans(spark):
+    # "*(n)" markers = whole-stage-codegen spans; they appear in the
+    # finalized AQE plan, so execute first
+    df = q_pricing_summary(spark, SF)
+    df.collect()
+    assert "*(" in _simple_plan(df)
+
+
+def test_agg_is_hash_not_sort(spark):
+    # the frontier dedup agg must stay in HashAggregate — string agg
+    # BUFFERS (min(struct(strings)), any_value(string)) silently fall
+    # back to SortAggregate; strings must ride in the grouping key
+    from crawlers_spark.plans.crawl import prepare_frontier
+    from crawlers_spark.sources.synthweb import SynthWebConfig, make_seed_urls
+
+    web = SynthWebConfig(n_hosts=4, base_pages=20)
+    fr = prepare_frontier(spark.createDataFrame(make_seed_urls(web, 50)), 4)
+    plan = _plan(fr)
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan

@@ -1,0 +1,72 @@
+"""Structured Streaming surface tests (availableNow triggers)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from crawlers_spark.operators.seen_set import BloomParams
+from crawlers_spark.sources.synthweb import SynthWebConfig, make_seed_urls
+from crawlers_spark.streaming.micro_batch import stream_crawl, stream_events_daily
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_events_daily_matches_batch(spark, tmp_path):
+    agg = stream_events_daily(spark, SF)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_daily")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from ev_daily").collect()
+    }
+    from pyspark.sql import functions as F
+
+    batch = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(os.path.join(SF, "events.parquet"))
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_stream_crawl_two_generations(spark, tmp_path):
+    web = SynthWebConfig(n_hosts=6, base_pages=30)
+    seeds_dir = str(tmp_path / "seeds")
+    os.makedirs(seeds_dir)
+    # two seed files -> two micro-batch generations
+    make_seed_urls(web, 10).to_parquet(os.path.join(seeds_dir, "batch0.parquet"))
+    s2 = make_seed_urls(web, 20)
+    s2[s2.seed_rank >= 10].to_parquet(os.path.join(seeds_dir, "batch1.parquet"))
+
+    query, state = stream_crawl(
+        spark,
+        seeds_dir,
+        out_dir=str(tmp_path / "pages"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        web=web,
+        bloom=BloomParams.size_for(1000, n_buckets=4),
+    )
+    query.awaitTermination(180)
+    assert state.generation >= 1
+    assert state.scheduled_total > 0
+    pages = spark.read.option("basePath", str(tmp_path / "pages")).parquet(
+        str(tmp_path / "pages") + "/generation=*"
+    )
+    rows = pages.collect()
+    assert len(rows) > 0
+    assert all(r["bytes"] is not None for r in rows)
