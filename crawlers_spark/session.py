@@ -42,6 +42,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.io.compression.codec", os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
