@@ -63,7 +63,7 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     /root/reference/chain_browser/etherscan_api.py:46-56) as one hash agg."""
     li = load_table(spark, sf, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _e(F.col("l_quantity"), 2).alias("sum_qty_e2"),
@@ -379,12 +379,16 @@ FROM customer
 
 def q_events_tz(spark: SparkSession, sf: str) -> DataFrame:
     """F2/F3 UTC+8 shift + format (reference: formatGMTime,
-    /root/reference/utils/tool.py:4-12)."""
+    /root/reference/utils/tool.py:4-12). The source column is
+    TIMESTAMP_NTZ, so the shift is naive interval arithmetic — this (like
+    the reference's timedelta(hours=8)) is independent of the session
+    timezone, where from_utc_timestamp would round-trip through an
+    instant and pick up the session zone."""
     e = load_table(spark, sf, "events")
     return e.select(
         "event_id",
         F.date_format(
-            F.from_utc_timestamp("ts", "Asia/Shanghai"), "yyyy-MM-dd HH:mm:ss"
+            F.col("ts") + F.expr("INTERVAL 8 HOURS"), "yyyy-MM-dd HH:mm:ss"
         ).alias("ts_cn"),
     )
 
@@ -461,9 +465,10 @@ def q_event_sessions(spark: SparkSession, sf: str) -> DataFrame:
     user's consecutive events; count sessions per user."""
     e = load_table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("double")  # NTZ needs 2-step cast
-    gap = epoch - F.lag(epoch).over(w)
-    breaks = F.when(gap > 1800.0, 1).otherwise(0)
+    # NTZ - NTZ is a day-time interval: exact microseconds, session-tz-
+    # and DST-independent (casting through instants would not be)
+    gap = F.col("ts") - F.lag("ts").over(w)
+    breaks = F.when(gap > F.expr("INTERVAL 30 MINUTES"), 1).otherwise(0)
     return (
         e.select("user_id", breaks.alias("brk"))
         .groupBy("user_id")
@@ -827,6 +832,43 @@ def q_crawl_schedule(spark: SparkSession, sf: str) -> DataFrame:
     return scheduled.select("host", "url_canon", "host_rank", "fetch_offset_ms")
 
 
+def q_phash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal near-dup detection on the binary image column's
+    perceptual hash: 16-bit band join (same banding idea as MinHash-LSH —
+    a hamming-distance<=k pair must share >=1 of 4 bands when k<4) then
+    exact hamming verification via bit_count(xor). All JVM-side."""
+    from .operators.dedup import hamming64
+
+    res = _small_crawl(spark)
+    p = res.pages.select("image_id", "phash")
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.shiftright("phash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+        )
+        for i in range(4)
+    ])
+    e = p.select("image_id", "phash", F.explode(bands).alias("b")).select(
+        "image_id", "phash", "b.band_idx", "b.band_val"
+    )
+    pairs = (
+        e.alias("l")
+        .join(
+            e.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.image_id") < F.col("r.image_id")),
+        )
+        .select(
+            F.col("l.image_id").alias("id_a"),
+            F.col("r.image_id").alias("id_b"),
+            hamming64(F.col("l.phash"), F.col("r.phash")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 12)
+
+
 def q_image_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: decode the pages table's binary image column
     (numpy codecs) inside mapInPandas and aggregate pixel stats per fmt."""
@@ -890,6 +932,7 @@ QUERIES: dict[str, tuple] = {
     "crawl_pages_by_host": (q_crawl_pages_by_host, None),
     "crawl_schedule": (q_crawl_schedule, None),
     "image_decode_stats": (q_image_decode_stats, None),
+    "phash_near_dups": (q_phash_near_dups, None),
 }
 
 

@@ -1,7 +1,7 @@
 """Table IO facade: Parquet today, Iceberg-compatible layout.
 
 The sandbox has no Iceberg jars, so the engine writes plain Parquet plus
-a JSON snapshot manifest per table (see plans/checkpoint.py) behind this
+a JSON snapshot manifest per table (see plans/crawl.py snapshots) behind this
 facade; swapping ``format='iceberg'`` in is a config change, not a code
 change. Replaces the reference's HTTP->MySQL bridge sinks
 (/root/reference/utils/call_mysql.py:13-52) and batch inserts
