@@ -1,0 +1,167 @@
+"""Cuckoo-filter kernel: the deletion-capable alternative to the Bloom
+seen-set (BASELINE.json north_star: "Bloom/cuckoo URL-seen set").
+
+Why a cuckoo option at all: a crawl that *retires* URLs (robots change,
+host blocklisted, TTL re-crawl) needs deletions, which Bloom filters
+cannot do. The per-bucket layout is identical to the Bloom path — one
+blob per hash bucket, built bucket-locally, OR-incompatible so merging
+uses insert-replay — and membership testing plugs into the same
+broadcast / cogroup strategies in operators/seen_set.py.
+
+Standard 4-way, partial-key cuckoo filter (Fan et al., CoNEXT'14 —
+public algorithm): f-bit fingerprints, bucket pair (i1, i2 = i1 XOR
+hash(fp)), BFS-free random-walk eviction with a bounded kick count.
+All numpy; vectorized lookup, amortized-vectorized insert.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..functions.hashing import fnv64_i64
+
+_FP_SALT = 0x517CC1B727220A95
+_ALT_SALT = 0x2545F4914F6CDD1D
+MAX_KICKS = 500
+
+
+@dataclass(frozen=True)
+class CuckooParams:
+    n_buckets_pow2: int = 1 << 12  # slots tables of 4 entries each
+    fp_bits: int = 16              # fingerprint width (uint16 storage)
+
+    @staticmethod
+    def size_for(expected_n: int) -> "CuckooParams":
+        """~95% load max for 4-way; leave headroom at 80%."""
+        need = max(64, int(expected_n / 0.8 / 4))
+        return CuckooParams(n_buckets_pow2=1 << (need - 1).bit_length())
+
+
+class CuckooFilter:
+    """One bucket shard's filter; table is a (n_buckets, 4) uint16 array
+    with 0 = empty (fingerprints are mapped to 1..65535)."""
+
+    def __init__(self, params: CuckooParams, table: np.ndarray | None = None):
+        self.params = params
+        self.table = (
+            table
+            if table is not None
+            else np.zeros((params.n_buckets_pow2, 4), np.uint16)
+        )
+        self._mask = np.uint64(params.n_buckets_pow2 - 1)
+
+    # ---------- hashing ----------
+    def _fingerprints(self, hashes: np.ndarray) -> np.ndarray:
+        fp = (fnv64_i64(hashes, _FP_SALT).view(np.uint64) & np.uint64(0xFFFF)).astype(
+            np.uint16
+        )
+        return np.where(fp == 0, np.uint16(1), fp)  # 0 means empty
+
+    def _index1(self, hashes: np.ndarray) -> np.ndarray:
+        return (np.asarray(hashes, np.int64).view(np.uint64) & self._mask).astype(
+            np.int64
+        )
+
+    def _alt_index(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        fp_h = fnv64_i64(fp.astype(np.int64), _ALT_SALT).view(np.uint64)
+        return ((idx.astype(np.int64).view(np.uint64) ^ fp_h) & self._mask).astype(
+            np.int64
+        )
+
+    # ---------- ops ----------
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership: fp present in bucket i1 or i2."""
+        h = np.asarray(hashes, np.int64)
+        if len(h) == 0:
+            return np.zeros(0, bool)
+        fp = self._fingerprints(h)
+        i1 = self._index1(h)
+        i2 = self._alt_index(i1, fp)
+        in1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def _place(self, fp: int, i1: int, rng: np.random.RandomState) -> bool:
+        """Place one fingerprint (skip if already present); True on success."""
+        i2 = int(self._alt_index(np.array([i1]), np.array([fp], np.uint16))[0])
+        if (self.table[i1] == fp).any() or (self.table[i2] == fp).any():
+            return True
+        for idx in (i1, i2):
+            empty = np.flatnonzero(self.table[idx] == 0)
+            if len(empty):
+                self.table[idx, empty[0]] = fp
+                return True
+        # random-walk eviction
+        idx, cur = (i1 if rng.rand() < 0.5 else i2), np.uint16(fp)
+        for _ in range(MAX_KICKS):
+            slot = rng.randint(4)
+            cur, self.table[idx, slot] = self.table[idx, slot], cur
+            idx = int(self._alt_index(np.array([idx]), np.array([cur]))[0])
+            empty = np.flatnonzero(self.table[idx] == 0)
+            if len(empty):
+                self.table[idx, empty[0]] = cur
+                return True
+        return False
+
+    def insert(self, hashes: np.ndarray) -> int:
+        """Insert all (idempotent for present fingerprints); returns the
+        number of items that could not be placed (table overfull)."""
+        h = np.asarray(hashes, np.int64)
+        fp_all = self._fingerprints(h)
+        i1_all = self._index1(h)
+        rng = np.random.RandomState(42)  # deterministic eviction walk
+        failed = 0
+        for fp, i1 in zip(fp_all, i1_all):
+            if not self._place(int(fp), int(i1), rng):
+                failed += 1
+        return failed
+
+    def delete(self, hashes: np.ndarray) -> np.ndarray:
+        """Delete one copy of each present fingerprint; returns bool array
+        of which deletions succeeded. (The capability Bloom lacks.)
+
+        Standard cuckoo caveat (Fan et al. §3.2): because ``insert`` is
+        fingerprint-idempotent, two distinct keys colliding on
+        (fingerprint, bucket-pair) share one stored copy, and deleting one
+        strands the other as a false negative — probability ~= the FPR
+        (~1e-4 at 16-bit fingerprints). Crawl usage tolerates this: a
+        stranded URL is re-fetched once, and exact-rescue keeps dedup
+        correct."""
+        h = np.asarray(hashes, np.int64)
+        fp_all = self._fingerprints(h)
+        i1_all = self._index1(h)
+        out = np.zeros(len(h), bool)
+        for k, (fp, i1) in enumerate(zip(fp_all, i1_all)):
+            i2 = int(self._alt_index(np.array([i1]), np.array([fp]))[0])
+            for idx in (i1, i2):
+                slots = np.flatnonzero(self.table[idx] == fp)
+                if len(slots):
+                    self.table[idx, slots[0]] = 0
+                    out[k] = True
+                    break
+        return out
+
+    # ---------- (de)serialization for blob tables ----------
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, params: CuckooParams) -> "CuckooFilter":
+        table = np.frombuffer(data, np.uint16).reshape(params.n_buckets_pow2, 4).copy()
+        return cls(params, table)
+
+    def merge(self, other: "CuckooFilter") -> "CuckooFilter":
+        """Merge by replaying the other's occupied (bucket, fingerprint)
+        pairs — cuckoo tables are not OR-mergeable; replay (with the full
+        eviction walk) preserves the invariant.
+
+        A stored fingerprint's bucket is either its i1 or i2; replaying at
+        its observed bucket keeps the (i1, i2) pair valid because
+        alt(alt(i)) == i under the XOR partial-key scheme."""
+        rng = np.random.RandomState(1337)
+        flat = other.table.ravel()
+        for pos in np.flatnonzero(flat):
+            self._place(int(flat[pos]), int(pos) // 4, rng)
+        return self

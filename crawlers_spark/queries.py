@@ -419,6 +419,48 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_props_typed(spark: SparkSession, sf: str) -> DataFrame:
+    """F11 native JSON decode: from_json with a declared schema (vs the
+    regex path in events_json; reference stores sub-objects as JSON
+    strings, /root/reference/coinmarketcap/coin_market_cap_api_2.0.py:250)."""
+    e = load_table(spark, sf, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return e.groupBy(k.alias("k")).agg(F.count("*").alias("n"))
+
+
+ORACLE_EVENTS_PROPS_TYPED = """
+SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_all_balances(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 union-all of heterogeneous sources into one logical table
+    (reference: per-page list extends, /root/reference/discord/discord_http.py:39-44)."""
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("bal")
+    )
+    s = load_table(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("bal")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n_accounts"), _e(F.col("bal"), 2).alias("balance_e2"))
+    )
+
+
+ORACLE_ALL_BALANCES = """
+SELECT nationkey, count(*) AS n_accounts,
+       sum(CAST(round(bal * 100) AS BIGINT)) AS balance_e2
+FROM (
+  SELECT c_nationkey AS nationkey, c_acctbal AS bal FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, s_acctbal AS bal FROM supplier
+) GROUP BY 1
+"""
+
+
 def q_doc_first_word(spark: SparkSession, sf: str) -> DataFrame:
     """F9 regexp_extract over text (reference: regex scrape,
     /root/reference/coinmarketcap/coin_market_cap_api_2.0.py:155-158)."""
@@ -920,6 +962,8 @@ QUERIES: dict[str, tuple] = {
     "region_rollup_cube": (q_region_rollup_cube, ORACLE_REGION_ROLLUP_CUBE),
     "events_json": (q_events_json, ORACLE_EVENTS_JSON),
     "doc_first_word": (q_doc_first_word, ORACLE_DOC_FIRST_WORD),
+    "events_props_typed": (q_events_props_typed, ORACLE_EVENTS_PROPS_TYPED),
+    "all_balances": (q_all_balances, ORACLE_ALL_BALANCES),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_minhash_lsh, None),
