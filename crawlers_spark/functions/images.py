@@ -36,7 +36,9 @@ def png_encode(pixels: np.ndarray) -> bytes:
     assert c == 3 and pixels.dtype == np.uint8
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     raw = np.concatenate([np.zeros((h, 1), np.uint8), pixels.reshape(h, w * 3)], axis=1)
-    idat = zlib.compress(raw.tobytes(), 6)
+    # level 2: ~3x faster than 6 on the synthetic gradients for ~5% size;
+    # the fetch stage is the throughput-critical consumer
+    idat = zlib.compress(raw.tobytes(), 2)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 

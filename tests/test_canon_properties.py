@@ -1,0 +1,85 @@
+"""Property-based tests for URL canonicalization (Hypothesis).
+
+The pandas kernel must agree with a per-row urllib-based model on
+generated URLs, and must be idempotent / order-insensitive over batches.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from urllib.parse import urlsplit
+
+from crawlers_spark.functions.urls import canon_urls
+
+host_label = st.from_regex(r"[a-z]([a-z0-9-]{0,8}[a-z0-9])?", fullmatch=True)
+hosts = st.builds(lambda a, b: f"{a}.{b}", host_label, st.sampled_from(["com", "test", "org"]))
+path_seg = st.from_regex(r"[A-Za-z0-9._~-]{1,8}", fullmatch=True)
+paths = st.lists(path_seg, max_size=4).map(lambda segs: "/" + "/".join(segs))
+params = st.lists(
+    st.tuples(st.from_regex(r"[a-z]{1,6}", fullmatch=True),
+              st.from_regex(r"[A-Za-z0-9]{0,6}", fullmatch=True)),
+    max_size=4,
+)
+
+
+def model_canon(url: str) -> str:
+    """Per-row reference model with urllib parsing (independent impl)."""
+    sp = urlsplit(url)
+    scheme = (sp.scheme or "http").lower()
+    host = sp.hostname or ""
+    host = host[4:] if host.startswith("www.") else host
+    host = host.rstrip(".")
+    port = f":{sp.port}" if sp.port and not (
+        (scheme == "http" and sp.port == 80) or (scheme == "https" and sp.port == 443)
+    ) else ""
+    path = sp.path or "/"
+    # resolve dot segments
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == "." or seg == "":
+            continue
+        if seg == "..":
+            if out:
+                out.pop()
+        else:
+            out.append(seg)
+    path = "/" + "/".join(out)
+    if len(path) > 1 and path.endswith("/"):
+        path = path.rstrip("/")
+    q = [p for p in sp.query.split("&") if p and not p.startswith("utm_")]
+    query = ("?" + "&".join(sorted(q))) if q else ""
+    return f"{scheme}://{host}{port}{path}{query}"
+
+
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https"]),
+    www=st.booleans(),
+    host=hosts,
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=paths,
+    q=params,
+    frag=st.sampled_from(["", "#x", "#section-2"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_matches_urllib_model(scheme, www, host, port, path, q, frag):
+    query = "&".join(f"{k}={v}" for k, v in q)
+    url = f"{scheme}://{'www.' if www else ''}{host}{port}{path}"
+    if query:
+        url += "?" + query
+    url += frag
+    got = canon_urls(pd.Series([url]))[0]
+    assert got == model_canon(url), url
+
+
+@given(st.lists(hosts, min_size=1, max_size=10))
+@settings(max_examples=50, deadline=None)
+def test_idempotent_and_rowwise(host_list):
+    urls = pd.Series([f"http://WWW.{h.upper()}:80/a/../b?utm_source=x&z=1&a=2" for h in host_list])
+    once = canon_urls(urls)
+    twice = canon_urls(once)
+    assert list(once) == list(twice)
+    # batch result equals row-at-a-time results (no cross-row effects)
+    singles = [canon_urls(pd.Series([u]))[0] for u in urls]
+    assert list(once) == singles
