@@ -76,9 +76,9 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT))      AS sum_qty_e2,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_e2,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_e4,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_e2,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
        count(*) AS n
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -134,7 +134,7 @@ ORACLE_EVENTS_DAILY = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        event_type,
        count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_e2
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
 FROM events
 GROUP BY 1, 2
 """
@@ -158,7 +158,7 @@ def q_brand_join(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_BRAND_JOIN = """
 SELECT p_brand, count(*) AS n_items,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
 """
@@ -184,7 +184,7 @@ def q_region_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_REGION_ROLLUP = """
 SELECT r_name, count(*) AS n_customers,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_e2
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_e2
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -414,7 +414,7 @@ def q_events_json(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_EVENTS_JSON = """
 SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k,
-       count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_e2
+       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
 FROM events GROUP BY 1
 """
 
@@ -452,7 +452,7 @@ def q_all_balances(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_ALL_BALANCES = """
 SELECT nationkey, count(*) AS n_accounts,
-       sum(CAST(round(bal * 100) AS BIGINT)) AS balance_e2
+       CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS balance_e2
 FROM (
   SELECT c_nationkey AS nationkey, c_acctbal AS bal FROM customer
   UNION ALL
@@ -495,9 +495,9 @@ def q_running_total(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_RUNNING_TOTAL = """
 SELECT event_id, user_id,
-       sum(CAST(round(value * 100) AS BIGINT))
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum_e2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_sum_e2
 FROM events
 """
 

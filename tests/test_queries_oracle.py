@@ -28,8 +28,9 @@ def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # driver-style canonicalization: collapse float noise
-        return f"{v:.6g}"
+        # bit-exact, type-sensitive: repr keeps 615.0 != 615, mirroring the
+        # driver hash (r1 lesson: %.6g masked DuckDB HUGEINT->float64 drift)
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
