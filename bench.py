@@ -131,7 +131,7 @@ def run_crawl_bench(cpus: int) -> dict:
             "priority", F.col("seed_rank").cast("long")
         )
         out = fused_filter_schedule(
-            spark, raw, exact, blobs, robots, params, SchedulerConfig()
+            spark, raw, exact, robots, SchedulerConfig(), blobs=blobs, params=params
         )
         scheduled = out.filter("status = 'scheduled'")
         n_scheduled = scheduled.count()

@@ -10,10 +10,13 @@ canonical form:
   scheme lower | host lower, no leading www., no default port, no
   trailing dot | fragment dropped | utm_* params dropped, remaining query
   params sorted | dot-segments resolved | trailing slash trimmed (non-root)
+  | percent-escapes normalized (RFC 3986 §6.2.2.1-2: hex uppercased,
+  unreserved characters decoded, reserved left intact)
 
 All steps are pandas ``.str`` ops over the whole Series; the only
-non-columnar step (query-param sort) runs on the exploded param table via
-``sort_values``/``groupby`` — still no per-row Python.
+non-columnar steps (query-param sort, percent-escape rewrite) run on
+exploded fragment tables via ``sort_values``/``map``/``groupby`` — still
+no per-row Python.
 """
 
 from __future__ import annotations
@@ -22,10 +25,53 @@ import pandas as pd
 
 from .hashing import fnv64
 
+# RFC 3986 unreserved: ALPHA / DIGIT / "-" / "." / "_" / "~" — decoding
+# these never introduces a delimiter, so the rewrite is safe on the whole
+# URL string before any component split.
+_UNRESERVED = (
+    set(range(0x41, 0x5B)) | set(range(0x61, 0x7B))
+    | set(range(0x30, 0x3A)) | {0x2D, 0x2E, 0x5F, 0x7E}
+)
+_HEX2CODE = {f"{i:02X}": i for i in range(256)}
+_CODE2CHR = {i: chr(i) for i in range(256)}
+
+
+def pct_normalize(s: pd.Series) -> pd.Series:
+    """Normalize %XX escapes: uppercase hex, decode unreserved chars.
+
+    Reference analog: quote/unquote round-trips scattered through fetch
+    paths (/root/reference/twitter/get_user_tweets.py:64,
+    /root/reference/twitter/timer_twitter.py:42) — without this, ``%7Eu``
+    and ``~u`` hash to different url_hash values and duplicate fetches.
+    Columnar: split on '%', map the 2-hex prefix of each escape fragment
+    through dict lookups, re-join per row.
+    """
+    has = s.str.contains("%", regex=False)
+    if not has.any():
+        return s
+    frags = s[has].str.split("%").explode()
+    first = ~frags.index.duplicated(keep="first")
+    hexpart = frags.str[:2].str.upper()
+    code = hexpart.map(_HEX2CODE)
+    valid = code.notna() & ~first
+    unres = valid & code.isin(_UNRESERVED)
+    keep = valid & ~unres
+    rest = frags.str[2:]
+    out = frags.copy()
+    bad = ~first & ~valid  # malformed escape: keep the literal '%'
+    out[bad] = "%" + frags[bad]
+    out[keep] = "%" + hexpart[keep] + rest[keep]
+    out[unres] = code[unres].map(_CODE2CHR) + rest[unres]
+    joined = out.groupby(level=0).agg("".join)
+    s = s.copy()
+    s.loc[joined.index] = joined
+    return s
+
 
 def canon_urls(urls: pd.Series) -> pd.Series:
     """Canonicalize a Series of URL strings (see module docstring)."""
     s = urls.fillna("").astype(str).str.strip()
+    s = pct_normalize(s)
     # split off fragment
     s = s.str.replace(r"#.*$", "", regex=True)
     # split query

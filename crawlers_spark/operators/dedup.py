@@ -183,3 +183,86 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 def hamming64(a, b):
     """Popcount of XOR via bit_count (Spark 3.4+)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def hash_band_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Complete hamming-<=k pair enumeration over a 64-bit hash column.
+
+    Splits the hash into ``k+1`` disjoint bands (pigeonhole: a pair
+    differing in <= k bits must agree on at least one band), equi-joins
+    per band, then verifies with exact ``bit_count(xor)``. Never an
+    all-pairs crossJoin — the band equi-join shuffles on (band_idx,
+    band_val) and AQE skew-split bounds hot bands. Zero false negatives
+    by construction (asserted vs brute force in tests/test_kernels.py);
+    cost grows with band-collision frequency, so k stays small
+    (band width = 64 // (k+1) bits).
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    assert width >= 4, "max_hamming too large: bands narrower than 4 bits"
+    mask = (1 << width) - 1
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.shiftright(F.col(hash_col), i * width).bitwiseAND(F.lit(mask)).alias("band_val"),
+        )
+        for i in range(n_bands)
+    ])
+    e = df.select(id_col, hash_col, F.explode(bands).alias("b")).select(
+        id_col, hash_col, "b.band_idx", "b.band_val"
+    )
+    return (
+        e.alias("l")
+        .join(
+            e.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming64(F.col(f"l.{hash_col}"), F.col(f"r.{hash_col}")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def shingle_candidate_pairs(
+    shingles: DataFrame, id_col: str = "doc_id", df_cap: int = 64
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 shingle, bounded by a
+    document-frequency cap.
+
+    Without the cap, one shingle shared by d documents contributes d²/2
+    candidate pairs — a stop-word 3-gram in 10⁵ docs makes 10¹⁰ pairs (a
+    scale-killer on a real corpus). Shingles with document frequency >
+    ``df_cap`` are excluded from candidate GENERATION only (verification
+    still counts them), bounding any shingle's contribution at df_cap²/2.
+    Pairs whose every shared shingle is hot are missed — on a near-dup
+    workload such pairs share mostly rare shingles, and the oracle SQL
+    mirrors the same cap so the check stays exact.
+    """
+    freq = shingles.groupBy("shingle_hash").agg(F.count("*").alias("df"))
+    hot = freq.filter(F.col("df") > df_cap).select("shingle_hash")
+    # hot list is tiny by construction (few shingles exceed the cap) —
+    # broadcast anti-join, no shuffle of the shingle table
+    cold = shingles.join(F.broadcast(hot), "shingle_hash", "left_anti")
+    return (
+        cold.alias("a")
+        .join(
+            cold.alias("b"),
+            (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )

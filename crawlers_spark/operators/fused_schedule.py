@@ -7,25 +7,36 @@ Catalyst operators — dedup ``groupBy(url_hash)``, Bloom UDF, exact
 candidate set. But every one of those operators keys on something that is
 constant within a ``host_bucket``: spellings of the same URL share a host
 (canonicalization fixes the spelling, not the site), the seen-set shard
-and Bloom blob are per-bucket, and the politeness top-k partitions by
-host. So the whole step runs bucket-locally:
+is per-bucket, and the politeness top-k partitions by host. So the whole
+step runs bucket-locally:
 
     candidates ──exchange(host_bucket)──┐
                                         ├─ cogroup.applyInPandas ──> rows
     exact seen (pre-bucketed, persisted)┘       (numpy kernels)
 
 with per-bucket work all vectorized numpy/pandas: sort-dedup keeping min
-priority, Bloom membership (broadcast blob dict), exact rescue via
-``searchsorted`` on the cogrouped shard, robots disallow prefixes,
-per-host priority rank -> budget cut + crawl-delay offsets.
+priority, exact-seen membership via ``searchsorted`` on the cogrouped
+shard (an optional broadcast Bloom blob pre-filters the probe set),
+robots disallow prefixes, per-host priority rank -> budget cut +
+crawl-delay offsets.
+
+Mixed input: rows flagged ``is_new = false`` are already-minted frontier
+rows (deferred from earlier generations) that bypass dedup + seen-filter
+but compete in the politeness ranking. Their minted priorities are always
+smaller than any future priority, so ranking by ``(is_new, priority,
+url_hash)`` — where new rows carry the packed ``(parent_priority, slot)``
+discovery key as ``priority`` — produces exactly the per-host order the
+composed path gets after global priority minting (rank minting is
+monotone in that key; see plans/crawl.py).
 
 This is the 10^10-scale layout from BASELINE.json north_star — "one
-filter per hash-bucketed partition", politeness "enforced per partition" —
-and it is equivalence-tested against the composed operator chain
-(tests/test_fused_schedule.py). Skew note: a mega-host concentrates its
-URLs in one bucket; buckets are bounded by ``n_host_buckets`` sizing and
-AQE skew-split handles stragglers, with the composed (salted-window) path
-as the fallback for pathological single-host skew.
+filter per hash-bucketed partition", politeness "enforced per partition":
+the exact shard is a hash-partitioned state table re-read (never
+re-shuffled when persisted with matching partitioning) each generation,
+like a stateful stream-stream join. Skew note: a mega-host concentrates
+its URLs in one bucket; buckets are bounded by ``n_host_buckets`` sizing
+and AQE skew-split handles stragglers, with the composed (salted-window)
+path as the fallback for pathological single-host skew.
 """
 
 from __future__ import annotations
@@ -33,13 +44,16 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .scheduler import SchedulerConfig
 from .seen_set import BloomParams, bloom_build_blob, bloom_test_blob
 
+OUT_COLS = ["url_hash", "url_canon", "host", "host_bucket", "priority",
+            "is_new", "status", "host_rank", "fetch_offset_ms"]
 OUT_SCHEMA = (
     "url_hash long, url_canon string, host string, host_bucket int, priority long, "
-    "status string, host_rank int, fetch_offset_ms long"
+    "is_new boolean, status string, host_rank int, fetch_offset_ms long"
 )
 
 
@@ -63,21 +77,34 @@ def build_host_bucket_blobs(
     return {r["host_bucket"]: bytes(r["filter"]) for r in rows}
 
 
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame(columns=OUT_COLS)
+
+
 def fused_filter_schedule(
     spark: SparkSession,
     candidates: DataFrame,
     exact: DataFrame,
-    blobs: dict[int, bytes],
     robots: pd.DataFrame,
-    params: BloomParams,
     cfg: SchedulerConfig = SchedulerConfig(),
+    blobs: dict[int, bytes] | None = None,
+    params: BloomParams | None = None,
+    emit_dropped: bool = False,
 ) -> DataFrame:
-    """candidates (url_hash,url_canon,host,host_bucket,priority) × exact
-    (url_hash,host_bucket) → rows with status ∈ scheduled|deferred|disallowed.
+    """candidates (url_hash,url_canon,host,host_bucket,priority[,is_new]) ×
+    exact (url_hash,host_bucket) → rows with status ∈
+    scheduled|deferred|disallowed (+ dup|seen when ``emit_dropped``).
 
-    Already-seen candidates are dropped; surviving rows are exactly the
-    "new" set (scheduled ∪ deferred = next seen-set delta)."""
-    blobs_bc = spark.sparkContext.broadcast(blobs)
+    Membership is exact: every new candidate is probed against the
+    cogrouped exact shard via ``searchsorted``; a Bloom blob dict (when
+    given) only pre-filters the probe set. ``is_new = false`` rows skip
+    dedup + membership (they ARE in the seen-set) but keep their claim on
+    politeness budget. Surviving new rows (any status but dup/seen) are
+    exactly the next seen-set delta.
+    """
+    if "is_new" not in candidates.columns:
+        candidates = candidates.withColumn("is_new", F.lit(True))
+    blobs_bc = spark.sparkContext.broadcast(blobs) if blobs is not None else None
     rb = robots.set_index("host")
     delays = rb["crawl_delay_ms"].to_dict()
     budgets = rb["max_per_generation"].to_dict()
@@ -87,44 +114,60 @@ def fused_filter_schedule(
 
     def run(cand: pd.DataFrame, exact_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(cand) == 0:
-            return pd.DataFrame(
-                columns=["url_hash", "url_canon", "host", "host_bucket", "priority",
-                         "status", "host_rank", "fetch_offset_ms"]
-            )
-        b = int(cand["host_bucket"].iloc[0])
+            return _empty_out()
         delays, budgets, disallow = robots_bc.value
+        dropped: list[pd.DataFrame] = []
 
-        # 1. spelling-dedup: keep min priority per url_hash
-        cand = cand.sort_values(["url_hash", "priority"], kind="stable").drop_duplicates(
-            "url_hash"
-        )
+        new = cand.loc[cand["is_new"]]
+        byp = cand.loc[~cand["is_new"]]
 
-        # 2. Bloom membership + exact rescue (searchsorted on the shard)
-        h = cand["url_hash"].to_numpy(np.int64)
-        maybe = bloom_test_blob(h, blobs_bc.value.get(b), params)
-        keep = np.ones(len(cand), bool)
-        ex = np.sort(exact_pdf["url_hash"].to_numpy(np.int64)) if len(exact_pdf) else None
-        pos = np.flatnonzero(maybe)
-        if len(pos) and ex is not None and len(ex):
-            idx = np.clip(np.searchsorted(ex, h[pos]), 0, len(ex) - 1)
-            keep[pos[ex[idx] == h[pos]]] = False
-        cand = cand.loc[keep]
-        if len(cand) == 0:
-            return pd.DataFrame(
-                columns=["url_hash", "url_canon", "host", "host_bucket", "priority",
-                         "status", "host_rank", "fetch_offset_ms"]
+        # 1. spelling-dedup on new rows: keep min (packed) priority per url
+        if len(new):
+            new = new.sort_values(["url_hash", "priority"], kind="stable")
+            dup_mask = new["url_hash"].duplicated(keep="first").to_numpy()
+            if emit_dropped and dup_mask.any():
+                dropped.append(new.loc[dup_mask].assign(status="dup"))
+            new = new.loc[~dup_mask]
+
+        # 2. exact membership on new rows: searchsorted on the shard
+        #    (optional Bloom blob shrinks the probe set; never the verdict)
+        if len(new):
+            h = new["url_hash"].to_numpy(np.int64)
+            ex = (
+                np.sort(exact_pdf["url_hash"].to_numpy(np.int64))
+                if len(exact_pdf)
+                else None
             )
+            seen_mask = np.zeros(len(new), bool)
+            if ex is not None and len(ex):
+                if blobs_bc is not None and params is not None:
+                    b = int(cand["host_bucket"].iloc[0])
+                    probe = np.flatnonzero(
+                        bloom_test_blob(h, blobs_bc.value.get(b), params)
+                    )
+                else:
+                    probe = np.arange(len(h))
+                if len(probe):
+                    idx = np.clip(np.searchsorted(ex, h[probe]), 0, len(ex) - 1)
+                    seen_mask[probe[ex[idx] == h[probe]]] = True
+            if emit_dropped and seen_mask.any():
+                dropped.append(new.loc[seen_mask].assign(status="seen"))
+            new = new.loc[~seen_mask]
+
+        pool = pd.concat([byp, new], ignore_index=True) if len(byp) else new
+        if len(pool) == 0 and not dropped:
+            return _empty_out()
 
         # 3. robots disallow prefixes (per-host loop: few hosts per bucket)
-        blocked = np.zeros(len(cand), bool)
-        hosts = cand["host"].to_numpy()
+        blocked = np.zeros(len(pool), bool)
+        hosts = pool["host"].to_numpy()
         for hst in np.unique(hosts):
             prefixes = disallow.get(hst)
             if not prefixes:
                 continue
             mask = hosts == hst
             path = (
-                cand.loc[mask, "url_canon"]
+                pool.loc[mask, "url_canon"]
                 .str.replace(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "", regex=True)
             )
             hit = np.zeros(mask.sum(), bool)
@@ -132,29 +175,32 @@ def fused_filter_schedule(
                 hit |= path.str.startswith(pfx).to_numpy()
             blocked[mask] = hit
 
-        # 4. per-host priority rank over allowed rows -> budget + offsets
-        cand = cand.assign(__blocked=blocked)
-        allowed = cand.loc[~cand["__blocked"]].sort_values(
-            ["host", "priority", "url_hash"], kind="stable"
+        # 4. per-host rank over allowed rows -> budget + offsets. Sorting
+        #    by (host, is_new, priority, url_hash) reproduces the final-
+        #    priority order: deferred rows' minted priorities precede any
+        #    future mint, and new rows' packed keys are mint-monotone.
+        allowed = pool.loc[~blocked].sort_values(
+            ["host", "is_new", "priority", "url_hash"], kind="stable"
         )
         rank = (allowed.groupby("host", sort=False).cumcount() + 1).to_numpy()
         budget = allowed["host"].map(lambda x: budgets.get(x, default_budget)).to_numpy()
         delay = allowed["host"].map(lambda x: delays.get(x, default_delay)).to_numpy()
         sched = rank <= budget
-        out_allowed = allowed.assign(
-            status=np.where(sched, "scheduled", "deferred"),
-            host_rank=rank.astype(np.int32),
-            fetch_offset_ms=np.where(sched, (rank - 1) * delay, 0).astype(np.int64),
-        )
-        out_blocked = cand.loc[cand["__blocked"]].assign(
-            status="disallowed", host_rank=0, fetch_offset_ms=0
-        )
-        out = pd.concat([out_allowed, out_blocked], ignore_index=True)
-        return out[["url_hash", "url_canon", "host", "host_bucket", "priority",
-                    "status", "host_rank", "fetch_offset_ms"]]
+        parts = [
+            allowed.assign(
+                status=np.where(sched, "scheduled", "deferred"),
+                host_rank=rank.astype(np.int32),
+                fetch_offset_ms=np.where(sched, (rank - 1) * delay, 0).astype(np.int64),
+            ),
+            pool.loc[blocked].assign(status="disallowed", host_rank=0, fetch_offset_ms=0),
+        ]
+        for d in dropped:
+            parts.append(d.assign(host_rank=0, fetch_offset_ms=0))
+        out = pd.concat(parts, ignore_index=True)
+        return out[OUT_COLS]
 
     return (
-        candidates.select("url_hash", "url_canon", "host", "host_bucket", "priority")
+        candidates.select("url_hash", "url_canon", "host", "host_bucket", "priority", "is_new")
         .groupBy("host_bucket")
         .cogroup(exact.select("url_hash", "host_bucket").groupBy("host_bucket"))
         .applyInPandas(run, schema=OUT_SCHEMA)

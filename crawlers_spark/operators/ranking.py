@@ -36,12 +36,20 @@ def global_rank(
     start: int = 0,
     num_partitions: int | None = None,
     with_count: bool = False,
+    eager: bool = False,
 ):
     """Add ``out_col`` = deterministic global 0-based rank + ``start``.
 
     With ``with_count=True`` returns ``(df, n_rows)`` — the row count is
     free here (it is the sum of the per-partition counts this operator
-    already collects), saving callers a separate count job."""
+    already collects), saving callers a separate count job.
+
+    With ``eager=True`` the result is materialized via an eager
+    ``localCheckpoint`` and the internal sorted cache is unpersisted
+    before returning — loop callers get a lineage-cut result with no
+    leaked cache entry. (The internal persist is load-bearing: the
+    prefix-sum offsets are computed from one concrete range partitioning,
+    and a recompute could sample different boundaries.)"""
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ordered = (
         df.repartitionByRange(int(parts), *[F.col(c) for c in order_cols])
@@ -71,6 +79,9 @@ def global_rank(
             yield pdf
 
     out = ordered.mapInPandas(add_rank, schema=schema).drop("__pid")
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        ordered.unpersist()
     if with_count:
         return out, acc - start
     return out

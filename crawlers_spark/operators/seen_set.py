@@ -258,9 +258,16 @@ class SeenSet:
         return negatives.unionByName(rescued).drop("maybe_seen", "bloom_bucket")
 
     def add(self, new_rows: DataFrame, hash_col: str = "url_hash") -> None:
-        delta_exact = with_bloom_bucket(
-            new_rows.select(F.col(hash_col).alias("url_hash")), self.params
+        # host_bucket rides along when present so the exact table stays
+        # resumable by the fused bucket-local path (plans/crawl.py), which
+        # cogroups the shard on host_bucket (not derivable from url_hash).
+        keep = [F.col(hash_col).alias("url_hash")]
+        keep.append(
+            F.col("host_bucket").cast("int")
+            if "host_bucket" in new_rows.columns
+            else F.lit(None).cast("int").alias("host_bucket")
         )
+        delta_exact = with_bloom_bucket(new_rows.select(*keep), self.params)
         delta_filters = build_bucket_filters(
             new_rows, self.params, hash_col, epoch=self.filter_epoch
         )
@@ -274,6 +281,12 @@ class SeenSet:
         self.filters = (
             delta_filters if self.filters is None else self.filters.unionByName(delta_filters)
         )
+
+    def close(self) -> None:
+        """Release the last filter_new cache (end-of-run teardown)."""
+        if self._prev_flagged is not None:
+            self._prev_flagged.unpersist()
+            self._prev_flagged = None
 
     def compact(self) -> None:
         """Merge filter deltas into one blob per bucket; bump epoch.

@@ -122,27 +122,64 @@ def lsh_bucket_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def near_dup_bits_for(n_rows: int, target_bucket: int = 256) -> int:
+    """Size SRP bucket bits so the per-bucket self-join stays bounded.
+
+    The bucket self-join costs ~N²/2^n_bits pairs; fixing n_bits while N
+    grows approaches all-pairs. n_bits ≈ log2(N / target_bucket) keeps the
+    expected bucket near ``target_bucket`` rows (≤ target² pairs each) at
+    any scale — 10^10 rows / 256-row buckets → 25 bits, still one
+    equi-join shuffle."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 4
+    return max(4, math.ceil(math.log2(n_rows / target_bucket)))
+
+
 def embedding_near_dups(
     data: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 3,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs (id_a < id_b, cos_sim ≥ threshold) via SRP buckets."""
-    b = data.select(
-        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), dim, n_bits).alias("bucket")
-    )
-    left = b.select(
-        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-    )
-    right = b.select(
-        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
-    )
-    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    """Near-dup pairs (id_a < id_b, cos_sim ≥ threshold) via SRP buckets.
+
+    ``n_bits`` defaults to ``near_dup_bits_for(n_rows)`` (counting the
+    input if ``n_rows`` isn't given) so the bucket join scales; recall
+    lost to narrower buckets is recovered by multi-probe: a pair is a
+    candidate if it shares a bucket in ANY of ``n_tables`` independent
+    hyperplane sets (recall-vs-bruteforce asserted in
+    tests/test_kernels.py). Output cosine is exact (verified per pair).
+    """
+    if n_bits is None:
+        n_bits = near_dup_bits_for(n_rows if n_rows is not None else data.count())
+    per_table = []
+    for t in range(n_tables):
+        b = data.select(
+            F.col(id_col), F.col(vec_col),
+            srp_bucket(F.col(vec_col), dim, n_bits, seed=42 + t).alias("bucket"),
+        )
+        left = b.select(
+            F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        )
+        right = b.select(
+            F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        )
+        per_table.append(
+            left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__va", "__vb")
+        )
+    pairs = per_table[0]
+    for p in per_table[1:]:
+        pairs = pairs.unionByName(p)
     return (
-        pairs.select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
+        pairs.distinct()
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )

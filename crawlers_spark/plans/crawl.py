@@ -34,9 +34,10 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import fnv64
 from ..functions.urls import canon_urls, url_host
+from ..operators.fused_schedule import fused_filter_schedule
 from ..operators.ranking import global_rank
 from ..operators.scheduler import SchedulerConfig, schedule_generation
-from ..operators.seen_set import BloomParams, SeenSet
+from ..operators.seen_set import BloomParams, SeenSet, build_bucket_filters
 from ..sources.fetcher import fetch_scheduled
 from ..sources.synthweb import SynthWebConfig, robots_pdf
 
@@ -61,6 +62,12 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     bloom_broadcast: bool = True
     compact_every: int = 4  # bloom epoch compaction cadence
+    # fused=True runs the bucket-local cogroup frontier step (one exchange
+    # per generation: dedup + seen-filter + robots + politeness fused,
+    # operators/fused_schedule.py); False runs the composed Catalyst chain.
+    # Both produce identical crawl order / seen-set / metrics (golden +
+    # equivalence tested).
+    fused: bool = True
 
 
 @dataclass
@@ -160,9 +167,14 @@ class CrawlPlan:
     def __init__(self, spark: SparkSession, cfg: CrawlConfig, robots: DataFrame | None = None):
         self.spark = spark
         self.cfg = cfg
-        self.robots = robots if robots is not None else spark.createDataFrame(
-            robots_pdf(cfg.web)
-        )
+        if robots is None:
+            # keep the driver-side frame: the fused path broadcasts it as
+            # dicts, and a toPandas() round-trip through Spark costs a job
+            self._robots_pd = robots_pdf(cfg.web)
+            self.robots = spark.createDataFrame(self._robots_pd)
+        else:
+            self._robots_pd = None
+            self.robots = robots
 
     # ---------- checkpoint plumbing ----------
     def _ckpt(self, *parts: str) -> str:
@@ -202,6 +214,16 @@ class CrawlPlan:
 
     # ---------- main loop ----------
     def run(self, seeds: DataFrame, resume: bool = False) -> CrawlResult:
+        assert self.cfg.web.max_links < MAX_LINK_SLOTS, (
+            f"max_links={self.cfg.web.max_links} must stay below "
+            f"MAX_LINK_SLOTS={MAX_LINK_SLOTS}: the candidate agg packs "
+            "(parent_priority, slot) into one long lexicographically"
+        )
+        if self.cfg.fused:
+            return self._run_fused(seeds, resume)
+        return self._run_composed(seeds, resume)
+
+    def _run_composed(self, seeds: DataFrame, resume: bool = False) -> CrawlResult:
         spark, cfg = self.spark, self.cfg
         t0 = time.monotonic()
         pages_parts: list[DataFrame] = []
@@ -359,12 +381,273 @@ class CrawlPlan:
         for p in log_parts:
             crawl_log = crawl_log.unionByName(p)
         metrics = spark.createDataFrame(metrics_rows, schema=METRICS_SCHEMA)
+        seen.close()
         return CrawlResult(
             pages=pages,
             metrics=metrics,
             crawl_log=crawl_log,
             seen_exact=seen.exact,
             frontier_final=frontier,
+            generations=generations,
+            total_fetched=totals["fetched"],
+            total_scheduled=totals["scheduled"],
+            wall_s=time.monotonic() - t0,
+        )
+
+    # ---------- fused loop ----------
+    def _run_fused(self, seeds: DataFrame, resume: bool = False) -> CrawlResult:
+        """One heavy exchange per generation: the fused bucket-local
+        cogroup (operators/fused_schedule.py) runs dedup + exact
+        seen-filter + robots + politeness for generation g+1 at the END of
+        generation g, then global_rank mints priorities for the surviving
+        new rows. Per-host order inside the cogroup uses
+        ``(is_new, priority, url_hash)`` where new rows carry the packed
+        ``(parent_priority, slot)`` key — exactly the order their minted
+        priorities will have — so crawl order, seen membership, and
+        metrics are bit-identical to ``_run_composed`` (golden +
+        equivalence tests).
+
+        Seen-set state is the exact table hash-partitioned by
+        ``host_bucket``, re-read (co-located, never re-shuffled when the
+        partitioning matches) by each generation's cogroup like a stateful
+        stream-stream join; at 10^10 rows it stays sharded across
+        executors and no blob or shard ever converges on the driver.
+        """
+        spark, cfg = self.spark, self.cfg
+        t0 = time.monotonic()
+        pages_parts: list[DataFrame] = []
+        log_parts: list[DataFrame] = []
+        metrics_rows: list[tuple] = []
+        totals = {"fetched": 0, "scheduled": 0}
+        robots_pd = (self._robots_pd if self._robots_pd is not None
+                     else self.robots.toPandas())
+        next_statuses = ("scheduled", "deferred", "disallowed")
+
+        manifest = self.latest_manifest() if resume else None
+        scheduled: DataFrame | None = None
+        deferred: DataFrame | None = None
+        if manifest is not None:
+            g0 = manifest["generation"] + 1
+            next_priority = manifest["next_priority"]
+            d = self._ckpt(f"gen={manifest['generation']:05d}")
+            exact = spark.read.parquet(os.path.join(d, "seen_exact")).select(
+                "url_hash", "host_bucket"
+            )
+            totals = dict(manifest["totals"])
+            n_frontier = manifest.get("frontier_count")
+            fs_path = os.path.join(d, "frontier_sched")
+            if os.path.isdir(fs_path):
+                nxt = spark.read.parquet(fs_path)
+                scheduled = nxt.filter("status = 'scheduled'")
+                deferred = nxt.filter("status = 'deferred'").select(*FRONTIER_COLS)
+            else:  # checkpoint written by the composed loop: re-schedule
+                frontier = spark.read.parquet(os.path.join(d, "frontier"))
+                if n_frontier is None:
+                    n_frontier = frontier.count()
+                if n_frontier:
+                    s, dfr, _dis = schedule_generation(
+                        frontier.withColumn("generation", F.lit(g0)),
+                        self.robots, cfg.scheduler,
+                    )
+                    scheduled, deferred = s, dfr.select(*FRONTIER_COLS)
+        else:
+            g0 = 0
+            frontier = prepare_frontier(seeds, cfg.n_host_buckets).persist()
+            first = frontier.agg(
+                F.max("priority").alias("p"), F.count("*").alias("n")
+            ).first()
+            next_priority = (first["p"] or 0) + 1
+            n_frontier = first["n"]
+            exact = frontier.select("url_hash", "host_bucket")
+            if n_frontier:
+                s, dfr, _dis = schedule_generation(
+                    frontier.withColumn("generation", F.lit(g0)),
+                    self.robots, cfg.scheduler,
+                )
+                scheduled, deferred = s, dfr.select(*FRONTIER_COLS)
+        exact = exact.localCheckpoint(eager=True)
+
+        gen_stats: dict[int, tuple[dict, int]] = {}
+        generations = g0
+        for g in range(g0, g0 + cfg.max_generations):
+            gen_t0 = time.monotonic()
+            if not n_frontier or scheduled is None:
+                break
+            sched_g = scheduled.drop("generation").withColumn("generation", F.lit(g))
+            fetched = fetch_scheduled(sched_g, cfg.web).persist()
+            pages_g = fetched.filter("ok").select(
+                *PAGES_COLS, "generation", "host_bucket", "priority", "url_canon"
+            )
+            log_g = fetched.select(
+                "generation", "priority", "url_canon", "host", "host_bucket", "ok",
+                "fetch_offset_ms",
+            )
+
+            links = canonize(
+                fetched.select(
+                    F.col("priority").alias("parent_priority"),
+                    F.posexplode_outer("links").alias("slot", "url"),
+                ).filter(F.col("url").isNotNull()),
+                cfg.n_host_buckets,
+            )
+            cand = links.select(
+                "url_hash", "url_canon", "host", "host_bucket",
+                (F.col("parent_priority") * MAX_LINK_SLOTS + F.col("slot"))
+                .cast("long").alias("priority"),
+                F.lit(True).alias("is_new"),
+            )
+            if deferred is not None:
+                cand = cand.unionByName(
+                    deferred.select(*FRONTIER_COLS).withColumn("is_new", F.lit(False))
+                )
+            # eager localCheckpoint (not persist): the loop-carried
+            # scheduled/deferred both re-reference this frame, so without a
+            # lineage cut the logical plan tree grows multiplicatively per
+            # generation (plan-string OOM by gen ~5)
+            fused_out = fused_filter_schedule(
+                spark, cand, exact, robots_pd, cfg.scheduler, emit_dropped=True
+            ).localCheckpoint(eager=True)
+
+            # One small agg over the fused output drives every loop counter
+            # (and materializes fetched + fused_out). Fetch ok/failed per
+            # bucket is NOT collected per generation: crawl_log is 1:1 with
+            # scheduled rows, so a single end-of-run agg over the cached
+            # logs recovers (scheduled, fetched, failed) for every
+            # (generation, bucket) in one job instead of one per loop.
+            st = {
+                (r["host_bucket"], r["status"]): r["n"]
+                for r in fused_out.groupBy("host_bucket", "status")
+                .agg(F.count("*").alias("n")).collect()
+            }
+
+            new_rows = fused_out.filter(
+                F.col("is_new") & F.col("status").isin(*next_statuses)
+            )
+            # no eager checkpoint: fused_out's checkpoint already bounds the
+            # loop-carried lineage; global_rank's internal persist (pinned
+            # for rank determinism) is the only extra retention
+            new_ranked, n_new = global_rank(
+                new_rows, ["priority", "url_hash"], "__minted",
+                start=next_priority, with_count=True,
+                num_partitions=cfg.n_host_buckets,
+            )
+            new_ranked = new_ranked.withColumn("priority", F.col("__minted")).drop("__minted")
+            next_priority += n_new
+            if n_new:
+                exact = exact.unionByName(
+                    new_ranked.select("url_hash", "host_bucket")
+                ).localCheckpoint(eager=False)
+
+            nxt = fused_out.filter(
+                ~F.col("is_new") & F.col("status").isin("scheduled", "deferred")
+            ).unionByName(
+                new_ranked.filter(F.col("status").isin("scheduled", "deferred"))
+            )
+
+            gen_stats[g] = (st, int((time.monotonic() - gen_t0) * 1000))
+            n_frontier = sum(
+                v for (_b, s), v in st.items() if s in next_statuses
+            )
+
+            if cfg.checkpoint_dir:
+                fm = fetched.groupBy("ok").agg(F.count("*").alias("n")).collect()
+                totals["scheduled"] += sum(r["n"] for r in fm)
+                totals["fetched"] += sum(r["n"] for r in fm if r["ok"])
+                dgen = self._ckpt(f"gen={g:05d}")
+                pages_g.write.mode("overwrite").parquet(os.path.join(dgen, "pages"))
+                pages_parts.append(spark.read.parquet(os.path.join(dgen, "pages")))
+                log_g.write.mode("overwrite").parquet(os.path.join(dgen, "crawl_log"))
+                log_parts.append(spark.read.parquet(os.path.join(dgen, "crawl_log")))
+                nxt.write.mode("overwrite").parquet(os.path.join(dgen, "frontier_sched"))
+                nxt = spark.read.parquet(os.path.join(dgen, "frontier_sched"))
+                nxt.select(*FRONTIER_COLS).write.mode("overwrite").parquet(
+                    os.path.join(dgen, "frontier")
+                )
+                exact.withColumn(
+                    "bloom_bucket",
+                    F.pmod(F.col("url_hash"), F.lit(cfg.bloom.n_buckets)).cast("int"),
+                ).write.mode("overwrite").parquet(os.path.join(dgen, "seen_exact"))
+                exact = spark.read.parquet(os.path.join(dgen, "seen_exact")).select(
+                    "url_hash", "host_bucket"
+                )
+                build_bucket_filters(exact, cfg.bloom).write.mode("overwrite").parquet(
+                    os.path.join(dgen, "filters")
+                )
+                _atomic_write_json(
+                    self._ckpt(f"manifest_gen={g:05d}.json"),
+                    {
+                        "generation": g,
+                        "next_priority": next_priority,
+                        "filter_epoch": 0,
+                        "totals": totals,
+                        "frontier_count": n_frontier,
+                        "lineage": {"host_buckets": cfg.n_host_buckets,
+                                    "bloom_buckets": cfg.bloom.n_buckets,
+                                    "fused": True},
+                    },
+                )
+            else:
+                pages_parts.append(pages_g)  # backed by the fetched cache
+                log_parts.append(log_g)
+            scheduled = nxt.filter("status = 'scheduled'")
+            deferred = nxt.filter("status = 'deferred'").select(*FRONTIER_COLS)
+            generations = g + 1
+
+        empty_pages = spark.createDataFrame(
+            [], schema="image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long, generation int, host_bucket int, "
+            "priority long, url_canon string",
+        )
+        pages = empty_pages
+        for p in pages_parts:
+            pages = pages.unionByName(p)
+        empty_log = spark.createDataFrame(
+            [], schema="generation int, priority long, url_canon string, host string, "
+            "host_bucket int, ok boolean, fetch_offset_ms long",
+        )
+        crawl_log = empty_log
+        for p in log_parts:
+            crawl_log = crawl_log.unionByName(p)
+
+        # one end-of-run agg over the cached logs recovers per-(generation,
+        # bucket) scheduled/fetched/failed for every generation at once
+        # (crawl_log is 1:1 with scheduled rows)
+        if gen_stats:
+            fl = crawl_log.groupBy("generation", "host_bucket", "ok").agg(
+                F.count("*").alias("n")
+            ).collect()
+            ok_n = {(r["generation"], r["host_bucket"]): r["n"] for r in fl if r["ok"]}
+            fail_n = {(r["generation"], r["host_bucket"]): r["n"] for r in fl if not r["ok"]}
+            for g, (st, wall_ms) in sorted(gen_stats.items()):
+                buckets = (
+                    {b for b, _s in st}
+                    | {b for gg, b in ok_n if gg == g}
+                    | {b for gg, b in fail_n if gg == g}
+                )
+                for b in sorted(buckets):
+                    metrics_rows.append((
+                        g, b, 0,
+                        ok_n.get((g, b), 0) + fail_n.get((g, b), 0),
+                        st.get((b, "dup"), 0) + st.get((b, "seen"), 0),
+                        ok_n.get((g, b), 0), fail_n.get((g, b), 0), wall_ms,
+                    ))
+            if not cfg.checkpoint_dir:  # checkpoint mode accumulates per gen
+                totals["scheduled"] += sum(ok_n.values()) + sum(fail_n.values())
+                totals["fetched"] += sum(ok_n.values())
+        metrics = spark.createDataFrame(metrics_rows, schema=METRICS_SCHEMA)
+        if scheduled is not None and deferred is not None:
+            frontier_final = scheduled.select(*FRONTIER_COLS).unionByName(deferred)
+        else:
+            frontier_final = spark.createDataFrame(
+                [], schema="url_canon string, url_hash long, host string, "
+                "host_bucket int, priority long",
+            ).select(*FRONTIER_COLS)
+        return CrawlResult(
+            pages=pages,
+            metrics=metrics,
+            crawl_log=crawl_log,
+            seen_exact=exact,
+            frontier_final=frontier_final,
             generations=generations,
             total_fetched=totals["fetched"],
             total_scheduled=totals["scheduled"],

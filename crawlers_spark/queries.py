@@ -596,21 +596,20 @@ def _docs_with_mutants(spark: SparkSession, sf: str) -> DataFrame:
     return d.unionByName(mut)
 
 
+NGRAM_DF_CAP = 64
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs; candidates = pairs sharing ≥1
-    word 3-gram (a superset of any Jaccard≥τ pair, so pruning is lossless)."""
+    word 3-gram with document frequency <= NGRAM_DF_CAP (operators/dedup.py
+    shingle_candidate_pairs — the cap bounds the quadratic hot-shingle
+    blowup; the oracle mirrors it, and at test scale no shingle exceeds
+    the cap so the result equals the uncapped join)."""
+    from .operators.dedup import shingle_candidate_pairs
+
     docs = _docs_with_mutants(spark, sf)
     sh = word_shingles(docs, "text", "doc_id", k=3)
-    pairs = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    pairs = shingle_candidate_pairs(sh, "doc_id", df_cap=NGRAM_DF_CAP)
     out = jaccard_verify(pairs, sh, "doc_id", threshold=0.5)
     # jaccard is a single division of identical int64 operands → identical
     # IEEE doubles in both engines; emit unrounded.
@@ -632,8 +631,15 @@ sh AS (SELECT DISTINCT doc_id,
                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
        FROM t WHERE len(w) >= 3),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+cold AS (SELECT sh.doc_id, sh.s FROM sh
+         JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}) f
+           USING (s)),
+cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
           GROUP BY 1, 2)
 SELECT id_a, id_b, CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jaccard
 FROM inter
@@ -822,11 +828,13 @@ SELECT query_id, vec_id, rank, round(cs, 6) AS cos_sim FROM r WHERE rank <= 10
 
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     """SRP-LSH bucketed near-dup pairs over embeddings (scale path;
-    rows-only — hyperplane bucketing is not SQL-expressible)."""
+    rows-only — hyperplane bucketing is not SQL-expressible). Bucket bits
+    auto-sized to the table (near_dup_bits_for: ~N/256-row buckets), with
+    3-table multi-probe recovering banding recall."""
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    out = embedding_near_dups(emb, dim=64, threshold=0.5, n_bits=4)
+    out = embedding_near_dups(emb, dim=64, threshold=0.5)
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
@@ -876,39 +884,20 @@ def q_crawl_schedule(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_phash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal near-dup detection on the binary image column's
-    perceptual hash: 16-bit band join (same banding idea as MinHash-LSH —
-    a hamming-distance<=k pair must share >=1 of 4 bands when k<4) then
-    exact hamming verification via bit_count(xor). All JVM-side."""
-    from .operators.dedup import hamming64
+    perceptual hash: 16-bit band join (same banding idea as MinHash-LSH)
+    then exact hamming verification via bit_count(xor). All JVM-side.
+
+    Recall: by pigeonhole, a pair at hamming distance <= 3 MUST share at
+    least one of the 4 disjoint 16-bit bands, so the hamming <= 3 output
+    is complete — zero false negatives (asserted against brute-force
+    all-pairs in tests/test_kernels.py via operators/dedup.py
+    hash_band_pairs, which sizes bands as 64 // (k+1) bits for any k)."""
+    from .operators.dedup import hash_band_pairs
 
     res = _small_crawl(spark)
-    p = res.pages.select("image_id", "phash")
-    bands = F.array(*[
-        F.struct(
-            F.lit(i).alias("band_idx"),
-            F.shiftright("phash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
-        )
-        for i in range(4)
-    ])
-    e = p.select("image_id", "phash", F.explode(bands).alias("b")).select(
-        "image_id", "phash", "b.band_idx", "b.band_val"
+    return hash_band_pairs(
+        res.pages.select("image_id", "phash"), "image_id", "phash", max_hamming=3
     )
-    pairs = (
-        e.alias("l")
-        .join(
-            e.alias("r"),
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col("l.image_id") < F.col("r.image_id")),
-        )
-        .select(
-            F.col("l.image_id").alias("id_a"),
-            F.col("r.image_id").alias("id_b"),
-            hamming64(F.col("l.phash"), F.col("r.phash")).alias("hamming"),
-        )
-        .distinct()
-    )
-    return pairs.filter(F.col("hamming") <= 12)
 
 
 def q_image_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -937,6 +926,66 @@ def q_image_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # registry
+def q_event_durations(spark: SparkSession, sf: str) -> DataFrame:
+    """F5 ISO-8601 duration parse (reference: 8-branch regex parser,
+    /root/reference/youtube/get_youtube_v1.2.py:65-115). The duration
+    string is synthesized deterministically from event_id (with a
+    no-hours branch exercising the missing-component default), then
+    parsed with the real kernel; the oracle computes the expected H:M:S
+    directly, so the check is independent of the parser."""
+    from .functions.datetimes import parse_iso_duration
+
+    e = load_table(spark, sf, "events")
+    h = (F.col("event_id") % 14).cast("string")
+    m = (F.col("event_id") % 60).cast("string")
+    s = (F.col("event_id") % 61).cast("string")
+    dur = F.when(
+        F.col("event_id") % 3 == 0, F.concat(F.lit("PT"), m, F.lit("M"), s, F.lit("S"))
+    ).otherwise(F.concat(F.lit("PT"), h, F.lit("H"), m, F.lit("M"), s, F.lit("S")))
+    out = e.select("event_id", dur.alias("dur"))
+    return out.select("event_id", "dur", parse_iso_duration("dur").alias("hms"))
+
+
+ORACLE_EVENT_DURATIONS = """
+SELECT event_id,
+       CASE WHEN event_id % 3 = 0 THEN 'PT' || m || 'M' || s || 'S'
+            ELSE 'PT' || h || 'H' || m || 'M' || s || 'S' END AS dur,
+       CASE WHEN event_id % 3 = 0 THEN '0:' || m || ':' || s
+            ELSE h || ':' || m || ':' || s END AS hms
+FROM (SELECT event_id,
+             CAST(event_id % 14 AS VARCHAR) AS h,
+             CAST(event_id % 60 AS VARCHAR) AS m,
+             CAST(event_id % 61 AS VARCHAR) AS s
+      FROM events)
+"""
+
+
+def q_order_month_dates(spark: SparkSession, sf: str) -> DataFrame:
+    """F13 month-name date parse (reference: calendar.month_name index
+    lookup, /root/reference/news/get_nftgators.py:25-30). Renders
+    o_orderdate as "March 5, 1995" text, parses it back with the real
+    kernel; the oracle formats the original date directly, so a parser
+    bug (wrong month map, off-by-one day) breaks the hash."""
+    from .functions.datetimes import parse_month_name_date
+
+    o = load_table(spark, sf, "orders")
+    txt = F.date_format("o_orderdate", "MMMM d, yyyy")
+    out = o.select("o_orderkey", txt.alias("date_text"))
+    return out.select(
+        "o_orderkey", "date_text",
+        F.date_format(parse_month_name_date("date_text"), "yyyy-MM-dd").alias("parsed"),
+    )
+
+
+ORACLE_ORDER_MONTH_DATES = """
+SELECT o_orderkey,
+       monthname(o_orderdate) || ' ' || CAST(day(o_orderdate) AS INT) || ', '
+         || CAST(year(o_orderdate) AS INT) AS date_text,
+       strftime(o_orderdate, '%Y-%m-%d') AS parsed
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -957,6 +1006,8 @@ QUERIES: dict[str, tuple] = {
     "user_event_types": (q_user_event_types, ORACLE_USER_EVENT_TYPES),
     "customer_strings": (q_customer_strings, ORACLE_CUSTOMER_STRINGS),
     "events_tz": (q_events_tz, ORACLE_EVENTS_TZ),
+    "event_durations": (q_event_durations, ORACLE_EVENT_DURATIONS),
+    "order_month_dates": (q_order_month_dates, ORACLE_ORDER_MONTH_DATES),
     "running_total": (q_running_total, ORACLE_RUNNING_TOTAL),
     "event_sessions": (q_event_sessions, ORACLE_EVENT_SESSIONS),
     "region_rollup_cube": (q_region_rollup_cube, ORACLE_REGION_ROLLUP_CUBE),

@@ -117,6 +117,7 @@ def stream_crawl(
         )
         new = state.seen.filter_new(frontier).persist()
         if new.isEmpty():
+            new.unpersist()
             return
         state.seen.add(new)
         scheduled, _deferred, _dis = schedule_generation(

@@ -73,6 +73,54 @@ def test_matches_urllib_model(scheme, www, host, port, path, q, frag):
     assert got == model_canon(url), url
 
 
+def model_pct(url: str) -> str:
+    """Independent per-row RFC 3986 §6.2.2 model via re.sub + urllib rules."""
+    import re
+
+    unreserved = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+    )
+
+    def fix(m):
+        c = int(m.group(1), 16)
+        return chr(c) if chr(c) in unreserved else "%" + m.group(1).upper()
+
+    return re.sub(r"%([0-9A-Fa-f]{2})", fix, url)
+
+
+pct_codes = st.sampled_from(
+    # unreserved (decode), reserved/sub-delims (keep, uppercase), high (keep)
+    ["41", "5a", "61", "7A", "30", "2d", "2E", "5f", "7e", "2c", "7c", "24",
+     "40", "3b", "c3", "fF"]
+)
+pct_segs = st.lists(
+    st.tuples(pct_codes, st.from_regex(r"[A-Za-z0-9]{0,4}", fullmatch=True)),
+    min_size=1, max_size=4,
+).map(lambda pairs: "".join(f"%{h}{tail}" for h, tail in pairs))
+
+
+@given(host=hosts, seg=pct_segs, tail=st.sampled_from(["", "/x", "?a=%41&b=%2c"]))
+@settings(max_examples=200, deadline=None)
+def test_pct_matches_urllib_model(host, seg, tail):
+    url = f"http://{host}/{seg}{tail}"
+    got = canon_urls(pd.Series([url]))[0]
+    assert got == model_canon(model_pct(url)), url
+
+
+def test_pct_unit_cases():
+    cases = {
+        "http://a.test/%7Euser": "http://a.test/~user",
+        "http://a.test/%41%42c": "http://a.test/ABc",
+        "http://a.test/a%2Fb": "http://a.test/a%2Fb",      # reserved kept
+        "http://a.test/a%2fb": "http://a.test/a%2Fb",      # hex uppercased
+        "http://a.test/100%zz": "http://a.test/100%zz",    # malformed kept
+        "http://a.test/x%": "http://a.test/x%",
+        "http://a.test/?q=%61%3D1": "http://a.test/?q=a%3D1",
+    }
+    got = canon_urls(pd.Series(list(cases)))
+    assert list(got) == list(cases.values())
+
+
 @given(st.lists(hosts, min_size=1, max_size=10))
 @settings(max_examples=50, deadline=None)
 def test_idempotent_and_rowwise(host_list):

@@ -24,12 +24,18 @@ def oracle_result():
     return crawl_serial(WEB, make_seed_urls(WEB, N_SEEDS), max_generations=MAX_GENS)
 
 
+@pytest.fixture(scope="module", params=[True, False], ids=["fused", "composed"])
+def crawl_mode(request):
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def engine_result(spark):
+def engine_result(spark, crawl_mode):
     cfg = CrawlConfig(
         web=WEB,
         bloom=BloomParams.size_for(20_000, n_buckets=16),
         max_generations=MAX_GENS,
+        fused=crawl_mode,
     )
     seeds = spark.createDataFrame(make_seed_urls(WEB, N_SEEDS))
     return CrawlPlan(spark, cfg).run(seeds)
@@ -92,12 +98,13 @@ def test_politeness_offsets(engine_result):
     assert (multi["max"] > 0).all()
 
 
-def test_resume_equals_uninterrupted(spark, tmp_path, engine_result):
+def test_resume_equals_uninterrupted(spark, tmp_path, engine_result, crawl_mode):
     cfg = CrawlConfig(
         web=WEB,
         bloom=BloomParams.size_for(20_000, n_buckets=16),
         max_generations=2,
         checkpoint_dir=str(tmp_path / "ckpt"),
+        fused=crawl_mode,
     )
     seeds = spark.createDataFrame(make_seed_urls(WEB, N_SEEDS))
     CrawlPlan(spark, cfg).run(seeds)  # killed after generation 1
@@ -107,6 +114,7 @@ def test_resume_equals_uninterrupted(spark, tmp_path, engine_result):
         bloom=BloomParams.size_for(20_000, n_buckets=16),
         max_generations=MAX_GENS - 2,
         checkpoint_dir=str(tmp_path / "ckpt"),
+        fused=crawl_mode,
     )
     resumed = CrawlPlan(spark, cfg2).run(seeds, resume=True)
 

@@ -62,7 +62,9 @@ def _composed(spark, params, preseen, candidates, robots):
 def _fused(spark, params, preseen, raw, robots):
     blobs = build_host_bucket_blobs(preseen, params)
     exact = preseen.select("url_hash", "host_bucket")
-    return fused_filter_schedule(spark, raw, exact, blobs, robots, params)
+    return fused_filter_schedule(
+        spark, raw, exact, robots, blobs=blobs, params=params
+    )
 
 
 def test_fused_matches_composed(setup):

@@ -162,3 +162,132 @@ class TestSynthWeb:
             else:
                 assert (p == m).all()
         assert checked > 0  # lossy path exercised
+
+
+class TestHashBandPairs:
+    """hash_band_pairs recall: complete for hamming <= k (pigeonhole over
+    k+1 disjoint bands) — zero false negatives vs brute force."""
+
+    def test_zero_false_negatives_vs_bruteforce(self, spark):
+        import itertools
+
+        import numpy as np
+
+        from crawlers_spark.operators.dedup import hash_band_pairs
+
+        rng = np.random.default_rng(7)
+        base = rng.integers(-(2**63), 2**63 - 1, size=40, dtype=np.int64)
+        rows = [(f"id{i:03d}", int(h)) for i, h in enumerate(base)]
+        # perturb: for each of 20 bases, add a mutant at hamming 1..3
+        # (random bit positions, possibly spread across all 4 bands)
+        for i in range(20):
+            bits = rng.choice(64, size=int(rng.integers(1, 4)), replace=False)
+            m = int(base[i])
+            for b in bits:
+                m ^= 1 << int(b)
+            rows.append((f"mut{i:03d}", np.int64(m).item()))
+
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        for k in (1, 3):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in hash_band_pairs(df, "image_id", "phash", k).collect()
+            }
+            want = set()
+            for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+                if bin((ha ^ hb) & (2**64 - 1)).count("1") <= k:
+                    want.add((min(ia, ib), max(ia, ib)))
+            assert want <= got, f"k={k}: missed {want - got}"
+            assert got == want, f"k={k}: extra {got - want}"
+
+
+class TestEmbeddingNearDups:
+    """SRP-LSH near-dups: auto-sized buckets + multi-probe recall vs
+    brute force; exact verification means precision is always 1."""
+
+    def test_bits_sizing(self):
+        from crawlers_spark.operators.similarity import near_dup_bits_for
+
+        assert near_dup_bits_for(100) == 4
+        assert near_dup_bits_for(256 * 16) == 4
+        assert near_dup_bits_for(10**6) == 12
+        assert near_dup_bits_for(10**10) == 26
+
+    def test_recall_vs_bruteforce(self, spark):
+        import itertools
+
+        import numpy as np
+
+        from crawlers_spark.operators.similarity import embedding_near_dups
+
+        rng = np.random.default_rng(11)
+        dim, n_base = 16, 60
+        base = rng.standard_normal((n_base, dim))
+        rows = [(f"v{i:03d}", [float(x) for x in base[i]]) for i in range(n_base)]
+        # plant near-dups: tiny perturbations of the first 15 vectors
+        for i in range(15):
+            m = base[i] + 0.05 * rng.standard_normal(dim)
+            rows.append((f"m{i:03d}", [float(x) for x in m]))
+
+        def cos(a, b):
+            a, b = np.asarray(a), np.asarray(b)
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        thr = 0.95
+        want = {
+            (min(ia, ib), max(ia, ib))
+            for (ia, va), (ib, vb) in itertools.combinations(rows, 2)
+            if cos(va, vb) >= thr
+        }
+        assert len(want) >= 15  # the planted pairs are really above thr
+
+        df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dups(df, dim=dim, threshold=thr).collect()
+        }
+        assert got <= want  # exact verification: no false positives
+        recall = len(got & want) / len(want)
+        assert recall >= 0.8, f"recall {recall:.2f} (missed {want - got})"
+
+
+class TestShingleCandidates:
+    """Document-frequency cap bounds the hot-shingle quadratic blowup."""
+
+    def test_skewed_corpus_bounded(self, spark):
+        import pandas as pd
+
+        from crawlers_spark.operators.dedup import (
+            shingle_candidate_pairs,
+            word_shingles,
+        )
+
+        n = 200
+        # every doc shares the hot 3-gram "the quick fox"; all other
+        # shingles are unique per doc
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": range(n),
+            "text": [f"the quick fox doc{i} alpha{i} beta{i}" for i in range(n)],
+        }))
+        sh = word_shingles(docs, "text", "doc_id", k=3)
+        uncapped = shingle_candidate_pairs(sh, "doc_id", df_cap=10**9).count()
+        capped = shingle_candidate_pairs(sh, "doc_id", df_cap=64).count()
+        assert uncapped == n * (n - 1) // 2  # quadratic in the hot shingle
+        assert capped == 0  # the cap removes the blowup entirely
+
+    def test_cap_no_op_below_threshold(self, spark):
+        import pandas as pd
+
+        from crawlers_spark.operators.dedup import (
+            shingle_candidate_pairs,
+            word_shingles,
+        )
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": range(20),
+            "text": [f"common prefix words doc{i} tail{i % 4}" for i in range(20)],
+        }))
+        sh = word_shingles(docs, "text", "doc_id", k=3)
+        a = {(r["id_a"], r["id_b"]) for r in shingle_candidate_pairs(sh, "doc_id", 64).collect()}
+        b = {(r["id_a"], r["id_b"]) for r in shingle_candidate_pairs(sh, "doc_id", 10**9).collect()}
+        assert a == b  # df <= 20 < cap: identical candidates
