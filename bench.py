@@ -63,13 +63,14 @@ CRAWL_BENCH = dict(
     n_preseen=2_500_000,
     n_host_buckets=256,
     fetch_cap=80_000,  # pages actually fetched for the images/sec figure
-    reps=4,  # min-of-reps filters sandbox scheduler/GC jitter
+    reps=2,  # per spawn; spawns are interleaved A/B/A/B (see main)
 )
-# two-parallelism levels for the N -> 4N scaling evidence: on this
-# 32-core box, local[4] vs local[16] keeps JVM task threads + Python UDF
-# workers <= cores at BOTH levels (local[32] would oversubscribe 2x and
-# measure contention, not the engine).
-SCALING_LEVELS = (4, 16)
+# N -> 4N scaling evidence at the stated protocol (BASELINE.md section C:
+# local[8] vs local[32]), runs interleaved A/B/A/B across fresh JVMs so
+# slow host-VM drift cancels instead of biasing one level; local[4] vs
+# local[16] is kept as the no-oversubscription cross-check.
+SCALING_LEVELS = (8, 32)
+SECONDARY_LEVELS = (4, 16)
 
 
 def _get_spark(cpus: int, shuffle: int):
@@ -80,7 +81,7 @@ def _get_spark(cpus: int, shuffle: int):
     )
 
 
-def run_crawl_bench(cpus: int) -> dict:
+def run_crawl_bench(cpus: int, reps: int | None = None) -> dict:
     """Frontier mega-generation → throughput dict (fresh process per call)."""
     from pyspark.sql import functions as F
 
@@ -99,6 +100,7 @@ def run_crawl_bench(cpus: int) -> dict:
     )
 
     p = CRAWL_BENCH
+    reps = reps or p["reps"]
     spark = _get_spark(cpus, shuffle=p["n_host_buckets"])
     web = SynthWebConfig(n_hosts=p["n_hosts"], base_pages=p["base_pages"])
     robots = robots_pdf(web)
@@ -124,10 +126,12 @@ def run_crawl_bench(cpus: int) -> dict:
     # reports the minimum (identical protocol at both levels).
     walls, n_scheduled = [], 0
     last_out = None
-    for _rep in range(p["reps"]):
+    for _rep in range(reps):
         t0 = time.monotonic()
         cand_urls = distributed_seed_urls(spark, web, p["n_candidates"], partitions=cpus * 4)
-        raw = canonize(cand_urls, p["n_host_buckets"]).withColumn(
+        # keep_host=False: the fused step re-derives host bucket-locally,
+        # cutting ~20% of the candidate exchange's bytes
+        raw = canonize(cand_urls, p["n_host_buckets"], keep_host=False).withColumn(
             "priority", F.col("seed_rank").cast("long")
         )
         out = fused_filter_schedule(
@@ -150,7 +154,7 @@ def run_crawl_bench(cpus: int) -> dict:
     )
     to_fetch.count()  # materialize the URL batch outside the fetch timing
     fetch_walls, n_fetched = [], 0
-    for _rep in range(p["reps"]):
+    for _rep in range(reps):
         t1 = time.monotonic()
         n_fetched = fetch_scheduled(to_fetch, web).filter("ok").count()
         fetch_walls.append(time.monotonic() - t1)
@@ -186,47 +190,76 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     return times
 
 
-def update_baseline_md(lo: dict, hi: dict, eff: float) -> None:
+def _agg_level(runs: list[dict]) -> dict:
+    """Merge repeated spawns of one level: min wall across all reps."""
+    best = min(runs, key=lambda r: r["wall_s"])
+    out = dict(best)
+    out["walls"] = [w for r in runs for w in r["walls"]]
+    out["wall_s"] = min(out["walls"])
+    p = CRAWL_BENCH
+    out["urls_per_sec"] = round(p["n_candidates"] / out["wall_s"], 1)
+    out["fetch_wall_s"] = min(r["fetch_wall_s"] for r in runs)
+    out["images_per_sec"] = round(best["fetched"] / out["fetch_wall_s"], 1)
+    return out
+
+
+def _pair_rows(lo: dict, hi: dict, eff: float, tag: str) -> str:
+    ln, lh = f"local[{lo['cpus']}]", f"local[{hi['cpus']}]"
+    return f"""| URLs scheduled+deduped/sec @ N ({tag}) | {lo['urls_per_sec']:,} | {ln}, wall {lo['wall_s']} s (reps {lo['walls']}), {lo['scheduled']:,} scheduled |
+| URLs scheduled+deduped/sec @ 4N ({tag}) | {hi['urls_per_sec']:,} | {lh}, wall {hi['wall_s']} s (reps {hi['walls']}), {hi['scheduled']:,} scheduled |
+| images fetched/sec @ N ({tag}) | {lo['images_per_sec']:,} | {ln}, {lo['fetched']:,} pages, wall {lo['fetch_wall_s']} s |
+| images fetched/sec @ 4N ({tag}) | {hi['images_per_sec']:,} | {lh}, {hi['fetched']:,} pages, wall {hi['fetch_wall_s']} s |
+| scaling efficiency (thr_4N/thr_N)/4 ({tag}) | {eff:.3f} | target >= 0.8 (BASELINE.json north_rule) |
+"""
+
+
+def update_baseline_md(primary: tuple, secondary: tuple | None) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     p = CRAWL_BENCH
-    ln, lh = f"local[{lo['cpus']}]", f"local[{hi['cpus']}]"
+    lo, hi, eff = primary
+    rows = _pair_rows(lo, hi, eff, "8v32")
+    sec_note = ""
+    if secondary is not None:
+        slo, shi, seff = secondary
+        rows += _pair_rows(slo, shi, seff, "4v16")
+        sec_note = (
+            "\nThe 4v16 pair is the no-oversubscription cross-check: at both of"
+            "\nits levels JVM task threads + Python UDF workers fit within the"
+            "\n32 physical cores, isolating engine scaling from host contention."
+        )
     body = f"""# BENCH/BASELINE — measured scaling evidence
 
 Workload: frontier mega-generation (`bench.py --crawl`), identical input
 at both parallelism levels — {p['n_candidates']:,} candidate URLs (messy
 spellings) over a synthetic web of n_hosts={p['n_hosts']},
 base_pages={p['base_pages']:,}, against a pre-populated
-{p['n_preseen']:,}-URL seen-set ({p['n_host_buckets']} Bloom buckets),
-through canonicalize→fnv64-hash (one fused Arrow pass) → spelling-dedup
-(hash agg) → Bloom-filter + exact-rescue anti-join → per-host politeness
-top-k schedule. Best of {p['reps']} repetitions per level (sandbox VM has
-multi-second scheduler/GC jitter; identical protocol both levels).
+{p['n_preseen']:,}-URL seen-set ({p['n_host_buckets']} buckets), through
+canonicalize→fnv64-hash (one fused Arrow pass, host string dropped from
+the exchange and re-derived bucket-locally) → fused bucket-local
+dedup + Bloom/exact seen-filter + per-host politeness top-k
+(ONE candidate exchange; operators/fused_schedule.py).
 
-{ln} vs {lh} stands in for N vs 4N executors per the driver's round-1
-instruction (no real cluster in the sandbox). On this 32-core box these
-levels keep JVM task threads + Python UDF workers <= physical cores at
-BOTH levels; local[32] would oversubscribe the box 2x (32 JVM threads +
-32 Python workers) and measure host contention, not engine scaling.
+Protocol: local[8] vs local[32] per BASELINE.md section C (no real
+cluster in this sandbox; local[N] vs local[4N] on the same input stands
+in for N vs 4N executors). Each level runs as fresh-JVM subprocesses
+interleaved A/B/A/B so multi-minute host-VM drift cancels across levels
+instead of biasing one; the reported wall is the min across all reps of
+a level (identical protocol at both levels).{sec_note}
 
 | metric | value | config |
 |---|---|---|
-| URLs scheduled+deduped/sec @ N | {lo['urls_per_sec']:,} | {ln}, wall {lo['wall_s']} s (reps {lo['walls']}), {lo['scheduled']:,} scheduled |
-| URLs scheduled+deduped/sec @ 4N | {hi['urls_per_sec']:,} | {lh}, wall {hi['wall_s']} s (reps {hi['walls']}), {hi['scheduled']:,} scheduled |
-| images fetched/sec @ N | {lo['images_per_sec']:,} | {ln}, {lo['fetched']:,} pages (synth + PNG/PPM encode + phash), wall {lo['fetch_wall_s']} s |
-| images fetched/sec @ 4N | {hi['images_per_sec']:,} | {lh}, {hi['fetched']:,} pages, wall {hi['fetch_wall_s']} s |
-| scaling efficiency (thr_4N/thr_N)/4 | {eff:.3f} | target >= 0.8 (BASELINE.json north_rule) |
-
+{rows}
 Note on variance: the sandbox VM's effective CPU drifts ±30% on
 multi-minute timescales (verified with OS-level busy-loop probes, which
 themselves scale 4.06x from 4 to 16 processes); identical bench runs
-have measured efficiency between 0.55 and 0.89. The min-of-reps protocol
-above filters the worst of it; the images-fetched/sec metric (pure
-map-parallel stage) consistently measures ~0.9-1.05 efficiency, and the
-URL pipeline's remaining gap is the candidate exchange (one shuffle of
-the 12M-row batch), whose per-level cost is disk/page-cache-bandwidth
-bound on this single box — on a real 4N-executor cluster that shuffle
-bandwidth scales with the node count instead of being shared.
+have measured efficiency between 0.55 and 0.89 before interleaving. The
+images-fetched/sec metric (pure map-parallel stage) is the cleanest
+signal of compute scaling; the URL pipeline additionally pays one
+shuffle of the candidate batch, whose per-level cost is
+disk/page-cache-bandwidth bound on this single box — on a real
+4N-executor cluster that shuffle bandwidth scales with the node count
+instead of being shared.
 
 Generated by `python bench.py` (scaling section); query timings land in
 the driver's BENCH_r{{N}}.json.
@@ -265,31 +298,56 @@ def main() -> None:
     t_start = time.monotonic()
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
+
+        def spawn(cpus: int) -> dict:
+            time.sleep(10)  # let the previous JVM fully exit
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--crawl",
+                 "--cpus", str(cpus)],
+                capture_output=True, text=True, timeout=budget, env=env,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            return json.loads(line)
+
+        # rough per-spawn cost (setup + 2 reps + fetch), sec
+        est = {4: 420, 8: 300, 16: 200, 32: 170}
+
+        def have_budget(cpus: int) -> bool:
+            return time.monotonic() - t_start + est[cpus] <= budget
+
         try:
             n, n4 = SCALING_LEVELS
-            levels = {}
-            env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
-            # rough per-level cost estimates (setup + reps + fetch), sec
-            est = {n: 700, n4: 300}
-            for cpus in (n, n4):
-                if time.monotonic() - t_start + est[cpus] > budget:
-                    result["crawl_scaling"] = {"skipped": "budget exhausted"}
+            runs: dict[int, list] = {n: [], n4: []}
+            # interleaved A/B/A/B: two spawns per level, fresh JVM each
+            for cpus in (n, n4, n, n4):
+                if not have_budget(cpus):
                     break
-                time.sleep(15)  # let the previous JVM fully exit
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--crawl", "--cpus", str(cpus)],
-                    capture_output=True, text=True, timeout=budget, env=env,
-                )
-                line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-                levels[cpus] = json.loads(line)
-            if len(levels) == 2:
-                eff = (levels[n4]["urls_per_sec"] / levels[n]["urls_per_sec"]) / 4.0
-                update_baseline_md(levels[n], levels[n4], eff)
+                runs[cpus].append(spawn(cpus))
+            if runs[n] and runs[n4]:
+                lo, hi = _agg_level(runs[n]), _agg_level(runs[n4])
+                eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0
+                primary = (lo, hi, round(eff, 3))
                 result["crawl_scaling"] = {
-                    f"local{n}": levels[n],
-                    f"local{n4}": levels[n4],
-                    "efficiency": round(eff, 3),
+                    f"local{n}": lo, f"local{n4}": hi, "efficiency": round(eff, 3),
                 }
+                # secondary no-oversubscription pair, budget permitting
+                secondary = None
+                s_lo, s_hi = SECONDARY_LEVELS
+                if have_budget(s_lo) and have_budget(s_hi):
+                    try:
+                        r_lo, r_hi = spawn(s_lo), spawn(s_hi)
+                        s_eff = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / 4.0
+                        secondary = (r_lo, r_hi, round(s_eff, 3))
+                        result["crawl_scaling_4v16"] = {
+                            f"local{s_lo}": r_lo, f"local{s_hi}": r_hi,
+                            "efficiency": round(s_eff, 3),
+                        }
+                    except Exception:  # noqa: BLE001
+                        pass
+                update_baseline_md(primary, secondary)
+            else:
+                result["crawl_scaling"] = {"skipped": "budget exhausted"}
         except Exception as ex:  # noqa: BLE001 — bench must still report
             result["crawl_scaling"] = {"error": f"{type(ex).__name__}: {ex}"[:200]}
 

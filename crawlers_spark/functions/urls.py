@@ -68,21 +68,28 @@ def pct_normalize(s: pd.Series) -> pd.Series:
     return s
 
 
+# one pass splits scheme / hostport / path / query and drops the fragment
+# (the unanchored tail); replaces six full-string regex passes
+_SPLIT_RE = r"^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?([^/?#]*)([^?#]*)(?:\?([^#]*))?"
+
+
 def canon_urls(urls: pd.Series) -> pd.Series:
-    """Canonicalize a Series of URL strings (see module docstring)."""
+    """Canonicalize a Series of URL strings (see module docstring).
+
+    Hot-path layout (this kernel is the CPU floor of the frontier bench):
+    ONE anchored extract splits every component; the expensive rewrite
+    passes (// collapse, dot-segment resolution) run only on the row
+    subset that contains their trigger substring — plain URLs pay a
+    single extract plus short-string host/port ops.
+    """
     s = urls.fillna("").astype(str).str.strip()
     s = pct_normalize(s)
-    # split off fragment
-    s = s.str.replace(r"#.*$", "", regex=True)
-    # split query
-    base = s.str.replace(r"\?.*$", "", regex=True)
-    query = s.str.extract(r"\?(.*)$", expand=False)
 
-    # scheme://host[:port]/path
-    scheme = base.str.extract(r"^([A-Za-z][A-Za-z0-9+.-]*)://", expand=False).str.lower()
-    rest = base.str.replace(r"^[A-Za-z][A-Za-z0-9+.-]*://", "", regex=True)
-    hostport = rest.str.replace(r"/.*$", "", regex=True)
-    path = rest.str.replace(r"^[^/]*", "", regex=True)
+    parts = s.str.extract(_SPLIT_RE)
+    scheme = parts[0].str.lower()
+    hostport = parts[1]
+    path = parts[2]
+    query = parts[3]
 
     host = hostport.str.replace(r":\d+$", "", regex=True).str.lower()
     host = host.str.replace(r"^www\.", "", regex=True).str.rstrip(".")
@@ -94,25 +101,33 @@ def canon_urls(urls: pd.Series) -> pd.Series:
     port_part = port.where(~default_port & port.notna(), None)
     port_sfx = (":" + port_part).fillna("")
 
-    # resolve dot segments: iterate bounded regex passes (depth <= 16)
     path = path.replace("", "/")
-    path = path.str.replace(r"//+", "/", regex=True)
-    for _ in range(16):
-        before = path
-        path = path.str.replace(r"/\./", "/", regex=True)
-        path = path.str.replace(r"/[^/]+/\.\./", "/", regex=True)
-        path = path.str.replace(r"/\.$", "/", regex=True)
-        path = path.str.replace(r"/[^/]+/\.\.$", "/", regex=True)
-        if before.equals(path):
-            break
-    path = path.mask((path.str.len() > 1) & path.str.endswith("/"), path.str.rstrip("/"))
+    slashes = path.str.contains("//", regex=False)
+    if slashes.any():
+        path.loc[slashes] = path.loc[slashes].str.replace(r"//+", "/", regex=True)
+    # resolve dot segments: bounded regex passes, only on rows with "/."
+    dots = path.str.contains("/.", regex=False)
+    if dots.any():
+        sub = path.loc[dots]
+        for _ in range(16):
+            before = sub
+            sub = sub.str.replace(r"/\./", "/", regex=True)
+            sub = sub.str.replace(r"/[^/]+/\.\./", "/", regex=True)
+            sub = sub.str.replace(r"/\.$", "/", regex=True)
+            sub = sub.str.replace(r"/[^/]+/\.\.$", "/", regex=True)
+            if before.equals(sub):
+                break
+        path.loc[dots] = sub
+    trail = (path.str.len() > 1) & path.str.endswith("/")
+    if trail.any():
+        path.loc[trail] = path.loc[trail].str.rstrip("/")
     path = path.mask(path == "", "/")
 
     # query: drop utm_*, sort params (explode -> sort -> rejoin; columnar)
     q = _canon_query(query)
 
     out = scheme.fillna("http") + "://" + host + port_sfx + path + q
-    return out.where(host.str.len() > 0, urls.fillna("").astype(str).str.strip())
+    return out.where(host.str.len() > 0, s)
 
 
 def _canon_query(query: pd.Series) -> pd.Series:

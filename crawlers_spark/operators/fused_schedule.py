@@ -46,14 +46,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.urls import url_host
 from .scheduler import SchedulerConfig
 from .seen_set import BloomParams, bloom_build_blob, bloom_test_blob
 
 OUT_COLS = ["url_hash", "url_canon", "host", "host_bucket", "priority",
-            "is_new", "status", "host_rank", "fetch_offset_ms"]
+            "is_new", "retry_count", "status", "host_rank", "fetch_offset_ms"]
 OUT_SCHEMA = (
     "url_hash long, url_canon string, host string, host_bucket int, priority long, "
-    "is_new boolean, status string, host_rank int, fetch_offset_ms long"
+    "is_new boolean, retry_count int, status string, host_rank int, fetch_offset_ms long"
 )
 
 
@@ -101,9 +102,18 @@ def fused_filter_schedule(
     dedup + membership (they ARE in the seen-set) but keep their claim on
     politeness budget. Surviving new rows (any status but dup/seen) are
     exactly the next seen-set delta.
+
+    The ``host`` column is optional: when absent it is re-derived
+    bucket-locally from ``url_canon`` (the identical ``url_host`` kernel
+    that produced ``host_bucket``), trading ~20% of the candidate
+    exchange's bytes — a host string per row — for a short per-bucket
+    regex pass that scales with cores instead of shuffle bandwidth.
     """
     if "is_new" not in candidates.columns:
         candidates = candidates.withColumn("is_new", F.lit(True))
+    if "retry_count" not in candidates.columns:
+        candidates = candidates.withColumn("retry_count", F.lit(0))
+    has_host = "host" in candidates.columns
     blobs_bc = spark.sparkContext.broadcast(blobs) if blobs is not None else None
     rb = robots.set_index("host")
     delays = rb["crawl_delay_ms"].to_dict()
@@ -115,6 +125,8 @@ def fused_filter_schedule(
     def run(cand: pd.DataFrame, exact_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(cand) == 0:
             return _empty_out()
+        if not has_host:
+            cand = cand.assign(host=url_host(cand["url_canon"]))
         delays, budgets, disallow = robots_bc.value
         dropped: list[pd.DataFrame] = []
 
@@ -199,8 +211,11 @@ def fused_filter_schedule(
         out = pd.concat(parts, ignore_index=True)
         return out[OUT_COLS]
 
+    in_cols = ["url_hash", "url_canon", "host_bucket", "priority", "is_new", "retry_count"]
+    if has_host:
+        in_cols.insert(2, "host")
     return (
-        candidates.select("url_hash", "url_canon", "host", "host_bucket", "priority", "is_new")
+        candidates.select(*in_cols)
         .groupBy("host_bucket")
         .cogroup(exact.select("url_hash", "host_bucket").groupBy("host_bucket"))
         .applyInPandas(run, schema=OUT_SCHEMA)

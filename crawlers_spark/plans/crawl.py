@@ -62,6 +62,11 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     bloom_broadcast: bool = True
     compact_every: int = 4  # bloom epoch compaction cadence
+    # bounded requeue of failed fetches: a not-ok row re-enters the next
+    # generation (same priority, retry_count+1) until max_retries is
+    # exhausted (fused path only; reference analog: reconnect-and-retry,
+    # /root/reference/worldcup/db/connect_mysql.py:21,50)
+    max_retries: int = 0
     # fused=True runs the bucket-local cogroup frontier step (one exchange
     # per generation: dedup + seen-filter + robots + politeness fused,
     # operators/fused_schedule.py); False runs the composed Catalyst chain.
@@ -101,18 +106,25 @@ def host_udf(urls: pd.Series) -> pd.Series:
     return url_host(urls)
 
 
-def canonize(df: DataFrame, n_host_buckets: int, url_col: str = "url") -> DataFrame:
-    """Append url_canon, url_hash, host, host_bucket in ONE Arrow pass.
+def canonize(
+    df: DataFrame, n_host_buckets: int, url_col: str = "url", keep_host: bool = True
+) -> DataFrame:
+    """Append url_canon, url_hash, [host,] host_bucket in ONE Arrow pass.
 
     Chained scalar pandas UDFs (canon → hash → host → bucket) would cost
     four ArrowEvalPython nodes, i.e. four Python round-trips per batch —
     measured ~2.5x slower on the 4M-URL bench. A single ``mapInPandas``
     runs all four numpy kernels on one batch transfer.
+
+    ``keep_host=False`` omits the host string from the output (the fused
+    step re-derives it bucket-locally) — the host column would otherwise
+    ride the candidate exchange for ~20% extra shuffle bytes.
     """
     from ..functions.hashing import pmod_bucket
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    schema = f"{fields}, url_canon string, url_hash long, host string, host_bucket int"
+    host_part = "host string, " if keep_host else ""
+    schema = f"{fields}, url_canon string, url_hash long, {host_part}host_bucket int"
 
     def run(batches):
         for pdf in batches:
@@ -123,7 +135,8 @@ def canonize(df: DataFrame, n_host_buckets: int, url_col: str = "url") -> DataFr
             out["url_canon"] = canon
             out["url_hash"] = fnv64(canon)
             host = url_host(canon)
-            out["host"] = host
+            if keep_host:
+                out["host"] = host
             out["host_bucket"] = pmod_bucket(fnv64(host), n_host_buckets)
             yield out
 
@@ -221,6 +234,9 @@ class CrawlPlan:
         )
         if self.cfg.fused:
             return self._run_fused(seeds, resume)
+        assert self.cfg.max_retries == 0, (
+            "failed-fetch requeue is implemented in the fused loop only"
+        )
         return self._run_composed(seeds, resume)
 
     def _run_composed(self, seeds: DataFrame, resume: bool = False) -> CrawlResult:
@@ -489,17 +505,37 @@ class CrawlPlan:
                     F.posexplode_outer("links").alias("slot", "url"),
                 ).filter(F.col("url").isNotNull()),
                 cfg.n_host_buckets,
+                keep_host=False,  # fused step re-derives host per bucket
             )
             cand = links.select(
-                "url_hash", "url_canon", "host", "host_bucket",
+                "url_hash", "url_canon", "host_bucket",
                 (F.col("parent_priority") * MAX_LINK_SLOTS + F.col("slot"))
                 .cast("long").alias("priority"),
                 F.lit(True).alias("is_new"),
+                F.lit(0).alias("retry_count"),
             )
             if deferred is not None:
-                cand = cand.unionByName(
-                    deferred.select(*FRONTIER_COLS).withColumn("is_new", F.lit(False))
+                dcols = ["url_canon", "url_hash", "host_bucket", "priority"]
+                d = deferred.select(*dcols).withColumn("is_new", F.lit(False))
+                if "retry_count" in deferred.columns:
+                    d = deferred.select(*dcols, "retry_count").withColumn(
+                        "is_new", F.lit(False)
+                    )
+                else:
+                    d = d.withColumn("retry_count", F.lit(0))
+                cand = cand.unionByName(d)
+            if cfg.max_retries > 0:
+                # bounded requeue: failed fetches re-enter the next
+                # generation as bypass rows (already in the seen-set),
+                # keeping their minted priority
+                requeue = fetched.filter(
+                    ~F.col("ok") & (F.col("retry_count") < cfg.max_retries)
+                ).select(
+                    "url_canon", "url_hash", "host_bucket", "priority",
+                    F.lit(False).alias("is_new"),
+                    (F.col("retry_count") + 1).alias("retry_count"),
                 )
+                cand = cand.unionByName(requeue)
             # eager localCheckpoint (not persist): the loop-carried
             # scheduled/deferred both re-reference this frame, so without a
             # lineage cut the logical plan tree grows multiplicatively per
@@ -590,7 +626,9 @@ class CrawlPlan:
                 pages_parts.append(pages_g)  # backed by the fetched cache
                 log_parts.append(log_g)
             scheduled = nxt.filter("status = 'scheduled'")
-            deferred = nxt.filter("status = 'deferred'").select(*FRONTIER_COLS)
+            deferred = nxt.filter("status = 'deferred'").select(
+                *FRONTIER_COLS, "retry_count"
+            )
             generations = g + 1
 
         empty_pages = spark.createDataFrame(
@@ -636,7 +674,9 @@ class CrawlPlan:
                 totals["fetched"] += sum(ok_n.values())
         metrics = spark.createDataFrame(metrics_rows, schema=METRICS_SCHEMA)
         if scheduled is not None and deferred is not None:
-            frontier_final = scheduled.select(*FRONTIER_COLS).unionByName(deferred)
+            frontier_final = scheduled.select(*FRONTIER_COLS).unionByName(
+                deferred.select(*FRONTIER_COLS)
+            )
         else:
             frontier_final = spark.createDataFrame(
                 [], schema="url_canon string, url_hash long, host string, "

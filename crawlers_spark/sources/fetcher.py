@@ -19,22 +19,33 @@ from pyspark.sql import DataFrame
 from .synthweb import SynthWebConfig, fetch_pages_pdf
 
 FETCH_RESULT_SCHEMA = (
-    "url_canon string, host string, host_bucket int, priority long, generation int, "
-    "fetch_offset_ms long, ok boolean, image_id string, bytes binary, w int, h int, "
-    "fmt string, caption string, phash long, links array<string>"
+    "url_canon string, url_hash long, host string, host_bucket int, priority long, "
+    "generation int, fetch_offset_ms long, retry_count int, ok boolean, image_id string, "
+    "bytes binary, w int, h int, fmt string, caption string, phash long, links array<string>"
 )
 
-_PASSTHROUGH = ["url_canon", "host", "host_bucket", "priority", "generation", "fetch_offset_ms"]
+_PASSTHROUGH = ["url_canon", "url_hash", "host", "host_bucket", "priority", "generation",
+                "fetch_offset_ms", "retry_count"]
 
 
 def fetch_scheduled(scheduled: DataFrame, web: SynthWebConfig, mirror: bool = True) -> DataFrame:
-    """Fetch every scheduled URL; returns FETCH_RESULT_SCHEMA rows."""
+    """Fetch every scheduled URL; returns FETCH_RESULT_SCHEMA rows.
+
+    ``retry_count`` (0 when the input lacks it) is the attempt number fed
+    to the transient-failure model and echoed for the requeue policy."""
+    from pyspark.sql import functions as F
+
+    if "retry_count" not in scheduled.columns:
+        scheduled = scheduled.withColumn("retry_count", F.lit(0))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            fetched = fetch_pages_pdf(web, pdf["url_canon"], mirror=mirror)
+            fetched = fetch_pages_pdf(
+                web, pdf["url_canon"], mirror=mirror,
+                attempt=pdf["retry_count"].to_numpy(),
+            )
             out = pdf[_PASSTHROUGH].reset_index(drop=True)
             fetched = fetched.reset_index(drop=True)
             for c in ["ok", "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "links"]:

@@ -41,6 +41,12 @@ class SynthWebConfig:
     cross_host_pct: int = 30  # % of links that jump hosts
     private_mod: int = 13  # pages with h%private_mod==0 live under /private
     fail_mod: int = 97  # pages with h%fail_mod==0 fail to fetch
+    # when >0: an otherwise-ok page fails transiently on attempt a iff
+    # splitmix64(seed ^ (a+1)*SALT) % transient_fail_mod == 0 — attempt-
+    # dependent, so a bounded retry policy eventually succeeds
+    # (reference analog: reconnect loops,
+    # /root/reference/worldcup/db/connect_mysql.py:21,50)
+    transient_fail_mod: int = 0
     seed: int = 42
 
     def pages_per_host(self) -> np.ndarray:
@@ -83,16 +89,30 @@ def parse_page_urls(urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return host_idx, page_idx
 
 
-def page_specs(cfg: SynthWebConfig, urls: pd.Series) -> pd.DataFrame:
+def page_specs(
+    cfg: SynthWebConfig, urls: pd.Series, attempt: np.ndarray | None = None
+) -> pd.DataFrame:
     """Vectorized page metadata for a batch of canonical URLs.
 
     Columns: host_idx, page_idx, seed, ok (fetch success), w, h, fmt,
     caption, links (list of canonical child URLs, possibly empty).
+    ``attempt`` (per-row retry counter, default 0) drives the transient
+    failure model; a transiently failed fetch yields no links.
     """
     host_idx, page_idx = parse_page_urls(urls)
     seeds = _page_seed(cfg, host_idx, page_idx)
     valid = host_idx >= 0
     ok = valid & ((seeds % _U64(cfg.fail_mod)) != 0)
+    if cfg.transient_fail_mod > 0:
+        a = (
+            np.zeros(len(urls), np.int64)
+            if attempt is None
+            else np.asarray(attempt, np.int64)
+        )
+        tmix = splitmix64(
+            seeds ^ ((a + 1).view(_U64) * _U64(0x2545F4914F6CDD1D))
+        )
+        ok = ok & ((tmix % _U64(cfg.transient_fail_mod)) != 0)
 
     dims = np.array([32, 64, 128], np.int32)
     w = dims[(seeds >> _U64(3)) % _U64(3)]
@@ -167,14 +187,20 @@ def image_id_for(url_canon: pd.Series) -> pd.Series:
     return url_canon.map(lambda u: hashlib.sha1(u.encode()).hexdigest())
 
 
-def fetch_pages_pdf(cfg: SynthWebConfig, url_canon: pd.Series, mirror: bool = True) -> pd.DataFrame:
+def fetch_pages_pdf(
+    cfg: SynthWebConfig,
+    url_canon: pd.Series,
+    mirror: bool = True,
+    attempt: np.ndarray | None = None,
+) -> pd.DataFrame:
     """Batch 'HTTP fetch' against the synthetic web (pandas-level).
 
     Returns one row per input URL: ok, image_id, bytes, w, h, fmt,
     caption, phash, links. Used inside the Spark ``mapInPandas`` fetch
     stage and by the serial oracle (with mirror semantics on/off).
+    ``attempt`` feeds the transient-failure model (see page_specs).
     """
-    specs = page_specs(cfg, url_canon)
+    specs = page_specs(cfg, url_canon, attempt)
     blobs: list[bytes | None] = [None] * len(specs)
     phashes = np.zeros(len(specs), np.int64)
     rows_ok = np.flatnonzero(specs["ok"].to_numpy())

@@ -40,6 +40,7 @@ def crawl_serial(
     robots: pd.DataFrame | None = None,
     n_host_buckets: int = 32,
     max_generations: int = 50,
+    max_retries: int = 0,
 ) -> OracleResult:
     robots = robots if robots is not None else robots_pdf(web)
     rob = robots.set_index("host")
@@ -47,12 +48,13 @@ def crawl_serial(
     canon = canon_urls(seeds["url"])
     hashes = fnv64(canon)
     hosts = url_host(canon)
-    frontier: list[tuple[int, str, int, str]] = []  # (priority, url_canon, url_hash, host)
+    # (priority, url_canon, url_hash, host, attempt)
+    frontier: list[tuple[int, str, int, str, int]] = []
     seen: set[int] = set()
     for rank, (u, h, ho) in enumerate(zip(canon, hashes, hosts)):
         if int(h) not in seen:
             seen.add(int(h))
-            frontier.append((int(seeds["seed_rank"].iloc[rank]), u, int(h), ho))
+            frontier.append((int(seeds["seed_rank"].iloc[rank]), u, int(h), ho, 0))
     next_priority = (max(p for p, *_ in frontier) + 1) if frontier else 0
 
     log_rows, page_rows, metric_rows = [], [], []
@@ -61,12 +63,12 @@ def crawl_serial(
         if not frontier:
             break
         # politeness: disallow filter, per-host FIFO budget in priority order
-        scheduled: list[tuple[int, str, int, str]] = []
-        deferred: list[tuple[int, str, int, str]] = []
+        scheduled: list[tuple[int, str, int, str, int]] = []
+        deferred: list[tuple[int, str, int, str, int]] = []
         per_host_taken: dict[str, int] = {}
         n_disallowed = 0
         for item in sorted(frontier, key=lambda t: t[0]):
-            prio, u, h, ho = item
+            prio, u, h, ho, att = item
             if ho in rob.index:
                 budget = int(rob.loc[ho, "max_per_generation"])
                 prefixes = rob.loc[ho, "disallow_prefixes"]
@@ -83,13 +85,21 @@ def crawl_serial(
                 deferred.append(item)
 
         # fetch in global priority order (= reference serial order)
-        urls = pd.Series([u for _, u, _, _ in scheduled])
-        mirrored = fetch_pages_pdf(web, urls, mirror=True) if len(urls) else None
-        pristine = fetch_pages_pdf(web, urls, mirror=False) if len(urls) else None
+        urls = pd.Series([u for _, u, _, _, _ in scheduled])
+        attempts = np.array([a for _, _, _, _, a in scheduled], np.int64)
+        mirrored = (
+            fetch_pages_pdf(web, urls, mirror=True, attempt=attempts)
+            if len(urls) else None
+        )
+        pristine = (
+            fetch_pages_pdf(web, urls, mirror=False, attempt=attempts)
+            if len(urls) else None
+        )
 
         discovered: list[tuple[int, int, str]] = []  # (parent_priority, slot, url)
+        requeued: list[tuple[int, str, int, str, int]] = []
         n_ok = n_failed = 0
-        for i, (prio, u, h, ho) in enumerate(scheduled):
+        for i, (prio, u, h, ho, att) in enumerate(scheduled):
             ok = bool(mirrored["ok"].iloc[i])
             log_rows.append((g, prio, order_rank, u, h, ok))
             order_rank += 1
@@ -108,9 +118,11 @@ def crawl_serial(
                     discovered.append((prio, slot, link))
             else:
                 n_failed += 1
+                if att < max_retries:
+                    requeued.append((prio, u, h, ho, att + 1))
 
         # dedup-before-enqueue, first-discovery-wins, then mint priorities
-        new_items: list[tuple[int, str, int, str]] = []
+        new_items: list[tuple[int, str, int, str, int]] = []
         batch_seen: set[int] = set()
         for parent_priority, slot, link in discovered:  # already (prio, slot) ordered
             lc = canon_urls(pd.Series([link])).iloc[0]
@@ -118,13 +130,13 @@ def crawl_serial(
             if lh in seen or lh in batch_seen:
                 continue
             batch_seen.add(lh)
-            new_items.append((next_priority, lc, lh, url_host(pd.Series([lc])).iloc[0]))
+            new_items.append((next_priority, lc, lh, url_host(pd.Series([lc])).iloc[0], 0))
             next_priority += 1
-        seen.update(h for _, _, h, _ in new_items)
+        seen.update(h for _, _, h, _, _ in new_items)
         metric_rows.append(
             (g, len(scheduled), len(discovered) - len(new_items), n_ok, n_failed, n_disallowed)
         )
-        frontier = deferred + new_items
+        frontier = deferred + new_items + requeued
 
     crawl_log = pd.DataFrame(
         log_rows, columns=["generation", "priority", "order_rank", "url_canon", "url_hash", "ok"]

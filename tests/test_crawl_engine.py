@@ -130,3 +130,45 @@ def test_resume_equals_uninterrupted(spark, tmp_path, engine_result, crawl_mode)
     full_seen = set(engine_result.seen_exact.toPandas()["url_hash"])
     res_seen = set(resumed.seen_exact.toPandas()["url_hash"])
     assert res_seen == full_seen
+
+
+def test_retry_requeue_matches_oracle(spark):
+    """Bounded requeue of transient failures: engine (fused loop) must
+    reproduce the serial oracle exactly — retried rows re-enter later
+    generations with their original priority, bounded by max_retries."""
+    web = SynthWebConfig(n_hosts=8, base_pages=40, transient_fail_mod=3)
+    seeds_pdf = make_seed_urls(web, 30)
+    ora = crawl_serial(web, seeds_pdf, max_generations=5, max_retries=2)
+    cfg = CrawlConfig(
+        web=web,
+        bloom=BloomParams.size_for(20_000, n_buckets=16),
+        max_generations=5,
+        max_retries=2,
+        fused=True,
+    )
+    res = CrawlPlan(spark, cfg).run(spark.createDataFrame(seeds_pdf))
+
+    eng = (
+        res.crawl_log.toPandas()
+        .sort_values(["generation", "priority"])
+        .reset_index(drop=True)
+    )
+    orl = ora.crawl_log.sort_values("order_rank").reset_index(drop=True)
+    assert len(eng) == len(orl), (len(eng), len(orl))
+    assert eng["url_canon"].tolist() == orl["url_canon"].tolist()
+    assert eng["generation"].tolist() == orl["generation"].tolist()
+    assert eng["ok"].tolist() == orl["ok"].tolist()
+    # transient failures actually happened AND some were retried to success
+    failed = orl[~orl["ok"]]
+    assert len(failed) > 0
+    retried_ok = orl.merge(
+        failed[["url_canon"]].drop_duplicates(), on="url_canon"
+    ).query("ok")
+    assert len(retried_ok) > 0, "no retry ever succeeded; weak fixture"
+    # seen set identical
+    eng_seen = set(res.seen_exact.toPandas()["url_hash"].astype(np.int64))
+    assert eng_seen == {int(h) for h in ora.seen_hashes}
+    # pages: one row per eventually-ok URL, equal sets
+    eng_pages = res.pages.toPandas()
+    assert set(eng_pages["image_id"]) == set(ora.pages["image_id"])
+    assert len(eng_pages) == len(set(eng_pages["image_id"]))
