@@ -91,6 +91,7 @@ def fused_filter_schedule(
     blobs: dict[int, bytes] | None = None,
     params: BloomParams | None = None,
     emit_dropped: bool = False,
+    budget_left: dict[str, int] | None = None,
 ) -> DataFrame:
     """candidates (url_hash,url_canon,host,host_bucket,priority[,is_new]) ×
     exact (url_hash,host_bucket) → rows with status ∈
@@ -108,6 +109,13 @@ def fused_filter_schedule(
     that produced ``host_bucket``), trading ~20% of the candidate
     exchange's bytes — a host string per row — for a short per-bucket
     regex pass that scales with cores instead of shuffle bandwidth.
+
+    ``budget_left`` (host → remaining lifetime quota) caps this
+    generation's per-host budget at ``min(per_gen, remaining)`` — the
+    cumulative key-retirement semantics of the reference's daily API
+    quotas (/root/reference/youtube/get_youtube_v1.2.py:53-63,
+    /root/reference/coinmarketcap/coin_market_cap_api_2.0.py:99-125).
+    Broadcast like the robots dicts (a per-host dimension).
     """
     if "is_new" not in candidates.columns:
         candidates = candidates.withColumn("is_new", F.lit(True))
@@ -120,6 +128,9 @@ def fused_filter_schedule(
     budgets = rb["max_per_generation"].to_dict()
     disallow = {h: v for h, v in rb["disallow_prefixes"].items() if len(v)}
     robots_bc = spark.sparkContext.broadcast((delays, budgets, disallow))
+    left_bc = (
+        spark.sparkContext.broadcast(budget_left) if budget_left is not None else None
+    )
     default_delay, default_budget = cfg.default_delay_ms, cfg.default_budget
 
     def run(cand: pd.DataFrame, exact_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -196,6 +207,11 @@ def fused_filter_schedule(
         )
         rank = (allowed.groupby("host", sort=False).cumcount() + 1).to_numpy()
         budget = allowed["host"].map(lambda x: budgets.get(x, default_budget)).to_numpy()
+        if left_bc is not None:
+            left = allowed["host"].map(
+                lambda x: left_bc.value.get(x, np.iinfo(np.int64).max)
+            ).to_numpy()
+            budget = np.minimum(budget, np.maximum(left, 0))
         delay = allowed["host"].map(lambda x: delays.get(x, default_delay)).to_numpy()
         sched = rank <= budget
         parts = [

@@ -183,3 +183,109 @@ def embedding_near_dups(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def _kmeans_centroids(
+    data: DataFrame, dim: int, k: int, vec_col: str, iters: int = 3, seed: int = 7
+) -> list[list[float]]:
+    """Deterministic k-means for the IVF coarse quantizer.
+
+    Init = first k rows of a seeded hash-ordered sample (stable across
+    runs/partitionings); each refinement iteration is ONE map-side
+    aggregation: assign every vector to its nearest centroid with a
+    codegen'd argmin chain, then average per cell. Driver holds only the
+    k×dim centroid matrix — the data never leaves executors.
+    """
+    init = (
+        data.select(F.col(vec_col).alias("v"))
+        .withColumn("__h", F.xxhash64(F.lit(seed), F.col("v").cast("array<string>")))
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    cents = [list(map(float, r["v"])) for r in init]
+    for _ in range(iters):
+        assigned = data.select(
+            nearest_centroid(F.col(vec_col), cents).alias("cell"), F.col(vec_col).alias("v")
+        )
+        sums = assigned.groupBy("cell").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        ).collect()
+        new = list(cents)
+        for r in sums:
+            new[r["cell"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+        cents = new
+    return cents
+
+
+def nearest_centroid(vec_col, centroids: list[list[float]]):
+    """Codegen'd argmin over squared distance to literal centroids.
+
+    Monotone trick: ||v - c||² = ||v||² - 2·v·c + ||c||², and ||v||² is
+    constant per row, so argmin reduces to argmax(v·c - ||c||²/2) — one
+    dot product per centroid, folded by Catalyst, selected via
+    array_position(max). No UDF.
+    """
+    scores = []
+    for c in centroids:
+        half_norm = sum(x * x for x in c) / 2.0
+        scores.append(
+            _dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) - F.lit(half_norm)
+        )
+    arr = F.array(*scores)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def centroid_rank_cells(vec_col, centroids: list[list[float]], nprobe: int):
+    """Array of the nprobe nearest cell ids (same score trick, full sort)."""
+    scored = F.array(*[
+        F.struct(
+            (_dot(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+             - F.lit(sum(x * x for x in c) / 2.0)).alias("s"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return F.transform(top, lambda x: x["cell"])
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means cells + multi-probe rerank.
+
+    The inverted-file layout at 10^10 rows: every vector sits in exactly
+    one cell (equi-partitionable, writable as a partitioned table); a
+    query scans only its ``nprobe`` nearest cells — candidates ≈
+    N·nprobe/n_cells — then exact cosine reranks. Complements the SRP-LSH
+    path (lsh_bucket_topk): IVF adapts to the data distribution where SRP
+    is oblivious. All Catalyst expressions; no UDF.
+    """
+    cents = _kmeans_centroids(data, dim, n_cells, vec_col)
+    d = data.select(
+        F.col(id_col), F.col(vec_col).alias("__vec"),
+        nearest_centroid(F.col(vec_col), cents).alias("cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+        F.explode(centroid_rank_cells(F.col(vec_col), cents, nprobe)).alias("cell"),
+    )
+    cand = d.join(q, "cell").select(query_id_col, id_col, "__vec", "__qvec").distinct()
+    scored = cand.select(
+        query_id_col, id_col, cosine(F.col("__vec"), F.col("__qvec")).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

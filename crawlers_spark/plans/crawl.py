@@ -62,6 +62,11 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     bloom_broadcast: bool = True
     compact_every: int = 4  # bloom epoch compaction cadence
+    # lifetime per-host quota (key-retirement semantics, reference:
+    # daily API budgets /root/reference/youtube/get_youtube_v1.2.py:53-63):
+    # each generation's per-host budget is capped at the remaining quota;
+    # None disables (fused path only)
+    total_budget_per_host: int | None = None
     # bounded requeue of failed fetches: a not-ok row re-enters the next
     # generation (same priority, retry_count+1) until max_retries is
     # exhausted (fused path only; reference analog: reconnect-and-retry,
@@ -237,6 +242,9 @@ class CrawlPlan:
         assert self.cfg.max_retries == 0, (
             "failed-fetch requeue is implemented in the fused loop only"
         )
+        assert self.cfg.total_budget_per_host is None, (
+            "lifetime host quotas are implemented in the fused loop only"
+        )
         return self._run_composed(seeds, resume)
 
     def _run_composed(self, seeds: DataFrame, resume: bool = False) -> CrawlResult:
@@ -410,6 +418,32 @@ class CrawlPlan:
             wall_s=time.monotonic() - t0,
         )
 
+    def _bootstrap_schedule(self, frontier, g0, robots_pd, host_spent):
+        """Schedule the first generation. Without lifetime quotas this is
+        the composed scheduler; with them, the fused op (bypass-only input,
+        equivalence-tested against the composed path) applies the
+        min(per-gen, remaining-quota) cap exactly like later generations."""
+        cfg, spark = self.cfg, self.spark
+        if cfg.total_budget_per_host is None:
+            s, dfr, _dis = schedule_generation(
+                frontier.withColumn("generation", F.lit(g0)),
+                self.robots, cfg.scheduler,
+            )
+            return s, dfr.select(*FRONTIER_COLS)
+        budget_left = {
+            h: cfg.total_budget_per_host - host_spent.get(h, 0)
+            for h in robots_pd["host"]
+        }
+        empty_exact = spark.createDataFrame([], "url_hash long, host_bucket int")
+        boot = fused_filter_schedule(
+            spark, frontier.withColumn("is_new", F.lit(False)), empty_exact,
+            robots_pd, cfg.scheduler, budget_left=budget_left,
+        )
+        return (
+            boot.filter("status = 'scheduled'"),
+            boot.filter("status = 'deferred'").select(*FRONTIER_COLS),
+        )
+
     # ---------- fused loop ----------
     def _run_fused(self, seeds: DataFrame, resume: bool = False) -> CrawlResult:
         """One heavy exchange per generation: the fused bucket-local
@@ -461,11 +495,10 @@ class CrawlPlan:
                 if n_frontier is None:
                     n_frontier = frontier.count()
                 if n_frontier:
-                    s, dfr, _dis = schedule_generation(
-                        frontier.withColumn("generation", F.lit(g0)),
-                        self.robots, cfg.scheduler,
+                    scheduled, deferred = self._bootstrap_schedule(
+                        frontier, g0, robots_pd,
+                        host_spent=dict(manifest.get("host_spent", {})),
                     )
-                    scheduled, deferred = s, dfr.select(*FRONTIER_COLS)
         else:
             g0 = 0
             frontier = prepare_frontier(seeds, cfg.n_host_buckets).persist()
@@ -476,14 +509,15 @@ class CrawlPlan:
             n_frontier = first["n"]
             exact = frontier.select("url_hash", "host_bucket")
             if n_frontier:
-                s, dfr, _dis = schedule_generation(
-                    frontier.withColumn("generation", F.lit(g0)),
-                    self.robots, cfg.scheduler,
+                scheduled, deferred = self._bootstrap_schedule(
+                    frontier, g0, robots_pd, host_spent={}
                 )
-                scheduled, deferred = s, dfr.select(*FRONTIER_COLS)
         exact = exact.localCheckpoint(eager=True)
 
         gen_stats: dict[int, tuple[dict, int]] = {}
+        host_spent: dict[str, int] = (
+            dict(manifest.get("host_spent", {})) if manifest else {}
+        )
         generations = g0
         for g in range(g0, g0 + cfg.max_generations):
             gen_t0 = time.monotonic()
@@ -516,14 +550,11 @@ class CrawlPlan:
             )
             if deferred is not None:
                 dcols = ["url_canon", "url_hash", "host_bucket", "priority"]
-                d = deferred.select(*dcols).withColumn("is_new", F.lit(False))
                 if "retry_count" in deferred.columns:
-                    d = deferred.select(*dcols, "retry_count").withColumn(
-                        "is_new", F.lit(False)
-                    )
-                else:
-                    d = d.withColumn("retry_count", F.lit(0))
-                cand = cand.unionByName(d)
+                    d = deferred.select(*dcols, "retry_count")
+                else:  # pre-retry checkpoint resume
+                    d = deferred.select(*dcols).withColumn("retry_count", F.lit(0))
+                cand = cand.unionByName(d.withColumn("is_new", F.lit(False)))
             if cfg.max_retries > 0:
                 # bounded requeue: failed fetches re-enter the next
                 # generation as bypass rows (already in the seen-set),
@@ -536,12 +567,23 @@ class CrawlPlan:
                     (F.col("retry_count") + 1).alias("retry_count"),
                 )
                 cand = cand.unionByName(requeue)
+            budget_left = None
+            if cfg.total_budget_per_host is not None:
+                # charge this generation's scheduled fetches, then expose
+                # the remaining lifetime quota to the next schedule
+                for r in fetched.groupBy("host").agg(F.count("*").alias("n")).collect():
+                    host_spent[r["host"]] = host_spent.get(r["host"], 0) + r["n"]
+                budget_left = {
+                    h: cfg.total_budget_per_host - host_spent.get(h, 0)
+                    for h in robots_pd["host"]
+                }
             # eager localCheckpoint (not persist): the loop-carried
             # scheduled/deferred both re-reference this frame, so without a
             # lineage cut the logical plan tree grows multiplicatively per
             # generation (plan-string OOM by gen ~5)
             fused_out = fused_filter_schedule(
-                spark, cand, exact, robots_pd, cfg.scheduler, emit_dropped=True
+                spark, cand, exact, robots_pd, cfg.scheduler, emit_dropped=True,
+                budget_left=budget_left,
             ).localCheckpoint(eager=True)
 
             # One small agg over the fused output drives every loop counter
@@ -617,6 +659,7 @@ class CrawlPlan:
                         "filter_epoch": 0,
                         "totals": totals,
                         "frontier_count": n_frontier,
+                        "host_spent": host_spent,
                         "lineage": {"host_buckets": cfg.n_host_buckets,
                                     "bloom_buckets": cfg.bloom.n_buckets,
                                     "fused": True},

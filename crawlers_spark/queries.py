@@ -826,6 +826,26 @@ SELECT query_id, vec_id, rank, round(cs, 6) AS cos_sim FROM r WHERE rank <= 10
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-10 per query vector (operators/similarity.py
+    ivf_topk): deterministic k-means cells + 4-probe exact rerank — the
+    distribution-adaptive ANN scale path beside SRP-LSH. Rows-only (the
+    k-means quantizer is not SQL-expressible); recall vs the exact
+    cosine_topk baseline asserted in tests/test_kernels.py."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, q, dim=64, k=10, n_cells=16, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     """SRP-LSH bucketed near-dup pairs over embeddings (scale path;
     rows-only — hyperplane bucketing is not SQL-expressible). Bucket bits
@@ -843,11 +863,17 @@ def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _small_web():
+    from .sources.synthweb import SynthWebConfig
+
+    return SynthWebConfig(n_hosts=8, base_pages=60)
+
+
 def _small_crawl(spark: SparkSession, generations: int = 2):
     from .plans.crawl import CrawlConfig, CrawlPlan, prepare_frontier
-    from .sources.synthweb import SynthWebConfig, make_seed_urls
+    from .sources.synthweb import make_seed_urls
 
-    web = SynthWebConfig(n_hosts=8, base_pages=60)
+    web = _small_web()
     cfg = CrawlConfig(web=web, max_generations=generations, n_host_buckets=8)
     plan = CrawlPlan(spark, cfg)
     seeds = spark.createDataFrame(make_seed_urls(web, 16))
@@ -986,6 +1012,71 @@ FROM orders
 """
 
 
+def q_orders_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed merge / upsert-latest-per-entity (reference freshness guard,
+    /root/reference/worldcup/db/deal_mysql_info.py:44-57): a delta batch
+    (every 10th order, price bumped, version 2) merged into the base
+    (version 1); newest version wins per o_orderkey, delta wins ties.
+    Aggregated so the driver compares a compact stable result."""
+    from .operators.merge import merge_latest
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("version")
+    )
+    delta = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn("version", F.lit(2))
+    )
+    merged = merge_latest(o, delta, keys=["o_orderkey"], version_col="version")
+    return merged.groupBy("o_orderstatus", "version").agg(
+        F.count("*").alias("n"),
+        _e(F.col("o_totalprice"), 2).alias("price_e2"),
+    )
+
+
+ORACLE_ORDERS_UPSERT = """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders),
+delta AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice, 2 AS version
+          FROM orders WHERE o_orderkey % 10 = 0),
+u AS (SELECT *, 0 AS src FROM base UNION ALL SELECT *, 1 AS src FROM delta),
+m AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY version DESC, src DESC) AS rn FROM u)
+SELECT o_orderstatus, version, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_e2
+FROM m WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+def q_crawl_backfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded backfill re-crawl (reference: time-bounded re-fetch,
+    /root/reference/nft/opensea/opensea_api.py:143-227): re-fetch only
+    generation 1's ok rows from the finished crawl's log and verify the
+    payloads are identical (deterministic idempotent re-crawl). Returns
+    per-host counts with a match flag; rows-only driver check."""
+    from .sources.fetcher import fetch_scheduled
+
+    res = _small_crawl(spark)
+    window = res.crawl_log.filter((F.col("generation") == 1) & F.col("ok"))
+    redo = window.select(
+        "url_canon", F.xxhash64("url_canon").alias("url_hash"),
+        "host", "host_bucket", "priority", "generation",
+        F.lit(0).alias("fetch_offset_ms"),
+    )
+    refetched = fetch_scheduled(redo, _small_web()).select(
+        "url_canon", F.col("phash").alias("phash_new")
+    )
+    orig = res.pages.filter(F.col("generation") == 1).select("url_canon", "phash")
+    j = orig.join(refetched, "url_canon")
+    return (
+        j.groupBy(F.regexp_extract("url_canon", r"http://([^/]+)", 1).alias("host"))
+        .agg(
+            F.count("*").alias("n_refetched"),
+            F.sum(F.when(F.col("phash") == F.col("phash_new"), 1).otherwise(0)).alias("n_match"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -1008,6 +1099,7 @@ QUERIES: dict[str, tuple] = {
     "events_tz": (q_events_tz, ORACLE_EVENTS_TZ),
     "event_durations": (q_event_durations, ORACLE_EVENT_DURATIONS),
     "order_month_dates": (q_order_month_dates, ORACLE_ORDER_MONTH_DATES),
+    "orders_upsert": (q_orders_upsert, ORACLE_ORDERS_UPSERT),
     "running_total": (q_running_total, ORACLE_RUNNING_TOTAL),
     "event_sessions": (q_event_sessions, ORACLE_EVENT_SESSIONS),
     "region_rollup_cube": (q_region_rollup_cube, ORACLE_REGION_ROLLUP_CUBE),
@@ -1024,8 +1116,10 @@ QUERIES: dict[str, tuple] = {
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, None),
+    "ivf_topk": (q_ivf_topk, None),
     "crawl_pages_by_host": (q_crawl_pages_by_host, None),
     "crawl_schedule": (q_crawl_schedule, None),
+    "crawl_backfill": (q_crawl_backfill, None),
     "image_decode_stats": (q_image_decode_stats, None),
     "phash_near_dups": (q_phash_near_dups, None),
 }

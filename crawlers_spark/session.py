@@ -43,6 +43,11 @@ def get_spark(
                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.io.compression.codec", os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
+        # RAM-backed shuffle/spill dir: on this single box the disk is the
+        # one resource that does NOT grow with core count, so a disk-backed
+        # local.dir caps scaling; on a real cluster each executor brings its
+        # own local disks and this knob is the cluster default layout anyway
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

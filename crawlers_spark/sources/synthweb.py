@@ -262,6 +262,39 @@ def distributed_seed_urls(spark, cfg: SynthWebConfig, n: int, start: int = 0,
     return rng.mapInPandas(gen, schema="url string, seed_rank long")
 
 
+def distributed_candidates(spark, cfg: SynthWebConfig, n: int, n_host_buckets: int,
+                           start: int = 0, partitions: int | None = None):
+    """Generate + canonicalize candidates in ONE Python pass.
+
+    ``distributed_seed_urls`` |> ``canonize`` is two adjacent mapInPandas
+    stages, which ships every messy URL string Python→JVM→Python through
+    Arrow between them — pure serialization cost. Fusing them means only
+    the int64 range enters Python and only the canonical columns
+    (url_canon, url_hash, host_bucket, priority) leave; the raw spelling
+    never crosses the boundary at all. Identical output to the composed
+    pair (same kernels), ~2x less Arrow traffic on the generate side.
+    """
+    from ..functions.hashing import fnv64, pmod_bucket
+    from ..functions.urls import canon_urls, url_host
+
+    def gen(batches):
+        for pdf in batches:
+            raw = seed_urls_pdf(cfg, pdf["id"].to_numpy())
+            canon = canon_urls(raw["url"])
+            out = pd.DataFrame({
+                "url_canon": canon,
+                "url_hash": fnv64(canon),
+                "host_bucket": pmod_bucket(fnv64(url_host(canon)), n_host_buckets),
+                "priority": raw["seed_rank"].to_numpy(),
+            })
+            yield out
+
+    rng = spark.range(start, start + n, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(
+        gen, schema="url_canon string, url_hash long, host_bucket int, priority long"
+    )
+
+
 def robots_pdf(cfg: SynthWebConfig) -> pd.DataFrame:
     """Per-host politeness dimension table (robots cache).
 

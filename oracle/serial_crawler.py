@@ -41,6 +41,7 @@ def crawl_serial(
     n_host_buckets: int = 32,
     max_generations: int = 50,
     max_retries: int = 0,
+    total_budget_per_host: int | None = None,
 ) -> OracleResult:
     robots = robots if robots is not None else robots_pdf(web)
     rob = robots.set_index("host")
@@ -58,6 +59,7 @@ def crawl_serial(
     next_priority = (max(p for p, *_ in frontier) + 1) if frontier else 0
 
     log_rows, page_rows, metric_rows = [], [], []
+    host_spent: dict[str, int] = {}
     order_rank = 0
     for g in range(max_generations):
         if not frontier:
@@ -74,6 +76,10 @@ def crawl_serial(
                 prefixes = rob.loc[ho, "disallow_prefixes"]
             else:
                 budget, prefixes = sched.default_budget, []
+            if total_budget_per_host is not None:
+                budget = min(
+                    budget, max(0, total_budget_per_host - host_spent.get(ho, 0))
+                )
             path = "/" + u.split("://", 1)[1].split("/", 1)[1] if "/" in u.split("://", 1)[1] else "/"
             if any(path.startswith(p) for p in prefixes):
                 n_disallowed += 1
@@ -83,6 +89,9 @@ def crawl_serial(
                 scheduled.append(item)
             else:
                 deferred.append(item)
+
+        for _, _, _, ho, _ in scheduled:
+            host_spent[ho] = host_spent.get(ho, 0) + 1
 
         # fetch in global priority order (= reference serial order)
         urls = pd.Series([u for _, u, _, _, _ in scheduled])

@@ -172,3 +172,34 @@ def test_retry_requeue_matches_oracle(spark):
     eng_pages = res.pages.toPandas()
     assert set(eng_pages["image_id"]) == set(ora.pages["image_id"])
     assert len(eng_pages) == len(set(eng_pages["image_id"]))
+
+
+def test_lifetime_host_quota_matches_oracle(spark):
+    """Cumulative per-host quota (key-retirement semantics): once a host
+    has consumed total_budget_per_host fetches across generations, it
+    schedules nothing more — engine must match the serial oracle."""
+    web = SynthWebConfig(n_hosts=6, base_pages=80)
+    seeds_pdf = make_seed_urls(web, 40)
+    ora = crawl_serial(web, seeds_pdf, max_generations=5, total_budget_per_host=9)
+    cfg = CrawlConfig(
+        web=web,
+        bloom=BloomParams.size_for(20_000, n_buckets=16),
+        max_generations=5,
+        total_budget_per_host=9,
+        fused=True,
+    )
+    res = CrawlPlan(spark, cfg).run(spark.createDataFrame(seeds_pdf))
+
+    eng = (
+        res.crawl_log.toPandas()
+        .sort_values(["generation", "priority"])
+        .reset_index(drop=True)
+    )
+    orl = ora.crawl_log.sort_values("order_rank").reset_index(drop=True)
+    assert len(eng) == len(orl), (len(eng), len(orl))
+    assert eng["url_canon"].tolist() == orl["url_canon"].tolist()
+    assert eng["generation"].tolist() == orl["generation"].tolist()
+    # the quota actually bound: no host exceeds it, some host hits it
+    per_host = eng.groupby("host").size()
+    assert (per_host <= 9).all()
+    assert (per_host == 9).any(), "quota never binding; weak fixture"

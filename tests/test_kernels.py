@@ -291,3 +291,30 @@ class TestShingleCandidates:
         a = {(r["id_a"], r["id_b"]) for r in shingle_candidate_pairs(sh, "doc_id", 64).collect()}
         b = {(r["id_a"], r["id_b"]) for r in shingle_candidate_pairs(sh, "doc_id", 10**9).collect()}
         assert a == b  # df <= 20 < cap: identical candidates
+
+
+class TestIvfTopk:
+    """IVF ANN: multi-probe recall vs the exact brute-force baseline."""
+
+    def test_recall_vs_bruteforce(self, spark):
+        import numpy as np
+
+        from crawlers_spark.operators.similarity import cosine_topk, ivf_topk
+
+        rng = np.random.default_rng(3)
+        # clustered data so the coarse quantizer has structure to learn
+        centers = rng.standard_normal((6, 16)) * 3
+        rows = []
+        for i in range(240):
+            c = centers[i % 6]
+            rows.append((f"v{i:03d}", [float(x) for x in c + rng.standard_normal(16)]))
+        data = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        queries = spark.createDataFrame(
+            [(r[0], r[1]) for r in rows[:5]], "query_id string, embedding array<double>"
+        )
+        exact = cosine_topk(data, queries, k=10)
+        approx = ivf_topk(data, queries, dim=16, k=10, n_cells=8, nprobe=3)
+        e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+        recall = len(a & e) / len(e)
+        assert recall >= 0.8, f"IVF recall {recall:.2f}"
