@@ -107,14 +107,50 @@ class CuckooFilter:
 
     def insert(self, hashes: np.ndarray) -> int:
         """Insert all (idempotent for present fingerprints); returns the
-        number of items that could not be placed (table overfull)."""
+        number of items that could not be placed (table overfull).
+
+        Vectorized common path: batch-dedup (bucket, fingerprint) pairs,
+        batch-drop already-present ones, then bulk empty-slot placement in
+        rounds — each round claims the first empty slot for at most one
+        new fingerprint per bucket (np.unique picks the representative,
+        so concurrent writes to one bucket cannot race). Only items still
+        unplaced after the bulk rounds (buckets full on both sides) fall
+        back to the scalar random-walk eviction."""
         h = np.asarray(hashes, np.int64)
+        if len(h) == 0:
+            return 0
         fp_all = self._fingerprints(h)
         i1_all = self._index1(h)
+        # unique (i1, fp): insert is fingerprint-idempotent
+        key = (i1_all.view(np.uint64) << np.uint64(16)) | fp_all.astype(np.uint64)
+        _, first = np.unique(key, return_index=True)
+        fp_u = fp_all[first]
+        i1_u = i1_all[first]
+        i2_u = self._alt_index(i1_u, fp_u)
+        present = (self.table[i1_u] == fp_u[:, None]).any(axis=1) | (
+            self.table[i2_u] == fp_u[:, None]
+        ).any(axis=1)
+        fp_u, i1_u, i2_u = fp_u[~present], i1_u[~present], i2_u[~present]
+
+        pending = np.arange(len(fp_u))
+        for attempt in range(8):
+            if len(pending) == 0:
+                break
+            tgt_all = i1_u if attempt % 2 == 0 else i2_u
+            # one candidate per bucket this round
+            _, rep = np.unique(tgt_all[pending], return_index=True)
+            cand = pending[rep]
+            b = tgt_all[cand]
+            empty = self.table[b] == 0
+            ok = empty.any(axis=1)
+            rows, slots = b[ok], empty[ok].argmax(axis=1)
+            self.table[rows, slots] = fp_u[cand[ok]]
+            pending = np.setdiff1d(pending, cand[ok], assume_unique=True)
+
         rng = np.random.RandomState(42)  # deterministic eviction walk
         failed = 0
-        for fp, i1 in zip(fp_all, i1_all):
-            if not self._place(int(fp), int(i1), rng):
+        for k in pending:
+            if not self._place(int(fp_u[k]), int(i1_u[k]), rng):
                 failed += 1
         return failed
 
@@ -130,17 +166,36 @@ class CuckooFilter:
         stranded URL is re-fetched once, and exact-rescue keeps dedup
         correct."""
         h = np.asarray(hashes, np.int64)
+        if len(h) == 0:
+            return np.zeros(0, bool)
         fp_all = self._fingerprints(h)
         i1_all = self._index1(h)
+        i2_all = self._alt_index(i1_all, fp_all)
         out = np.zeros(len(h), bool)
-        for k, (fp, i1) in enumerate(zip(fp_all, i1_all)):
-            i2 = int(self._alt_index(np.array([i1]), np.array([fp]))[0])
-            for idx in (i1, i2):
-                slots = np.flatnonzero(self.table[idx] == fp)
-                if len(slots):
-                    self.table[idx, slots[0]] = 0
-                    out[k] = True
-                    break
+        pending = np.arange(len(h))
+        # bulk rounds, one write per bucket per round (np.unique picks the
+        # representative). Every candidate is resolved definitively each
+        # round — deleted from i1, else from i2, else its fingerprint is
+        # not stored (no inserts run concurrently, so absent stays absent)
+        # — and leaves pending, guaranteeing termination.
+        while len(pending):
+            _, rep = np.unique(i1_all[pending], return_index=True)
+            cand = pending[rep]
+            _, rep2 = np.unique(i2_all[cand], return_index=True)
+            cand = cand[np.sort(rep2)]
+            b1 = i1_all[cand]
+            m1 = self.table[b1] == fp_all[cand][:, None]
+            ok1 = m1.any(axis=1)
+            self.table[b1[ok1], m1[ok1].argmax(axis=1)] = 0
+            out[cand[ok1]] = True
+            rem = cand[~ok1]
+            if len(rem):  # re-read: i1 deletions above may share buckets
+                b2 = i2_all[rem]
+                m2 = self.table[b2] == fp_all[rem][:, None]
+                ok2 = m2.any(axis=1)
+                self.table[b2[ok2], m2[ok2].argmax(axis=1)] = 0
+                out[rem[ok2]] = True
+            pending = np.setdiff1d(pending, cand, assume_unique=True)
         return out
 
     # ---------- (de)serialization for blob tables ----------

@@ -419,28 +419,25 @@ class CrawlPlan:
         )
 
     def _bootstrap_schedule(self, frontier, g0, robots_pd, host_spent):
-        """Schedule the first generation. Without lifetime quotas this is
-        the composed scheduler; with them, the fused op (bypass-only input,
-        equivalence-tested against the composed path) applies the
-        min(per-gen, remaining-quota) cap exactly like later generations."""
+        """Schedule the first generation through the fused op (bypass-only
+        input, equivalence-tested against the composed scheduler): one
+        exchange instead of the two-window salted top-k chain, and the
+        lifetime-quota cap (when configured) applies from generation 0
+        exactly like later generations."""
         cfg, spark = self.cfg, self.spark
-        if cfg.total_budget_per_host is None:
-            s, dfr, _dis = schedule_generation(
-                frontier.withColumn("generation", F.lit(g0)),
-                self.robots, cfg.scheduler,
-            )
-            return s, dfr.select(*FRONTIER_COLS)
-        budget_left = {
-            h: cfg.total_budget_per_host - host_spent.get(h, 0)
-            for h in robots_pd["host"]
-        }
+        budget_left = None
+        if cfg.total_budget_per_host is not None:
+            budget_left = {
+                h: cfg.total_budget_per_host - host_spent.get(h, 0)
+                for h in robots_pd["host"]
+            }
         empty_exact = spark.createDataFrame([], "url_hash long, host_bucket int")
         boot = fused_filter_schedule(
             spark, frontier.withColumn("is_new", F.lit(False)), empty_exact,
             robots_pd, cfg.scheduler, budget_left=budget_left,
         )
         return (
-            boot.filter("status = 'scheduled'"),
+            boot.filter("status = 'scheduled'").withColumn("generation", F.lit(g0)),
             boot.filter("status = 'deferred'").select(*FRONTIER_COLS),
         )
 

@@ -1077,6 +1077,47 @@ def q_crawl_backfill(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting via rolling char 8-grams with
+    content-defined selection (winnowing-style: keep grams whose md5
+    starts with '0', ~1/16): robust to insertions unlike whole-doc
+    hashing (a local edit only perturbs nearby grams). One doc-level
+    fingerprint = md5 of the sorted selected gram hashes. All JVM-side
+    (sequence/explode/substring/md5); md5 keeps the oracle engine-exact.
+    Training-data toolkit; reference analog: content md5 ids,
+    /root/reference/utils/qiniu_upload.py:23."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    grams = (
+        d.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") >= 8)
+        .select(
+            "doc_id", "norm",
+            F.explode(
+                F.sequence(F.lit(1), F.length("norm") - F.lit(7))
+            ).alias("pos"),
+        )
+        .select("doc_id", F.md5(F.expr("substring(norm, pos, 8)")).alias("h"))
+        .filter(F.col("h").startswith("0"))
+    )
+    return grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("fp"),
+    )
+
+
+ORACLE_DOC_FINGERPRINTS = """
+WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+           FROM documents),
+g AS (SELECT doc_id, md5(substr(norm, CAST(i AS INT), 8)) AS h
+      FROM t, unnest(range(1, len(norm) - 6)) AS u(i)
+      WHERE len(norm) >= 8)
+SELECT doc_id, count(*) AS n_grams,
+       md5(string_agg(h, '' ORDER BY h)) AS fp
+FROM g WHERE h LIKE '0%' GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -1108,6 +1149,7 @@ QUERIES: dict[str, tuple] = {
     "events_props_typed": (q_events_props_typed, ORACLE_EVENTS_PROPS_TYPED),
     "all_balances": (q_all_balances, ORACLE_ALL_BALANCES),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "doc_fingerprints": (q_doc_fingerprints, ORACLE_DOC_FINGERPRINTS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_minhash_lsh, None),
     "dedup_simhash": (q_simhash, None),
