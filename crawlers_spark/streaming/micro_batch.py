@@ -142,3 +142,74 @@ def stream_crawl(
         .start()
     )
     return query, state
+
+
+def stream_politeness_schedule(
+    spark: SparkSession,
+    seeds_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    web: SynthWebConfig | None = None,
+    n_host_buckets: int = 8,
+    total_budget_per_host: int = 50,
+):
+    """Custom stateful streaming operator: per-host lifetime quota kept in
+    Structured Streaming state (``applyInPandasWithState``, grouped by
+    host) — the streaming twin of CrawlConfig.total_budget_per_host.
+
+    Each arriving seed file is a micro-batch; every host's cumulative
+    scheduled count lives in the state store (survives restarts via the
+    checkpoint), and a batch schedules at most the remaining quota per
+    host, lowest priority first, stamping host_rank continuing from the
+    state. Reference analog: API-key daily budgets that persist across
+    cron runs (/root/reference/youtube/get_youtube_v1.2.py:53-63).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    web = web or SynthWebConfig()
+
+    src = (
+        spark.readStream.schema("url string, seed_rank long")
+        .parquet(seeds_dir)
+    )
+    frontier = canonize(src, n_host_buckets).withColumn(
+        "priority", F.col("seed_rank").cast("long")
+    )
+
+    out_schema = (
+        "host string, url_canon string, url_hash long, priority long, host_rank int"
+    )
+
+    def schedule(key, pdfs, state: GroupState):
+        (host,) = key
+        used = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["priority", "url_hash"], kind="stable")
+        take = max(0, total_budget_per_host - used)
+        sched = batch.iloc[:take]
+        if len(sched):
+            yield pd.DataFrame({
+                "host": sched["host"],
+                "url_canon": sched["url_canon"],
+                "url_hash": sched["url_hash"],
+                "priority": sched["priority"],
+                "host_rank": (used + pd.RangeIndex(1, len(sched) + 1)).astype("int32"),
+            })
+        state.update((used + len(sched),))
+
+    scheduled = frontier.groupBy("host").applyInPandasWithState(
+        schedule,
+        outputStructType=out_schema,
+        stateStructType="used long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        scheduled.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return query

@@ -78,3 +78,48 @@ def test_agg_is_hash_not_sort(spark):
     plan = _plan(fr)
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
+
+
+def test_upsert_is_single_hash_agg_no_join(spark):
+    # merge_latest must be one aggregation (max_by struct), never a
+    # window sort or a join back to the base table
+    from crawlers_spark.queries import q_orders_upsert
+
+    plan = _plan(q_orders_upsert(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
+
+
+def test_ngram_hot_shingle_anti_join_is_broadcast(spark):
+    # the df-cap's hot-shingle exclusion must broadcast the (tiny) hot
+    # list, not shuffle the shingle table for it
+    from crawlers_spark.queries import q_dedup_ngram_jaccard
+
+    plan = _plan(q_dedup_ngram_jaccard(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_fingerprints_no_python_stage(spark):
+    # rolling-gram fingerprinting stays entirely JVM-side: sequence/
+    # explode/substring/md5 — no Arrow/Python evaluation nodes
+    from crawlers_spark.queries import q_doc_fingerprints
+
+    plan = _plan(q_doc_fingerprints(spark, SF))
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_ivf_assignment_no_python_stage(spark):
+    # IVF cell assignment is codegen'd Catalyst expressions (literal
+    # centroids + dot products), not a UDF
+    from crawlers_spark.operators.similarity import nearest_centroid
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, v array<double>"
+    )
+    out = df.select(nearest_centroid(F.col("v"), [[1.0, 0.0], [0.0, 1.0]]).alias("c"))
+    plan = _plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert [r["c"] for r in out.collect()] == [0, 1]

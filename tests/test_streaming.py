@@ -70,3 +70,45 @@ def test_stream_crawl_two_generations(spark, tmp_path):
     rows = pages.collect()
     assert len(rows) > 0
     assert all(r["bytes"] is not None for r in rows)
+
+
+def test_stateful_quota_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-host quota state survives a query
+    restart via the checkpoint — the second run's scheduling continues
+    from (and never exceeds) the quota consumed by the first."""
+    import pandas as pd
+
+    from crawlers_spark.sources.synthweb import SynthWebConfig, make_seed_urls
+    from crawlers_spark.streaming.micro_batch import stream_politeness_schedule
+
+    web = SynthWebConfig(n_hosts=4, base_pages=200)
+    seeds_dir = tmp_path / "seeds"
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    seeds_dir.mkdir()
+
+    all_seeds = make_seed_urls(web, 160)
+    all_seeds.iloc[:80].to_parquet(seeds_dir / "batch0.parquet")
+    q = stream_politeness_schedule(
+        spark, str(seeds_dir), str(out_dir), str(ckpt),
+        web=web, total_budget_per_host=30,
+    )
+    q.awaitTermination(120)
+    first = pd.read_parquet(out_dir)
+    per_host_1 = first.groupby("host").size()
+    assert (per_host_1 <= 30).all()
+    assert (first.groupby("host")["host_rank"].max() == per_host_1).all()
+
+    all_seeds.iloc[80:].to_parquet(seeds_dir / "batch1.parquet")
+    q2 = stream_politeness_schedule(
+        spark, str(seeds_dir), str(out_dir), str(ckpt),
+        web=web, total_budget_per_host=30,
+    )
+    q2.awaitTermination(120)
+    both = pd.read_parquet(out_dir)
+    per_host = both.groupby("host").size()
+    assert (per_host <= 30).all()  # lifetime quota across restarts
+    assert len(both) > len(first)  # second batch scheduled something
+    # host_rank is a continuous 1..n sequence per host across batches
+    for h, grp in both.groupby("host"):
+        assert sorted(grp["host_rank"]) == list(range(1, len(grp) + 1))
