@@ -69,15 +69,19 @@ def ship_package(spark: SparkSession) -> None:
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(tempfile.gettempdir(), "crawlers_spark_pyfiles.zip")
-    if not os.path.exists(zip_path):
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                sources.append(os.path.join(root, fn))
+    # rebuild when stale: executors must never unpickle against an older
+    # package than the driver's (a cached zip from a previous session
+    # silently drops modules added since)
+    newest = max(os.path.getmtime(p) for p in sources)
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
         with zipfile.ZipFile(zip_path + ".tmp", "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.join(
-                            "crawlers_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        zf.write(full, rel)
+            for full in sorted(sources):
+                rel = os.path.join("crawlers_spark", os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
         os.replace(zip_path + ".tmp", zip_path)
     spark.sparkContext.addPyFile(zip_path)
