@@ -46,3 +46,31 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: the co-located-join layout for tables that
+    are repeatedly joined on the same key (seen-set by url_hash, pages by
+    image_id). A join between two tables bucketed on the join key with
+    the same bucket count needs NO exchange at all — each task joins
+    bucket i with bucket i — which at 10^10 rows turns the dominant
+    shuffle into a local merge (asserted in tests/test_plan_quality.py).
+    Spark-native bucketing (no Hive); Iceberg's bucket partition
+    transform is the drop-in equivalent when the catalog is available.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    w = w.sortBy(*(sort_cols or bucket_cols))
+    w.saveAsTable(table)
+
+
+def load_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table (bucket metadata rides the catalog entry, so
+    joins on the bucket key skip the exchange)."""
+    return spark.table(table)
