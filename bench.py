@@ -176,7 +176,10 @@ def run_crawl_bench(cpus: int, reps: int | None = None) -> dict:
     return out
 
 
-def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
+def run_queries(sf_dir: str, cpus: int, reps: int = 2) -> dict[str, float]:
+    """Per-query wall time, min of ``reps`` runs — the host VM's
+    throughput drifts ±30% on multi-minute timescales, and a single
+    sample confounds engine speed with drift."""
     from crawlers_spark.queries import QUERIES
 
     spark = _get_spark(cpus, shuffle=32)
@@ -184,9 +187,12 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = QUERIES[name]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).collect()
-        times[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.monotonic() - t0)
+        times[name] = round(best, 3)
     spark.stop()
     return times
 
