@@ -851,10 +851,16 @@ def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     rows-only — hyperplane bucketing is not SQL-expressible). Bucket bits
     auto-sized to the table (near_dup_bits_for: ~N/256-row buckets), with
     3-table multi-probe recovering banding recall."""
+    import os
+
+    import pyarrow.parquet as pq
+
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    out = embedding_near_dups(emb, dim=64, threshold=0.5)
+    # row count from parquet footer metadata (no Spark job) sizes n_bits
+    n_rows = pq.ParquetFile(os.path.join(sf, "embeddings.parquet")).metadata.num_rows
+    out = embedding_near_dups(emb, dim=64, threshold=0.5, n_rows=n_rows)
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
