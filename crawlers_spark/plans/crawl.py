@@ -512,6 +512,7 @@ class CrawlPlan:
         exact = exact.localCheckpoint(eager=True)
 
         gen_stats: dict[int, tuple[dict, int]] = {}
+        prev_tbl: str | None = None
         host_spent: dict[str, int] = (
             dict(manifest.get("host_spent", {})) if manifest else {}
         )
@@ -638,13 +639,38 @@ class CrawlPlan:
                 nxt.select(*FRONTIER_COLS).write.mode("overwrite").parquet(
                     os.path.join(dgen, "frontier")
                 )
-                exact.withColumn(
-                    "bloom_bucket",
-                    F.pmod(F.col("url_hash"), F.lit(cfg.bloom.n_buckets)).cast("int"),
-                ).write.mode("overwrite").parquet(os.path.join(dgen, "seen_exact"))
-                exact = spark.read.parquet(os.path.join(dgen, "seen_exact")).select(
-                    "url_hash", "host_bucket"
+                # snapshot the seen-set as a BUCKETED external table on
+                # host_bucket: the next generation's cogroup then reads it
+                # co-located and elides the exact-side exchange entirely
+                # (plan-asserted in tests/test_plan_quality.py; elision
+                # requires n_host_buckets == spark.sql.shuffle.partitions,
+                # else Spark re-shuffles one side to align) — at 10^10
+                # seen rows that exchange dominates the loop. The files
+                # stay plain parquet under the checkpoint dir (resume via
+                # spark.read.parquet still works; bucketing metadata lives
+                # in the catalog entry only).
+                import hashlib
+
+                tbl = "crawl_seen_{}_{:05d}".format(
+                    hashlib.md5(os.path.abspath(cfg.checkpoint_dir).encode())
+                    .hexdigest()[:8], g,
                 )
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                (
+                    exact.withColumn(
+                        "bloom_bucket",
+                        F.pmod(F.col("url_hash"), F.lit(cfg.bloom.n_buckets)).cast("int"),
+                    )
+                    .write.mode("overwrite").format("parquet")
+                    .bucketBy(cfg.n_host_buckets, "host_bucket")
+                    .sortBy("url_hash")
+                    .option("path", os.path.join(dgen, "seen_exact"))
+                    .saveAsTable(tbl)
+                )
+                exact = spark.table(tbl).select("url_hash", "host_bucket")
+                if prev_tbl is not None:
+                    spark.sql(f"DROP TABLE IF EXISTS {prev_tbl}")
+                prev_tbl = tbl
                 build_bucket_filters(exact, cfg.bloom).write.mode("overwrite").parquet(
                     os.path.join(dgen, "filters")
                 )

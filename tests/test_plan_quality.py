@@ -155,3 +155,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bj_left")
         spark.sql("DROP TABLE IF EXISTS bj_right")
+
+
+def test_bucketed_seen_elides_cogroup_exchange(spark, tmp_path):
+    # the fused step's exact side, snapshotted as a bucketed table on
+    # host_bucket (what CrawlPlan's checkpoint mode writes), joins the
+    # cogroup WITHOUT its own exchange: only the candidate side shuffles
+    from crawlers_spark.operators.fused_schedule import fused_filter_schedule
+    from crawlers_spark.operators.scheduler import SchedulerConfig
+    from crawlers_spark.plans.crawl import prepare_frontier
+    from crawlers_spark.sources.synthweb import (
+        SynthWebConfig, make_seed_urls, robots_pdf,
+    )
+
+    web = SynthWebConfig(n_hosts=16, base_pages=200)
+    cand = prepare_frontier(spark.createDataFrame(make_seed_urls(web, 400)), 8)
+    exact = prepare_frontier(
+        spark.createDataFrame(
+            make_seed_urls(web, 200).assign(seed_rank=lambda d: d.seed_rank + 9000)
+        ), 8,
+    ).select("url_hash", "host_bucket")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.sql("DROP TABLE IF EXISTS seen_bkt_test")
+    (
+        exact.write.mode("overwrite").format("parquet")
+        .bucketBy(n_shuffle, "host_bucket").sortBy("url_hash")
+        .option("path", str(tmp_path / "seen"))
+        .saveAsTable("seen_bkt_test")
+    )
+    try:
+        out = fused_filter_schedule(
+            spark, cand, spark.table("seen_bkt_test"),
+            robots_pdf(web), SchedulerConfig(),
+        )
+        plan = _simple_plan(out)
+        assert plan.count("Exchange hashpartitioning(host_bucket") == 1, plan
+        assert out.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_bkt_test")
