@@ -36,19 +36,55 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+try:
+    import pyarrow as pa
+
+    _HAS_PA = True
+except ImportError:  # pragma: no cover
+    _HAS_PA = False
+
+
 def _byte_matrix(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Pack a string Series into a zero-padded (n, max_len) uint8 matrix."""
-    enc = values.fillna("").astype(str).str.encode("utf-8")
-    lens = enc.str.len().to_numpy(np.int64)
-    n = len(enc)
+    """Pack a string Series into a zero-padded (n, max_len) uint8 matrix.
+
+    Fast path: one Arrow conversion yields a single contiguous UTF-8
+    buffer + offsets (no per-row bytes objects, no driver-side join);
+    the padded matrix is then one fancy-index scatter. The pure-pandas
+    fallback produces identical bytes (UTF-8 both ways).
+    """
+    n = len(values)
     if n == 0:
-        return np.zeros((0, 0), np.uint8), lens
+        return np.zeros((0, 0), np.uint8), np.zeros(0, np.int64)
+    flat = lens = None
+    if _HAS_PA:
+        try:
+            s = values if values.dtype == object else values.astype(object)
+            arr = pa.array(
+                s.to_numpy(dtype=object, copy=False),
+                type=pa.large_string(), from_pandas=True,
+            )
+            if arr.null_count:
+                import pyarrow.compute as pc
+
+                arr = pc.fill_null(arr, "")
+            off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+            offsets = np.frombuffer(off_buf, np.int64, n + 1, arr.offset * 8)
+            lens = offsets[1:] - offsets[:-1]
+            data = np.frombuffer(data_buf, np.uint8) if data_buf else np.zeros(0, np.uint8)
+            flat = data[offsets[0]: offsets[-1]]
+            starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+            lens = lens.astype(np.int64)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+            flat = None
+    if flat is None:
+        enc = values.fillna("").astype(str).str.encode("utf-8")
+        lens = enc.str.len().to_numpy(np.int64)
+        flat = np.frombuffer(b"".join(enc.to_numpy()), np.uint8)
+        starts = np.cumsum(lens) - lens
     width = int(lens.max()) if lens.size else 0
     mat = np.zeros((n, max(width, 1)), np.uint8)
     total = int(lens.sum())
     if total:
-        flat = np.frombuffer(b"".join(enc.to_numpy()), np.uint8)
-        starts = np.cumsum(lens) - lens
         rows = np.repeat(np.arange(n), lens)
         cols = np.arange(total) - np.repeat(starts, lens)
         mat[rows, cols] = flat

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import fnv64
-from ..functions.urls import canon_urls, url_host
+from ..functions.urls import canon_urls, canon_with_host, url_host
 from ..operators.fused_schedule import fused_filter_schedule
 from ..operators.ranking import global_rank
 from ..operators.scheduler import SchedulerConfig, schedule_generation
@@ -135,13 +135,12 @@ def canonize(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            canon = canon_urls(pdf[url_col])
+            canon, host = canon_with_host(pdf[url_col])
             out = pdf.copy()
-            out["url_canon"] = canon
+            out["url_canon"] = canon.to_numpy()
             out["url_hash"] = fnv64(canon)
-            host = url_host(canon)
             if keep_host:
-                out["host"] = host
+                out["host"] = host.to_numpy()
             out["host_bucket"] = pmod_bucket(fnv64(host), n_host_buckets)
             yield out
 

@@ -27,6 +27,14 @@ import pandas as pd
 from ..functions.hashing import fnv64, splitmix64
 from ..functions.images import QUANT_STEP, encode_image, phash64, quantize, synth_image
 
+try:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _HAS_PA = True
+except ImportError:  # pragma: no cover
+    _HAS_PA = False
+
 _U64 = np.uint64
 
 
@@ -57,7 +65,16 @@ class SynthWebConfig:
 def host_name(idx: np.ndarray | int) -> np.ndarray | str:
     if np.isscalar(idx):
         return f"host{idx:04d}.test"
-    s = pd.Series(np.asarray(idx, np.int64))
+    a = np.asarray(idx, np.int64)
+    # Arrow path: cast→lpad→join over contiguous buffers (utf8_lpad pads
+    # the sign too, unlike zfill, so negatives take the pandas path —
+    # only parse-failure rows ever carry -1)
+    if _HAS_PA and len(a) and a.min() >= 0:
+        s = pc.utf8_lpad(pc.cast(pa.array(a), pa.string()), 4, "0")
+        return pc.binary_join_element_wise("host", s, ".test", "").to_numpy(
+            zero_copy_only=False
+        )
+    s = pd.Series(a)
     return ("host" + s.astype(str).str.zfill(4) + ".test").to_numpy()
 
 
@@ -75,17 +92,23 @@ def page_urls(cfg: SynthWebConfig, host_idx: np.ndarray, page_idx: np.ndarray) -
     """Canonical URL of page (host_idx, page_idx); /private for a subset."""
     seeds = _page_seed(cfg, host_idx, page_idx)
     private = (seeds % _U64(cfg.private_mod)) == 0
-    hosts = pd.Series(host_name(host_idx))
+    hosts = host_name(host_idx)
+    if _HAS_PA and isinstance(hosts, np.ndarray):
+        pages = pc.cast(pa.array(np.asarray(page_idx, np.int64)), pa.string())
+        prefix = pc.if_else(pa.array(private), "/private/p/", "/p/")
+        return pc.binary_join_element_wise(
+            "http://", pa.array(hosts, pa.string()), prefix, pages, ""
+        ).to_numpy(zero_copy_only=False)
     pages = pd.Series(np.asarray(page_idx, np.int64)).astype(str)
     prefix = pd.Series(np.where(private, "/private/p/", "/p/"))
-    return ("http://" + hosts + prefix + pages).to_numpy()
+    return ("http://" + pd.Series(hosts) + prefix + pages).to_numpy()
 
 
 def parse_page_urls(urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of :func:`page_urls` for canonical URLs -> (host_idx, page_idx)."""
     ext = urls.str.extract(r"^http://host(\d{4})\.test(?:/private)?/p/(\d+)$")
-    host_idx = ext[0].fillna(-1).astype(np.int64).to_numpy()
-    page_idx = ext[1].fillna(-1).astype(np.int64).to_numpy()
+    host_idx = pd.to_numeric(ext[0], errors="coerce").fillna(-1).astype(np.int64).to_numpy()
+    page_idx = pd.to_numeric(ext[1], errors="coerce").fillna(-1).astype(np.int64).to_numpy()
     return host_idx, page_idx
 
 
@@ -235,8 +258,37 @@ def seed_urls_pdf(cfg: SynthWebConfig, rank: np.ndarray) -> pd.DataFrame:
     page_idx = (
         splitmix64(rank.view(_U64) ^ _U64(cfg.seed * 131)) % ppl[host_idx].view(_U64)
     ).astype(np.int64)
-    canon = pd.Series(page_urls(cfg, host_idx, page_idx))
     variant = rank % 5
+    if _HAS_PA and len(rank):
+        # build variants from the known components (no regex re-extract);
+        # bit-identical to the pandas construction below
+        seeds = _page_seed(cfg, host_idx, page_idx)
+        private = pa.array((seeds % _U64(cfg.private_mod)) == 0)
+        hosts = pa.array(host_name(host_idx), pa.string())
+        pages = pc.cast(pa.array(page_idx), pa.string())
+        path = pc.binary_join_element_wise(
+            pc.if_else(private, "/private/p/", "/p/"), pages, ""
+        )
+        canon_a = pc.binary_join_element_wise("http://", hosts, path, "")
+        v1 = pc.binary_join_element_wise(
+            "HTTP://WWW.", pc.utf8_upper(hosts), ":80", path, ""
+        )
+        v2 = pc.binary_join_element_wise(canon_a, "#section-2", "")
+        v3 = pc.binary_join_element_wise(
+            canon_a, "?utm_source=feed&utm_medium=x&utm_campaign=1", ""
+        )
+        v4 = pc.binary_join_element_wise(
+            "http://", hosts, "/x/../",
+            pc.if_else(private, "private/p/", "p/"), pages, "",
+        )
+        messy = pc.case_when(
+            pc.make_struct(*(pa.array(variant == k) for k in range(1, 5))),
+            v1, v2, v3, v4, canon_a,
+        )
+        return pd.DataFrame(
+            {"url": messy.to_numpy(zero_copy_only=False), "seed_rank": rank}
+        )
+    canon = pd.Series(page_urls(cfg, host_idx, page_idx))
     hostpart = canon.str.extract(r"^http://([^/]+)(/.*)$")
     host, path = hostpart[0], hostpart[1]
     messy = canon.copy()
@@ -275,16 +327,16 @@ def distributed_candidates(spark, cfg: SynthWebConfig, n: int, n_host_buckets: i
     pair (same kernels), ~2x less Arrow traffic on the generate side.
     """
     from ..functions.hashing import fnv64, pmod_bucket
-    from ..functions.urls import canon_urls, url_host
+    from ..functions.urls import canon_with_host
 
     def gen(batches):
         for pdf in batches:
             raw = seed_urls_pdf(cfg, pdf["id"].to_numpy())
-            canon = canon_urls(raw["url"])
+            canon, host = canon_with_host(raw["url"])
             out = pd.DataFrame({
                 "url_canon": canon,
                 "url_hash": fnv64(canon),
-                "host_bucket": pmod_bucket(fnv64(url_host(canon)), n_host_buckets),
+                "host_bucket": pmod_bucket(fnv64(host), n_host_buckets),
                 "priority": raw["seed_rank"].to_numpy(),
             })
             yield out

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Phase-level profiling of the crawl-bench workload at one parallelism
+level (fresh process per level; see tools/run_profile.sh). Prints one
+JSON line with per-phase walls so the non-scaling stage is visible.
+
+Phases:
+  gen     — distributed_candidates only (generate+canon+hash in Python),
+            forced with a sum(url_hash) agg (no exchange of strings)
+  fused   — full fused_filter_schedule + count (exchange + cogroup)
+  sched   — fused minus gen ≈ exchange + cogroup cost
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import CRAWL_BENCH, _get_spark  # noqa: E402
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    from pyspark.sql import functions as F
+
+    from crawlers_spark.operators.fused_schedule import (
+        build_host_bucket_blobs,
+        fused_filter_schedule,
+    )
+    from crawlers_spark.operators.scheduler import SchedulerConfig
+    from crawlers_spark.operators.seen_set import BloomParams
+    from crawlers_spark.plans.crawl import prepare_frontier
+    from crawlers_spark.sources.synthweb import (
+        SynthWebConfig,
+        distributed_candidates,
+        distributed_seed_urls,
+        robots_pdf,
+    )
+
+    p = CRAWL_BENCH
+    spark = _get_spark(cpus, shuffle=p["n_host_buckets"])
+    web = SynthWebConfig(n_hosts=p["n_hosts"], base_pages=p["base_pages"])
+    robots = robots_pdf(web)
+    params = BloomParams.size_for(p["n_preseen"] * 2, n_buckets=p["n_host_buckets"])
+    preseen_urls = distributed_seed_urls(spark, web, p["n_preseen"], start=p["n_candidates"])
+    preseen = prepare_frontier(preseen_urls, p["n_host_buckets"])
+    exact = (
+        preseen.select("url_hash", "host_bucket")
+        .repartition(p["n_host_buckets"], "host_bucket")
+        .persist()
+    )
+    exact.count()
+    blobs = build_host_bucket_blobs(exact, params)
+
+    out = {"cpus": cpus, "gen": [], "fused": []}
+    for _ in range(reps):
+        t0 = time.monotonic()
+        raw = distributed_candidates(
+            spark, web, p["n_candidates"], p["n_host_buckets"], partitions=cpus * 4
+        )
+        raw.agg(F.expr("bit_xor(url_hash)")).collect()
+        out["gen"].append(round(time.monotonic() - t0, 2))
+
+        t0 = time.monotonic()
+        raw = distributed_candidates(
+            spark, web, p["n_candidates"], p["n_host_buckets"], partitions=cpus * 4
+        )
+        fused = fused_filter_schedule(
+            spark, raw, exact, robots, SchedulerConfig(), blobs=blobs, params=params
+        )
+        fused.filter("status = 'scheduled'").count()
+        out["fused"].append(round(time.monotonic() - t0, 2))
+
+    out["gen_min"] = min(out["gen"])
+    out["fused_min"] = min(out["fused"])
+    out["sched_est"] = round(out["fused_min"] - out["gen_min"], 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
