@@ -91,7 +91,7 @@ def _byte_matrix(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
-def fnv64(values: pd.Series) -> np.ndarray:
+def fnv64(values: pd.Series, seed: int = 0) -> np.ndarray:
     """FNV-1a-64 of each string, column-vectorized; returns int64.
 
     Loop is over the max byte-width (tens of iterations), each a batch
@@ -100,13 +100,21 @@ def fnv64(values: pd.Series) -> np.ndarray:
     column is a contiguous prefix: each step is an in-place slice update
     (no per-column masks/allocations — ~4x over the np.where form, same
     bits out).
+
+    ``seed`` != 0 mixes an independent offset basis (splitmix of the
+    seed XOR'd into the FNV init state), giving a second independent
+    hash lane over the same bytes; seed=0 is bit-identical to classic
+    FNV-1a + length finalizer.
     """
     mat, lens = _byte_matrix(values)
     n = mat.shape[0]
     order = np.argsort(-lens, kind="stable")
     smat = mat[order]
     slens = lens[order]
-    h = np.full(n, _FNV_OFFSET, _U64)
+    init = _FNV_OFFSET
+    if seed:
+        init = _FNV_OFFSET ^ splitmix64(np.array([seed], _U64))[0]
+    h = np.full(n, init, _U64)
     with np.errstate(over="ignore"):
         for j in range(mat.shape[1]):
             # rows are length-sorted descending: actives are rows [0, k)

@@ -121,12 +121,18 @@ class CuckooFilter:
             return 0
         fp_all = self._fingerprints(h)
         i1_all = self._index1(h)
-        # unique (i1, fp): insert is fingerprint-idempotent
-        key = (i1_all.view(np.uint64) << np.uint64(16)) | fp_all.astype(np.uint64)
+        i2_all = self._alt_index(i1_all, fp_all)
+        # unique (unordered bucket pair, fp): insert is fingerprint-
+        # idempotent, and keying on min(i1, i2) collapses the (A,B)/(B,A)
+        # spellings of one pair — keying on i1 alone would let the same
+        # (fp, pair) be placed twice via its two orientations
+        key = (
+            np.minimum(i1_all, i2_all).view(np.uint64) << np.uint64(16)
+        ) | fp_all.astype(np.uint64)
         _, first = np.unique(key, return_index=True)
         fp_u = fp_all[first]
         i1_u = i1_all[first]
-        i2_u = self._alt_index(i1_u, fp_u)
+        i2_u = i2_all[first]
         present = (self.table[i1_u] == fp_u[:, None]).any(axis=1) | (
             self.table[i2_u] == fp_u[:, None]
         ).any(axis=1)
@@ -137,15 +143,25 @@ class CuckooFilter:
             if len(pending) == 0:
                 break
             tgt_all = i1_u if attempt % 2 == 0 else i2_u
+            alt_all = i2_u if attempt % 2 == 0 else i1_u
             # one candidate per bucket this round
             _, rep = np.unique(tgt_all[pending], return_index=True)
             cand = pending[rep]
-            b = tgt_all[cand]
+            b, ab = tgt_all[cand], alt_all[cand]
+            # re-check presence against writes from EARLIER rounds
+            # (mirrors _place): a colliding fingerprint placed since the
+            # upfront check must not be stored a second time
+            now = (self.table[b] == fp_u[cand][:, None]).any(axis=1) | (
+                self.table[ab] == fp_u[cand][:, None]
+            ).any(axis=1)
+            fresh = cand[~now]
+            b = tgt_all[fresh]
             empty = self.table[b] == 0
             ok = empty.any(axis=1)
             rows, slots = b[ok], empty[ok].argmax(axis=1)
-            self.table[rows, slots] = fp_u[cand[ok]]
-            pending = np.setdiff1d(pending, cand[ok], assume_unique=True)
+            self.table[rows, slots] = fp_u[fresh[ok]]
+            done = np.concatenate([cand[now], fresh[ok]])
+            pending = np.setdiff1d(pending, done, assume_unique=True)
 
         rng = np.random.RandomState(42)  # deterministic eviction walk
         failed = 0

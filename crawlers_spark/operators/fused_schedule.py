@@ -146,7 +146,10 @@ def fused_filter_schedule(
 
         # 1. spelling-dedup on new rows: keep min (packed) priority per url
         if len(new):
-            new = new.sort_values(["url_hash", "priority"], kind="stable")
+            order = np.lexsort(
+                (new["priority"].to_numpy(), new["url_hash"].to_numpy())
+            )
+            new = new.iloc[order]
             dup_mask = new["url_hash"].duplicated(keep="first").to_numpy()
             if emit_dropped and dup_mask.any():
                 dropped.append(new.loc[dup_mask].assign(status="dup"))
@@ -202,17 +205,40 @@ def fused_filter_schedule(
         #    by (host, is_new, priority, url_hash) reproduces the final-
         #    priority order: deferred rows' minted priorities precede any
         #    future mint, and new rows' packed keys are mint-monotone.
-        allowed = pool.loc[~blocked].sort_values(
-            ["host", "is_new", "priority", "url_hash"], kind="stable"
+        #    np.lexsort over factorized host codes (np.unique is sorted,
+        #    so codes order == lexicographic host order) avoids the
+        #    object-string pandas sort; per-host robots values are looked
+        #    up once per DISTINCT host, never per row.
+        ap = pool.loc[~blocked]
+        uhosts, hcodes = np.unique(ap["host"].to_numpy(), return_inverse=True)
+        order = np.lexsort((
+            ap["url_hash"].to_numpy(), ap["priority"].to_numpy(),
+            ap["is_new"].to_numpy(), hcodes,
+        ))
+        allowed = ap.iloc[order]
+        hc = hcodes[order]
+        # per-host rank: positions since the last host-code change
+        idx = np.arange(len(hc))
+        change = np.empty(len(hc), bool)
+        if len(hc):
+            change[0] = True
+            change[1:] = hc[1:] != hc[:-1]
+        starts = np.maximum.accumulate(np.where(change, idx, 0))
+        rank = (idx - starts + 1).astype(np.int64)
+        u_budget = np.fromiter(
+            (budgets.get(h, default_budget) for h in uhosts), np.int64, len(uhosts)
         )
-        rank = (allowed.groupby("host", sort=False).cumcount() + 1).to_numpy()
-        budget = allowed["host"].map(lambda x: budgets.get(x, default_budget)).to_numpy()
+        budget = u_budget[hc]
         if left_bc is not None:
-            left = allowed["host"].map(
-                lambda x: left_bc.value.get(x, np.iinfo(np.int64).max)
-            ).to_numpy()
-            budget = np.minimum(budget, np.maximum(left, 0))
-        delay = allowed["host"].map(lambda x: delays.get(x, default_delay)).to_numpy()
+            big = np.iinfo(np.int64).max
+            u_left = np.fromiter(
+                (left_bc.value.get(h, big) for h in uhosts), np.int64, len(uhosts)
+            )
+            budget = np.minimum(budget, np.maximum(u_left[hc], 0))
+        u_delay = np.fromiter(
+            (delays.get(h, default_delay) for h in uhosts), np.int64, len(uhosts)
+        )
+        delay = u_delay[hc]
         sched = rank <= budget
         parts = [
             allowed.assign(

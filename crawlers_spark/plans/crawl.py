@@ -485,7 +485,11 @@ class CrawlPlan:
             if os.path.isdir(fs_path):
                 nxt = spark.read.parquet(fs_path)
                 scheduled = nxt.filter("status = 'scheduled'")
-                deferred = nxt.filter("status = 'deferred'").select(*FRONTIER_COLS)
+                # keep retry_count across resume: dropping it would hand
+                # every deferred requeued failure a fresh retry budget
+                deferred = nxt.filter("status = 'deferred'").select(
+                    *FRONTIER_COLS, "retry_count"
+                )
             else:  # checkpoint written by the composed loop: re-schedule
                 frontier = spark.read.parquet(os.path.join(d, "frontier"))
                 if n_frontier is None:
@@ -598,13 +602,13 @@ class CrawlPlan:
             new_rows = fused_out.filter(
                 F.col("is_new") & F.col("status").isin(*next_statuses)
             )
-            # no eager checkpoint: fused_out's checkpoint already bounds the
-            # loop-carried lineage; global_rank's internal persist (pinned
-            # for rank determinism) is the only extra retention
+            # eager: materialize the ranked delta and release global_rank's
+            # internal sorted cache — otherwise cached blocks accumulate
+            # one per generation for the length of the crawl
             new_ranked, n_new = global_rank(
                 new_rows, ["priority", "url_hash"], "__minted",
                 start=next_priority, with_count=True,
-                num_partitions=cfg.n_host_buckets,
+                num_partitions=cfg.n_host_buckets, eager=True,
             )
             new_ranked = new_ranked.withColumn("priority", F.col("__minted")).drop("__minted")
             next_priority += n_new
@@ -688,8 +692,14 @@ class CrawlPlan:
                     },
                 )
             else:
-                pages_parts.append(pages_g)  # backed by the fetched cache
-                log_parts.append(log_g)
+                # eager localCheckpoint holds only the output columns, so
+                # the full fetched frame (links arrays + working columns)
+                # can be released below — executor storage stays flat at
+                # output size instead of growing by one fetch cache per
+                # generation
+                pages_parts.append(pages_g.localCheckpoint(eager=True))
+                log_parts.append(log_g.localCheckpoint(eager=True))
+            fetched.unpersist()
             scheduled = nxt.filter("status = 'scheduled'")
             deferred = nxt.filter("status = 'deferred'").select(
                 *FRONTIER_COLS, "retry_count"

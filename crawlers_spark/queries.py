@@ -1064,8 +1064,13 @@ def q_crawl_backfill(spark: SparkSession, sf: str) -> DataFrame:
 
     res = _small_crawl(spark)
     window = res.crawl_log.filter((F.col("generation") == 1) & F.col("ok"))
+    # url_hash must be the ENGINE's hash (fnv64 of the canonical URL),
+    # not a different function: a mismatched value in a column named
+    # url_hash would corrupt any later join/dedup against engine tables
+    from .plans.crawl import hash_udf
+
     redo = window.select(
-        "url_canon", F.xxhash64("url_canon").alias("url_hash"),
+        "url_canon", hash_udf(F.col("url_canon")).alias("url_hash"),
         "host", "host_bucket", "priority", "generation",
         F.lit(0).alias("fetch_offset_ms"),
     )

@@ -43,15 +43,19 @@ def get_spark(
                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.io.compression.codec", os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
-        # RAM-backed shuffle/spill dir: on this single box the disk is the
-        # one resource that does NOT grow with core count, so a disk-backed
-        # local.dir caps scaling; on a real cluster each executor brings its
-        # own local disks and this knob is the cluster default layout anyway
-        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # RAM-backed shuffle/spill dir is opt-in (SPARK_GRAFT_LOCAL_DIR): on
+    # the bench box the disk is the one resource that does NOT grow with
+    # core count, so bench.py points this at /dev/shm after probing free
+    # space. It is NOT a library default — tmpfs is tiny on common
+    # deployments (Docker's /dev/shm defaults to 64 MB) and RAM-backed
+    # spill competes with executor memory.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

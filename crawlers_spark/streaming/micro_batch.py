@@ -86,6 +86,7 @@ def stream_crawl(
     web: SynthWebConfig | None = None,
     n_host_buckets: int = 8,
     bloom: BloomParams | None = None,
+    trigger: dict | None = None,
 ):
     """Micro-batch crawl: each seed parquet file that lands in
     ``seeds_dir`` is one generation. Returns (query, state).
@@ -94,6 +95,11 @@ def stream_crawl(
     ``out_dir`` partitioned by generation; the exact seen-set and Bloom
     blobs persist across batches in driver+executor state exactly like
     the batch loop.
+
+    ``trigger`` passes through to ``writeStream.trigger`` — default
+    ``{"availableNow": True}`` (drain-and-stop, deterministic tests);
+    a long-lived deployment passes ``{"processingTime": "..."}`` and the
+    query keeps polling ``seeds_dir`` for newly landed seed files.
     """
     web = web or SynthWebConfig()
     bloom = bloom or BloomParams.size_for(100_000)
@@ -138,7 +144,7 @@ def stream_crawl(
         .parquet(seeds_dir)
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
     return query, state

@@ -203,3 +203,27 @@ def test_lifetime_host_quota_matches_oracle(spark):
     per_host = eng.groupby("host").size()
     assert (per_host <= 9).all()
     assert (per_host == 9).any(), "quota never binding; weak fixture"
+
+
+def test_fused_inmemory_storage_flat(spark):
+    """Non-checkpoint fused mode must not pin one fetch cache per
+    generation: after N generations the persisted-RDD count stays
+    bounded by the per-generation working set (fetched is unpersisted
+    and pages/log parts are eager localCheckpoints of output columns
+    only), so executor storage is flat in N."""
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    cfg = CrawlConfig(
+        web=WEB,
+        bloom=BloomParams.size_for(20_000, n_buckets=16),
+        max_generations=MAX_GENS,
+        fused=True,
+    )
+    res = CrawlPlan(spark, cfg).run(spark.createDataFrame(make_seed_urls(WEB, N_SEEDS)))
+    assert res.generations >= 4
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    # retained: the localCheckpointed pages/log parts (2/gen, output data
+    # only) + loop-carried frontier state; NOT the per-gen fetch caches
+    # (each holds links arrays + full working columns). Allow the
+    # checkpointed parts but assert no superlinear/persist leak beyond
+    # them: < 4 entries per generation with a small constant.
+    assert after - before <= 4 * res.generations + 6, (before, after)

@@ -56,3 +56,39 @@ def test_roundtrip_and_merge():
     merged = a2.merge(b)
     assert merged.contains(ka).all()
     assert merged.contains(kb).all()
+
+
+def test_insert_idempotent_across_pair_orientations():
+    """Two keys sharing (fingerprint, unordered bucket pair) but entering
+    via opposite orientations (i1(a) == i2(b)) must store ONE copy in a
+    single insert batch, exactly like the scalar _place path — the
+    vectorized bulk rounds previously double-placed this collision class
+    (delete() then left a stranded copy, breaking the documented
+    fingerprint-idempotence)."""
+    p = CuckooParams(n_buckets_pow2=64)
+    cf = CuckooFilter(p)
+    rng = np.random.RandomState(7)
+    cand = rng.randint(-(2**62), 2**62, 400_000).astype(np.int64)
+    fp = cf._fingerprints(cand)
+    i1 = cf._index1(cand)
+    i2 = cf._alt_index(i1, fp)
+    lo, hi = np.minimum(i1, i2), np.maximum(i1, i2)
+    key = (lo.astype(np.uint64) << np.uint64(32)) | (
+        hi.astype(np.uint64) << np.uint64(16)
+    ) | fp.astype(np.uint64)
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    dup = np.flatnonzero(ks[1:] == ks[:-1])
+    pairs = [
+        (order[d], order[d + 1])
+        for d in dup
+        if i1[order[d]] != i1[order[d + 1]]  # opposite orientations
+    ]
+    assert pairs, "fixture search found no orientation collision; widen the sample"
+    a, b = pairs[0]
+    batch = np.array([cand[a], cand[b]], np.int64)
+    assert cf.insert(batch) == 0
+    f = fp[a]
+    copies = int((cf.table[i1[a]] == f).sum() + (cf.table[i2[a]] == f).sum())
+    assert copies == 1, f"expected one shared copy, found {copies}"
+    assert cf.contains(batch).all()

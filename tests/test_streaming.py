@@ -112,3 +112,53 @@ def test_stateful_quota_across_restarts(spark, tmp_path):
     # host_rank is a continuous 1..n sequence per host across batches
     for h, grp in both.groupby("host"):
         assert sorted(grp["host_rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_stream_crawl_processing_time_long_lived(spark, tmp_path):
+    """Long-lived trigger: with processingTime the query keeps polling
+    for newly landed seed files — a file dropped WHILE the query runs
+    becomes the next micro-batch generation (availableNow would have
+    drained and stopped). Backs the claim at micro_batch.py module
+    docstring; state (seen-set, generation counter) carries across the
+    wall-clock-triggered batches."""
+    import time
+
+    web = SynthWebConfig(n_hosts=6, base_pages=30)
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    make_seed_urls(web, 10).to_parquet(seeds_dir / "batch0.parquet")
+
+    query, state = stream_crawl(
+        spark,
+        str(seeds_dir),
+        out_dir=str(tmp_path / "pages"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        web=web,
+        bloom=BloomParams.size_for(1000, n_buckets=4),
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+
+        def wait_for(gen: int, timeout: float = 90.0) -> None:
+            t0 = time.monotonic()
+            while state.generation < gen:
+                assert query.isActive, query.exception()
+                assert time.monotonic() - t0 < timeout, (
+                    f"generation {gen} not reached in {timeout}s "
+                    f"(at {state.generation})"
+                )
+                time.sleep(0.5)
+
+        wait_for(1)
+        # land a second seed file while the query is live
+        s2 = make_seed_urls(web, 20)
+        s2[s2.seed_rank >= 10].to_parquet(seeds_dir / "batch1.parquet")
+        wait_for(2)
+    finally:
+        query.stop()
+    assert state.generation >= 2
+    assert state.scheduled_total > 0
+    pages = spark.read.option("basePath", str(tmp_path / "pages")).parquet(
+        str(tmp_path / "pages") + "/generation=*"
+    )
+    assert pages.count() > 0
