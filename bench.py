@@ -167,7 +167,8 @@ def run_crawl_bench(cpus: int, reps: int | None = None) -> dict:
             spark, web, p["n_candidates"], p["n_host_buckets"], partitions=cpus * 4
         )
         out = fused_filter_schedule(
-            spark, raw, exact, robots, SchedulerConfig(), blobs=blobs, params=params
+            spark, raw, exact, robots, SchedulerConfig(), blobs=blobs, params=params,
+            n_host_buckets=p["n_host_buckets"],
         )
         scheduled = out.filter("status = 'scheduled'")
         n_scheduled = scheduled.count()

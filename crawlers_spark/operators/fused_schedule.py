@@ -12,13 +12,24 @@ step runs bucket-locally:
 
     candidates ──exchange(host_bucket)──┐
                                         ├─ cogroup.applyInPandas ──> rows
-    exact seen (pre-bucketed, persisted)┘       (numpy kernels)
+    state (seen ∪ robots ∪ quota rows,  ┘       (numpy kernels)
+           pre-bucketed / bucketed table)
 
 with per-bucket work all vectorized numpy/pandas: sort-dedup keeping min
 priority, exact-seen membership via ``searchsorted`` on the cogrouped
 shard (an optional broadcast Bloom blob pre-filters the probe set),
 robots disallow prefixes, per-host priority rank -> budget cut +
 crawl-delay offsets.
+
+The state side is ONE tagged table: ``tag='s'`` rows are the exact
+seen-set shard, ``tag='r'`` rows the per-host robots dimension
+(crawl_delay_ms, max_per_generation, disallow_prefixes), ``tag='q'``
+rows the per-host lifetime-quota spend. Robots and quota therefore ride
+the same hash-bucketed layout as the seen shard — nothing per-host is
+ever materialized on the driver or broadcast as a Python dict, so a
+10^7-10^8-host robots cache stays sharded exactly like the 10^10-row
+seen-set (north_star: "robots.txt cache broadcast-joined" scaled past
+broadcast size by co-partitioning).
 
 Mixed input: rows flagged ``is_new = false`` are already-minted frontier
 rows (deferred from earlier generations) that bypass dedup + seen-filter
@@ -29,14 +40,20 @@ discovery key as ``priority`` — produces exactly the per-host order the
 composed path gets after global priority minting (rank minting is
 monotone in that key; see plans/crawl.py).
 
-This is the 10^10-scale layout from BASELINE.json north_star — "one
-filter per hash-bucketed partition", politeness "enforced per partition":
-the exact shard is a hash-partitioned state table re-read (never
-re-shuffled when persisted with matching partitioning) each generation,
-like a stateful stream-stream join. Skew note: a mega-host concentrates
-its URLs in one bucket; buckets are bounded by ``n_host_buckets`` sizing
-and AQE skew-split handles stragglers, with the composed (salted-window)
-path as the fallback for pathological single-host skew.
+Skew: a mega-host (the reference's world is literally one-site-per-
+crawler, SURVEY.md §4.2) concentrates its candidates in ONE bucket, and
+AQE skew-splitting does NOT apply to cogroup exchanges — so the escape
+hatch is explicit: ``n_salts > 1`` salts the cogroup key with
+``pmod(url_hash, n_salts)``. Dedup and seen-membership stay exact within
+a salt (same url_hash → same salt; the exact shard salts the same way),
+and politeness becomes the standard two-phase exact top-k: phase 1 cuts
+each (host, salt) slice to its budget (any row outside its slice's
+top-budget cannot be in the host's global top-budget — pigeonhole), so
+phase 2 ranks ≤ n_salts·budget survivors per host in a second, tiny
+exchange. Statuses, scheduled ranks, and offsets are bit-identical to
+the unsalted step (equivalence-tested); only the ``host_rank`` of
+DEFERRED rows is not globally meaningful under salting (phase-1-deferred
+rows report 0) — no consumer reads it.
 """
 
 from __future__ import annotations
@@ -46,6 +63,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import fnv64, pmod_bucket
 from ..functions.urls import url_host
 from .scheduler import SchedulerConfig
 from .seen_set import BloomParams, bloom_build_blob, bloom_test_blob
@@ -56,6 +74,90 @@ OUT_SCHEMA = (
     "url_hash long, url_canon string, host string, host_bucket int, priority long, "
     "is_new boolean, retry_count int, status string, host_rank int, fetch_offset_ms long"
 )
+# phase-1 output under salting carries the per-host politeness params so
+# phase 2 never needs a second robots lookup
+P1_SCHEMA = OUT_SCHEMA + ", crawl_delay_ms long, budget_eff long"
+
+STATE_COLS = ["tag", "url_hash", "host", "crawl_delay_ms", "max_per_generation",
+              "disallow_prefixes", "spent", "host_bucket"]
+
+
+def host_bucket_col(n_host_buckets: int):
+    """pandas UDF: host string -> engine host bucket (fnv64 pmod)."""
+
+    @F.pandas_udf("int")
+    def bucket(host: pd.Series) -> pd.Series:
+        return pd.Series(pmod_bucket(fnv64(host), n_host_buckets), index=host.index)
+
+    return bucket
+
+
+def robots_state(
+    spark: SparkSession, robots: pd.DataFrame | DataFrame, n_host_buckets: int
+) -> DataFrame:
+    """Per-host robots dimension -> tagged state rows (tag='r').
+
+    Accepts the driver-side pandas robots cache (tests/bench) or a Spark
+    DataFrame of any size; either way the result is hash-bucketed on the
+    same ``host_bucket`` layout as the seen shard, so the fused cogroup
+    reads it co-partitioned — never broadcast, never collected.
+    """
+    if isinstance(robots, pd.DataFrame):
+        rp = robots.copy()
+        rp["host_bucket"] = pmod_bucket(fnv64(rp["host"]), n_host_buckets)
+        sdf = spark.createDataFrame(rp)
+    else:
+        sdf = robots
+        if "host_bucket" not in sdf.columns:
+            sdf = sdf.withColumn(
+                "host_bucket", host_bucket_col(n_host_buckets)(F.col("host"))
+            )
+    # url_hash uses a 0 sentinel, NOT null: a nullable long column turns
+    # into float64 on the Arrow->pandas hop inside the cogroup, silently
+    # rounding real 64-bit hashes past 2^53
+    return sdf.select(
+        F.lit("r").alias("tag"),
+        F.lit(0).cast("long").alias("url_hash"),
+        F.col("host"),
+        F.col("crawl_delay_ms").cast("long"),
+        F.col("max_per_generation").cast("long"),
+        F.col("disallow_prefixes").cast("array<string>"),
+        F.lit(None).cast("long").alias("spent"),
+        F.col("host_bucket").cast("int"),
+    )
+
+
+def quota_state(host_spent: DataFrame, n_host_buckets: int) -> DataFrame:
+    """Per-host lifetime spend (host, spent) -> tagged state rows (tag='q')."""
+    sdf = host_spent
+    if "host_bucket" not in sdf.columns:
+        sdf = sdf.withColumn(
+            "host_bucket", host_bucket_col(n_host_buckets)(F.col("host"))
+        )
+    return sdf.select(
+        F.lit("q").alias("tag"),
+        F.lit(0).cast("long").alias("url_hash"),
+        F.col("host"),
+        F.lit(None).cast("long").alias("crawl_delay_ms"),
+        F.lit(None).cast("long").alias("max_per_generation"),
+        F.lit(None).cast("array<string>").alias("disallow_prefixes"),
+        F.col("spent").cast("long"),
+        F.col("host_bucket").cast("int"),
+    )
+
+
+def seen_state(exact: DataFrame) -> DataFrame:
+    """Exact seen shard (url_hash, host_bucket) -> tagged state rows (tag='s')."""
+    return exact.select(
+        F.lit("s").alias("tag"),
+        F.col("url_hash").cast("long"),
+        F.lit(None).cast("string").alias("host"),
+        F.lit(None).cast("long").alias("crawl_delay_ms"),
+        F.lit(None).cast("long").alias("max_per_generation"),
+        F.lit(None).cast("array<string>").alias("disallow_prefixes"),
+        F.lit(None).cast("long").alias("spent"),
+        F.col("host_bucket").cast("int"),
+    )
 
 
 def build_host_bucket_blobs(
@@ -78,23 +180,27 @@ def build_host_bucket_blobs(
     return {r["host_bucket"]: bytes(r["filter"]) for r in rows}
 
 
-def _empty_out() -> pd.DataFrame:
-    return pd.DataFrame(columns=OUT_COLS)
+def _empty_out(cols=None) -> pd.DataFrame:
+    return pd.DataFrame(columns=cols or OUT_COLS)
 
 
 def fused_filter_schedule(
     spark: SparkSession,
     candidates: DataFrame,
-    exact: DataFrame,
-    robots: pd.DataFrame,
+    exact: DataFrame | None,
+    robots: pd.DataFrame | DataFrame,
     cfg: SchedulerConfig = SchedulerConfig(),
     blobs: dict[int, bytes] | None = None,
     params: BloomParams | None = None,
     emit_dropped: bool = False,
-    budget_left: dict[str, int] | None = None,
+    host_spent: DataFrame | None = None,
+    total_budget_per_host: int | None = None,
+    n_host_buckets: int | None = None,
+    n_salts: int = 1,
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """candidates (url_hash,url_canon,host,host_bucket,priority[,is_new]) ×
-    exact (url_hash,host_bucket) → rows with status ∈
+    state (seen ∪ robots ∪ quota) → rows with status ∈
     scheduled|deferred|disallowed (+ dup|seen when ``emit_dropped``).
 
     Membership is exact: every new candidate is probed against the
@@ -110,35 +216,64 @@ def fused_filter_schedule(
     exchange's bytes — a host string per row — for a short per-bucket
     regex pass that scales with cores instead of shuffle bandwidth.
 
-    ``budget_left`` (host → remaining lifetime quota) caps this
-    generation's per-host budget at ``min(per_gen, remaining)`` — the
-    cumulative key-retirement semantics of the reference's daily API
-    quotas (/root/reference/youtube/get_youtube_v1.2.py:53-63,
-    /root/reference/coinmarketcap/coin_market_cap_api_2.0.py:99-125).
-    Broadcast like the robots dicts (a per-host dimension).
+    ``total_budget_per_host`` + ``host_spent`` give cumulative
+    key-retirement semantics (reference: daily API budgets,
+    /root/reference/youtube/get_youtube_v1.2.py:53-63,
+    /root/reference/coinmarketcap/coin_market_cap_api_2.0.py:99-125):
+    each host's per-generation budget is capped at
+    ``total_budget_per_host - spent`` — the spend table rides the state
+    cogroup, never the driver.
+
+    ``n_salts > 1`` is the mega-host skew escape hatch (module
+    docstring). Pass ``state`` directly (pre-built tagged table, e.g. the
+    bucketed checkpoint snapshot) to skip the union assembly and keep the
+    state side's bucketed partitioning for exchange elision.
     """
     if "is_new" not in candidates.columns:
         candidates = candidates.withColumn("is_new", F.lit(True))
     if "retry_count" not in candidates.columns:
         candidates = candidates.withColumn("retry_count", F.lit(0))
     has_host = "host" in candidates.columns
-    blobs_bc = spark.sparkContext.broadcast(blobs) if blobs is not None else None
-    rb = robots.set_index("host")
-    delays = rb["crawl_delay_ms"].to_dict()
-    budgets = rb["max_per_generation"].to_dict()
-    disallow = {h: v for h, v in rb["disallow_prefixes"].items() if len(v)}
-    robots_bc = spark.sparkContext.broadcast((delays, budgets, disallow))
-    left_bc = (
-        spark.sparkContext.broadcast(budget_left) if budget_left is not None else None
-    )
-    default_delay, default_budget = cfg.default_delay_ms, cfg.default_budget
+    salted = n_salts > 1
 
-    def run(cand: pd.DataFrame, exact_pdf: pd.DataFrame) -> pd.DataFrame:
+    if state is None:
+        if n_host_buckets is None:
+            raise ValueError(
+                "n_host_buckets is required to bucket the robots/quota dimension "
+                "(or pass a pre-built `state`)"
+            )
+        parts = [robots_state(spark, robots, n_host_buckets)]
+        if exact is not None:
+            parts.append(seen_state(exact))
+        if host_spent is not None:
+            parts.append(quota_state(host_spent, n_host_buckets))
+        state = parts[0]
+        for p in parts[1:]:
+            state = state.unionByName(p)
+
+    blobs_bc = spark.sparkContext.broadcast(blobs) if blobs is not None else None
+    default_delay, default_budget = cfg.default_delay_ms, cfg.default_budget
+    total_budget = total_budget_per_host
+
+    def run(cand: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
+        out_cols = OUT_COLS + (["crawl_delay_ms", "budget_eff"] if salted else [])
         if len(cand) == 0:
-            return _empty_out()
+            return _empty_out(out_cols)
         if not has_host:
             cand = cand.assign(host=url_host(cand["url_canon"]))
-        delays, budgets, disallow = robots_bc.value
+        tags = st["tag"].to_numpy() if len(st) else np.zeros(0, "U1")
+        seen_hashes = (
+            st["url_hash"].to_numpy(np.int64)[tags == "s"] if len(st) else None
+        )
+        rb = st.loc[tags == "r"]
+        delays = dict(zip(rb["host"], rb["crawl_delay_ms"]))
+        budgets = dict(zip(rb["host"], rb["max_per_generation"]))
+        disallow = {
+            h: list(v) for h, v in zip(rb["host"], rb["disallow_prefixes"])
+            if v is not None and len(v)
+        }
+        qt = st.loc[tags == "q"]
+        spent = dict(zip(qt["host"], qt["spent"])) if len(qt) else {}
         dropped: list[pd.DataFrame] = []
 
         new = cand.loc[cand["is_new"]]
@@ -160,8 +295,8 @@ def fused_filter_schedule(
         if len(new):
             h = new["url_hash"].to_numpy(np.int64)
             ex = (
-                np.sort(exact_pdf["url_hash"].to_numpy(np.int64))
-                if len(exact_pdf)
+                np.sort(seen_hashes)
+                if seen_hashes is not None and len(seen_hashes)
                 else None
             )
             seen_mask = np.zeros(len(new), bool)
@@ -182,7 +317,7 @@ def fused_filter_schedule(
 
         pool = pd.concat([byp, new], ignore_index=True) if len(byp) else new
         if len(pool) == 0 and not dropped:
-            return _empty_out()
+            return _empty_out(out_cols)
 
         # 3. robots disallow prefixes (per-host loop: few hosts per bucket)
         blocked = np.zeros(len(pool), bool)
@@ -228,37 +363,102 @@ def fused_filter_schedule(
         u_budget = np.fromiter(
             (budgets.get(h, default_budget) for h in uhosts), np.int64, len(uhosts)
         )
-        budget = u_budget[hc]
-        if left_bc is not None:
-            big = np.iinfo(np.int64).max
+        if total_budget is not None:
             u_left = np.fromiter(
-                (left_bc.value.get(h, big) for h in uhosts), np.int64, len(uhosts)
+                (max(0, total_budget - spent.get(h, 0)) for h in uhosts),
+                np.int64, len(uhosts),
             )
-            budget = np.minimum(budget, np.maximum(u_left[hc], 0))
+            u_budget = np.minimum(u_budget, u_left)
+        budget = u_budget[hc]
         u_delay = np.fromiter(
             (delays.get(h, default_delay) for h in uhosts), np.int64, len(uhosts)
         )
         delay = u_delay[hc]
-        sched = rank <= budget
-        parts = [
-            allowed.assign(
-                status=np.where(sched, "scheduled", "deferred"),
-                host_rank=rank.astype(np.int32),
-                fetch_offset_ms=np.where(sched, (rank - 1) * delay, 0).astype(np.int64),
-            ),
-            pool.loc[blocked].assign(status="disallowed", host_rank=0, fetch_offset_ms=0),
-        ]
-        for d in dropped:
-            parts.append(d.assign(host_rank=0, fetch_offset_ms=0))
+        within = rank <= budget
+        if salted:
+            # phase 1 of the two-phase exact top-k: a slice's top-budget
+            # is a superset of the host's global top-budget rows in this
+            # slice (pigeonhole) — everything else is already deferred
+            parts = [
+                allowed.assign(
+                    status=np.where(within, "pending", "deferred"),
+                    host_rank=np.int32(0),
+                    fetch_offset_ms=np.int64(0),
+                    crawl_delay_ms=delay,
+                    budget_eff=budget,
+                ),
+                pool.loc[blocked].assign(
+                    status="disallowed", host_rank=0, fetch_offset_ms=0,
+                    crawl_delay_ms=np.int64(0), budget_eff=np.int64(0),
+                ),
+            ]
+            for d in dropped:
+                parts.append(d.assign(
+                    host_rank=0, fetch_offset_ms=0,
+                    crawl_delay_ms=np.int64(0), budget_eff=np.int64(0),
+                ))
+        else:
+            parts = [
+                allowed.assign(
+                    status=np.where(within, "scheduled", "deferred"),
+                    host_rank=rank.astype(np.int32),
+                    fetch_offset_ms=np.where(within, (rank - 1) * delay, 0).astype(np.int64),
+                ),
+                pool.loc[blocked].assign(
+                    status="disallowed", host_rank=0, fetch_offset_ms=0
+                ),
+            ]
+            for d in dropped:
+                parts.append(d.assign(host_rank=0, fetch_offset_ms=0))
         out = pd.concat(parts, ignore_index=True)
-        return out[OUT_COLS]
+        return out[out_cols]
 
     in_cols = ["url_hash", "url_canon", "host_bucket", "priority", "is_new", "retry_count"]
     if has_host:
         in_cols.insert(2, "host")
-    return (
-        candidates.select(*in_cols)
-        .groupBy("host_bucket")
-        .cogroup(exact.select("url_hash", "host_bucket").groupBy("host_bucket"))
-        .applyInPandas(run, schema=OUT_SCHEMA)
+    cand_sel = candidates.select(*in_cols)
+    if not salted:
+        return (
+            cand_sel.groupBy("host_bucket")
+            .cogroup(state.groupBy("host_bucket"))
+            .applyInPandas(run, schema=OUT_SCHEMA)
+        )
+
+    # salted phase 1: candidates and exact rows slice by pmod(url_hash),
+    # per-host dimension rows replicate into every slice of their bucket
+    salt_of = F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int")
+    cand_salted = cand_sel.withColumn("salt", salt_of)
+    dim = state.filter(F.col("tag") != "s").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
+    sal = state.filter(F.col("tag") == "s").withColumn("salt", salt_of)
+    state_salted = sal.unionByName(dim)
+
+    p1 = (
+        cand_salted.groupBy("host_bucket", "salt")
+        .cogroup(state_salted.groupBy("host_bucket", "salt"))
+        .applyInPandas(run, schema=P1_SCHEMA)
+    )
+
+    def rank_host(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((
+            pdf["url_hash"].to_numpy(), pdf["priority"].to_numpy(),
+            pdf["is_new"].to_numpy(),
+        ))
+        pdf = pdf.iloc[order]
+        rank = np.arange(1, len(pdf) + 1, dtype=np.int64)
+        budget = pdf["budget_eff"].to_numpy(np.int64)
+        delay = pdf["crawl_delay_ms"].to_numpy(np.int64)
+        within = rank <= budget
+        return pdf.assign(
+            status=np.where(within, "scheduled", "deferred"),
+            host_rank=rank.astype(np.int32),
+            fetch_offset_ms=np.where(within, (rank - 1) * delay, 0).astype(np.int64),
+        )[OUT_COLS]
+
+    pending = p1.filter(F.col("status") == "pending")
+    # phase 2: ≤ n_salts·budget rows per host — bounded regardless of how
+    # skewed the candidate distribution is
+    final = pending.groupBy("host").applyInPandas(rank_host, schema=OUT_SCHEMA)
+    rest = p1.filter(F.col("status") != "pending").select(*OUT_COLS)
+    return final.unionByName(rest)

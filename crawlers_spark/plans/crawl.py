@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import fnv64
 from ..functions.urls import canon_urls, canon_with_host, url_host
-from ..operators.fused_schedule import fused_filter_schedule
+from ..operators.fused_schedule import (
+    STATE_COLS,
+    fused_filter_schedule,
+    quota_state,
+    robots_state,
+    seen_state,
+)
 from ..operators.ranking import global_rank
 from ..operators.scheduler import SchedulerConfig, schedule_generation
 from ..operators.seen_set import BloomParams, SeenSet, build_bucket_filters
@@ -78,6 +84,11 @@ class CrawlConfig:
     # Both produce identical crawl order / seen-set / metrics (golden +
     # equivalence tested).
     fused: bool = True
+    # mega-host skew escape hatch for the fused path: >1 salts the
+    # cogroup key with pmod(url_hash, n_salts), bounding any single
+    # Python task at ~1/n_salts of a host's candidates (two-phase exact
+    # politeness; see operators/fused_schedule.py docstring). 1 = off.
+    n_salts: int = 1
 
 
 @dataclass
@@ -185,13 +196,30 @@ class CrawlPlan:
         self.spark = spark
         self.cfg = cfg
         if robots is None:
-            # keep the driver-side frame: the fused path broadcasts it as
-            # dicts, and a toPandas() round-trip through Spark costs a job
-            self._robots_pd = robots_pdf(cfg.web)
-            self.robots = spark.createDataFrame(self._robots_pd)
+            self.robots = spark.createDataFrame(robots_pdf(cfg.web))
         else:
-            self._robots_pd = None
             self.robots = robots
+        # tagged robots state rows (tag='r'), bucketed like the seen
+        # shard; computed once and pinned — the fused path cogroups this
+        # DataFrame, it never lives on the driver as dicts
+        self._robots_state: DataFrame | None = None
+
+    def _robots_state_df(self) -> DataFrame:
+        if self._robots_state is None:
+            self._robots_state = robots_state(
+                self.spark, self.robots, self.cfg.n_host_buckets
+            ).localCheckpoint(eager=True)
+        return self._robots_state
+
+    def _state_for(
+        self, exact: DataFrame | None, host_spent: DataFrame | None
+    ) -> DataFrame:
+        st = self._robots_state_df()
+        if exact is not None:
+            st = seen_state(exact).unionByName(st)
+        if host_spent is not None:
+            st = st.unionByName(quota_state(host_spent, self.cfg.n_host_buckets))
+        return st
 
     # ---------- checkpoint plumbing ----------
     def _ckpt(self, *parts: str) -> str:
@@ -217,6 +245,23 @@ class CrawlPlan:
             },
         )
         return self.spark.read.parquet(os.path.join(d, "frontier"))
+
+    def _read_host_spent(self, gen_dir: str, manifest: dict) -> DataFrame | None:
+        """Quota ledger for resume: parquet if present, else the legacy
+        manifest dict (older checkpoints), else None."""
+        p = os.path.join(gen_dir, "host_spent")
+        if os.path.isdir(p):
+            return self.spark.read.parquet(p)
+        legacy = manifest.get("host_spent")
+        if legacy:
+            pdf = pd.DataFrame(
+                {"host": list(legacy.keys()), "spent": list(legacy.values())}
+            )
+            from ..functions.hashing import fnv64 as _f, pmod_bucket as _p
+
+            pdf["host_bucket"] = _p(_f(pdf["host"]), self.cfg.n_host_buckets)
+            return self.spark.createDataFrame(pdf)
+        return None
 
     def latest_manifest(self) -> dict | None:
         if not self.cfg.checkpoint_dir or not os.path.isdir(self.cfg.checkpoint_dir):
@@ -260,9 +305,14 @@ class CrawlPlan:
             next_priority = manifest["next_priority"]
             d = self._ckpt(f"gen={manifest['generation']:05d}")
             frontier = spark.read.parquet(os.path.join(d, "frontier"))
+            seen_tbl = spark.read.parquet(os.path.join(d, "seen_exact"))
+            if "tag" in seen_tbl.columns:  # written by the fused loop
+                seen_tbl = seen_tbl.filter("tag = 's'").select(
+                    "url_hash", "host_bucket", "bloom_bucket"
+                )
             seen = SeenSet(
                 spark, cfg.bloom,
-                exact=spark.read.parquet(os.path.join(d, "seen_exact")),
+                exact=seen_tbl,
                 filters=spark.read.parquet(os.path.join(d, "filters")),
                 filter_epoch=manifest["filter_epoch"],
                 use_broadcast=cfg.bloom_broadcast,
@@ -372,6 +422,7 @@ class CrawlPlan:
                 log_parts.append(spark.read.parquet(self._ckpt(f"gen={g:05d}", "crawl_log")))
                 frontier = self._snapshot(g, frontier, seen, next_priority, totals, n_frontier)
                 seen.exact = spark.read.parquet(self._ckpt(f"gen={g:05d}", "seen_exact"))
+                # (composed snapshots write plain exact rows — no tag col)
                 seen.filters = spark.read.parquet(self._ckpt(f"gen={g:05d}", "filters"))
             else:
                 pages_parts.append(pages_g.localCheckpoint(eager=True))
@@ -417,23 +468,20 @@ class CrawlPlan:
             wall_s=time.monotonic() - t0,
         )
 
-    def _bootstrap_schedule(self, frontier, g0, robots_pd, host_spent):
+    def _bootstrap_schedule(self, frontier, g0, host_spent):
         """Schedule the first generation through the fused op (bypass-only
         input, equivalence-tested against the composed scheduler): one
         exchange instead of the two-window salted top-k chain, and the
         lifetime-quota cap (when configured) applies from generation 0
-        exactly like later generations."""
+        exactly like later generations. ``host_spent`` is a small
+        (host, host_bucket, spent) DataFrame or None."""
         cfg, spark = self.cfg, self.spark
-        budget_left = None
-        if cfg.total_budget_per_host is not None:
-            budget_left = {
-                h: cfg.total_budget_per_host - host_spent.get(h, 0)
-                for h in robots_pd["host"]
-            }
-        empty_exact = spark.createDataFrame([], "url_hash long, host_bucket int")
         boot = fused_filter_schedule(
-            spark, frontier.withColumn("is_new", F.lit(False)), empty_exact,
-            robots_pd, cfg.scheduler, budget_left=budget_left,
+            spark, frontier.withColumn("is_new", F.lit(False)), None,
+            self.robots, cfg.scheduler,
+            total_budget_per_host=cfg.total_budget_per_host,
+            n_salts=cfg.n_salts,
+            state=self._state_for(None, host_spent),
         )
         return (
             boot.filter("status = 'scheduled'").withColumn("generation", F.lit(g0)),
@@ -465,22 +513,28 @@ class CrawlPlan:
         log_parts: list[DataFrame] = []
         metrics_rows: list[tuple] = []
         totals = {"fetched": 0, "scheduled": 0}
-        robots_pd = (self._robots_pd if self._robots_pd is not None
-                     else self.robots.toPandas())
         next_statuses = ("scheduled", "deferred", "disallowed")
 
         manifest = self.latest_manifest() if resume else None
         scheduled: DataFrame | None = None
         deferred: DataFrame | None = None
+        # per-host lifetime spend: a SMALL (host, host_bucket, spent)
+        # DataFrame updated per generation — never a driver dict, so a
+        # 10^7-host crawl keeps its quota ledger sharded
+        host_spent: DataFrame | None = None
+        ckpt_state: DataFrame | None = None  # bucketed tagged state table
         if manifest is not None:
             g0 = manifest["generation"] + 1
             next_priority = manifest["next_priority"]
             d = self._ckpt(f"gen={manifest['generation']:05d}")
-            exact = spark.read.parquet(os.path.join(d, "seen_exact")).select(
-                "url_hash", "host_bucket"
-            )
+            seen_tbl = spark.read.parquet(os.path.join(d, "seen_exact"))
+            if "tag" in seen_tbl.columns:  # tagged state snapshot
+                exact = seen_tbl.filter("tag = 's'").select("url_hash", "host_bucket")
+            else:  # legacy layout: exact rows only
+                exact = seen_tbl.select("url_hash", "host_bucket")
             totals = dict(manifest["totals"])
             n_frontier = manifest.get("frontier_count")
+            host_spent = self._read_host_spent(d, manifest)
             fs_path = os.path.join(d, "frontier_sched")
             if os.path.isdir(fs_path):
                 nxt = spark.read.parquet(fs_path)
@@ -496,8 +550,7 @@ class CrawlPlan:
                     n_frontier = frontier.count()
                 if n_frontier:
                     scheduled, deferred = self._bootstrap_schedule(
-                        frontier, g0, robots_pd,
-                        host_spent=dict(manifest.get("host_spent", {})),
+                        frontier, g0, host_spent=host_spent
                     )
         else:
             g0 = 0
@@ -510,15 +563,12 @@ class CrawlPlan:
             exact = frontier.select("url_hash", "host_bucket")
             if n_frontier:
                 scheduled, deferred = self._bootstrap_schedule(
-                    frontier, g0, robots_pd, host_spent={}
+                    frontier, g0, host_spent=None
                 )
         exact = exact.localCheckpoint(eager=True)
 
         gen_stats: dict[int, tuple[dict, int]] = {}
         prev_tbl: str | None = None
-        host_spent: dict[str, int] = (
-            dict(manifest.get("host_spent", {})) if manifest else {}
-        )
         generations = g0
         for g in range(g0, g0 + cfg.max_generations):
             gen_t0 = time.monotonic()
@@ -568,23 +618,34 @@ class CrawlPlan:
                     (F.col("retry_count") + 1).alias("retry_count"),
                 )
                 cand = cand.unionByName(requeue)
-            budget_left = None
             if cfg.total_budget_per_host is not None:
                 # charge this generation's scheduled fetches, then expose
-                # the remaining lifetime quota to the next schedule
-                for r in fetched.groupBy("host").agg(F.count("*").alias("n")).collect():
-                    host_spent[r["host"]] = host_spent.get(r["host"], 0) + r["n"]
-                budget_left = {
-                    h: cfg.total_budget_per_host - host_spent.get(h, 0)
-                    for h in robots_pd["host"]
-                }
+                # the remaining lifetime quota to the next schedule — as a
+                # small aggregated DataFrame, never a driver dict
+                delta = fetched.groupBy("host", "host_bucket").agg(
+                    F.count("*").alias("spent")
+                )
+                host_spent = (
+                    delta
+                    if host_spent is None
+                    else host_spent.unionByName(delta)
+                    .groupBy("host", "host_bucket")
+                    .agg(F.sum("spent").alias("spent"))
+                ).localCheckpoint(eager=True)
             # eager localCheckpoint (not persist): the loop-carried
             # scheduled/deferred both re-reference this frame, so without a
             # lineage cut the logical plan tree grows multiplicatively per
             # generation (plan-string OOM by gen ~5)
+            state = (
+                ckpt_state
+                if ckpt_state is not None and cfg.total_budget_per_host is None
+                else self._state_for(exact, host_spent)
+            )
             fused_out = fused_filter_schedule(
-                spark, cand, exact, robots_pd, cfg.scheduler, emit_dropped=True,
-                budget_left=budget_left,
+                spark, cand, None, self.robots, cfg.scheduler, emit_dropped=True,
+                total_budget_per_host=cfg.total_budget_per_host,
+                n_salts=cfg.n_salts,
+                state=state,
             ).localCheckpoint(eager=True)
 
             # One small agg over the fused output drives every loop counter
@@ -642,16 +703,20 @@ class CrawlPlan:
                 nxt.select(*FRONTIER_COLS).write.mode("overwrite").parquet(
                     os.path.join(dgen, "frontier")
                 )
-                # snapshot the seen-set as a BUCKETED external table on
-                # host_bucket: the next generation's cogroup then reads it
-                # co-located and elides the exact-side exchange entirely
-                # (plan-asserted in tests/test_plan_quality.py; elision
-                # requires n_host_buckets == spark.sql.shuffle.partitions,
-                # else Spark re-shuffles one side to align) — at 10^10
-                # seen rows that exchange dominates the loop. The files
+                # snapshot the TAGGED STATE (seen rows + robots dimension
+                # + quota spend) as ONE bucketed external table on
+                # host_bucket: the next generation's cogroup then reads
+                # its whole state side co-located and elides that exchange
+                # entirely (plan-asserted in tests/test_plan_quality.py;
+                # elision requires n_host_buckets ==
+                # spark.sql.shuffle.partitions, else Spark re-shuffles one
+                # side to align) — at 10^10 seen rows that exchange
+                # dominates the loop. A union of separate seen/robots
+                # tables would NOT preserve the partitioning, which is why
+                # the dimension rows live in the same table. The files
                 # stay plain parquet under the checkpoint dir (resume via
-                # spark.read.parquet still works; bucketing metadata lives
-                # in the catalog entry only).
+                # spark.read.parquet + tag filter still works; bucketing
+                # metadata lives in the catalog entry only).
                 import hashlib
 
                 tbl = "crawl_seen_{}_{:05d}".format(
@@ -659,24 +724,37 @@ class CrawlPlan:
                     .hexdigest()[:8], g,
                 )
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                state_out = self._state_for(exact, host_spent).withColumn(
+                    "bloom_bucket",
+                    F.when(
+                        F.col("tag") == "s",
+                        F.pmod(F.col("url_hash"), F.lit(cfg.bloom.n_buckets)),
+                    ).cast("int"),
+                )
                 (
-                    exact.withColumn(
-                        "bloom_bucket",
-                        F.pmod(F.col("url_hash"), F.lit(cfg.bloom.n_buckets)).cast("int"),
-                    )
+                    state_out
                     .write.mode("overwrite").format("parquet")
                     .bucketBy(cfg.n_host_buckets, "host_bucket")
                     .sortBy("url_hash")
                     .option("path", os.path.join(dgen, "seen_exact"))
                     .saveAsTable(tbl)
                 )
-                exact = spark.table(tbl).select("url_hash", "host_bucket")
+                ckpt_state = spark.table(tbl).select(*STATE_COLS)
+                exact = (
+                    spark.table(tbl).filter("tag = 's'")
+                    .select("url_hash", "host_bucket")
+                )
                 if prev_tbl is not None:
                     spark.sql(f"DROP TABLE IF EXISTS {prev_tbl}")
                 prev_tbl = tbl
                 build_bucket_filters(exact, cfg.bloom).write.mode("overwrite").parquet(
                     os.path.join(dgen, "filters")
                 )
+                if host_spent is not None:
+                    host_spent.write.mode("overwrite").parquet(
+                        os.path.join(dgen, "host_spent")
+                    )
+                    host_spent = spark.read.parquet(os.path.join(dgen, "host_spent"))
                 _atomic_write_json(
                     self._ckpt(f"manifest_gen={g:05d}.json"),
                     {
@@ -685,7 +763,6 @@ class CrawlPlan:
                         "filter_epoch": 0,
                         "totals": totals,
                         "frontier_count": n_frontier,
-                        "host_spent": host_spent,
                         "lineage": {"host_buckets": cfg.n_host_buckets,
                                     "bloom_buckets": cfg.bloom.n_buckets,
                                     "fused": True},

@@ -59,11 +59,12 @@ def _composed(spark, params, preseen, candidates, robots):
     return sched, deferred, disallowed
 
 
-def _fused(spark, params, preseen, raw, robots):
+def _fused(spark, params, preseen, raw, robots, n_salts=1):
     blobs = build_host_bucket_blobs(preseen, params)
     exact = preseen.select("url_hash", "host_bucket")
     return fused_filter_schedule(
-        spark, raw, exact, robots, blobs=blobs, params=params
+        spark, raw, exact, robots, blobs=blobs, params=params,
+        n_host_buckets=N_BUCKETS, n_salts=n_salts,
     )
 
 
@@ -106,3 +107,92 @@ def test_fused_empty_candidates(setup):
     )
     out = _fused(spark, params, preseen, empty, robots)
     assert out.count() == 0
+
+
+def test_salted_matches_unsalted(setup):
+    """n_salts > 1 (the mega-host skew escape hatch) must leave the
+    scheduled set, ranks, and offsets bit-identical — the salted path is
+    a two-phase EXACT top-k, not an approximation."""
+    spark, web, params, preseen, _c, raw, robots = setup
+    base = _fused(spark, params, preseen, raw, robots).persist()
+    salted = _fused(spark, params, preseen, raw, robots, n_salts=4).persist()
+
+    def sched(df):
+        return {
+            (r["url_hash"], r["host_rank"], r["fetch_offset_ms"])
+            for r in df.filter("status = 'scheduled'").collect()
+        }
+
+    assert sched(base) == sched(salted)
+    for status in ("deferred", "disallowed"):
+        a = {r["url_hash"] for r in base.filter(f"status = '{status}'").collect()}
+        b = {r["url_hash"] for r in salted.filter(f"status = '{status}'").collect()}
+        assert a == b, status
+    base.unpersist(); salted.unpersist()
+
+
+def test_salting_bounds_mega_host_partition(spark):
+    """One host holding 90% of candidates concentrates in ONE cogroup
+    partition unsalted (the straggler that sets generation wall time at
+    100x); with n_salts the max per-(bucket, salt) group — the actual
+    task input of the phase-1 cogroup — drops by ~n_salts, while the
+    scheduled output stays identical to the unsalted run."""
+    import pandas as pd
+
+    from crawlers_spark.functions.hashing import fnv64, pmod_bucket
+    from crawlers_spark.functions.urls import url_host
+
+    n_mega, n_small, n_salts = 18_000, 2_000, 8
+    web = SynthWebConfig(n_hosts=24, base_pages=50)
+    mega = pd.DataFrame({
+        "url": "http://host0000.test/p/" + pd.RangeIndex(n_mega).astype(str),
+        "seed_rank": range(n_mega),
+    })
+    rest_host = (pd.RangeIndex(n_small) % 20 + 1).astype(str).str.zfill(4)
+    rest = pd.DataFrame({
+        "url": "http://host" + rest_host + ".test/p/" + pd.RangeIndex(n_small).astype(str),
+        "seed_rank": range(n_mega, n_mega + n_small),
+    })
+    pdf = pd.concat([mega, rest], ignore_index=True)
+    canon = pdf["url"]
+    cand_pd = pd.DataFrame({
+        "url_canon": canon,
+        "url_hash": fnv64(canon),
+        "host_bucket": pmod_bucket(fnv64(url_host(canon)), N_BUCKETS),
+        "priority": pdf["seed_rank"].astype("int64"),
+    })
+    cand = spark.createDataFrame(cand_pd)
+    robots = robots_pdf(web)
+
+    # task-input math: unsalted, the mega host's bucket holds >= 85% of
+    # all rows; salted, the largest (bucket, salt) slice is ~1/n_salts
+    bucket_sizes = cand_pd.groupby("host_bucket").size()
+    assert bucket_sizes.max() >= 0.85 * len(cand_pd)
+    salt = (cand_pd["url_hash"].to_numpy().view("uint64") % n_salts).astype(int)
+    slice_sizes = cand_pd.assign(salt=salt).groupby(["host_bucket", "salt"]).size()
+    assert slice_sizes.max() <= bucket_sizes.max() / n_salts * 1.5
+
+    out_1 = fused_filter_schedule(
+        spark, cand, None, robots, SchedulerConfig(), n_host_buckets=N_BUCKETS,
+    ).persist()
+    out_s = fused_filter_schedule(
+        spark, cand, None, robots, SchedulerConfig(), n_host_buckets=N_BUCKETS,
+        n_salts=n_salts,
+    ).persist()
+    sched_1 = {
+        (r["url_hash"], r["host_rank"], r["fetch_offset_ms"])
+        for r in out_1.filter("status = 'scheduled'").collect()
+    }
+    sched_s = {
+        (r["url_hash"], r["host_rank"], r["fetch_offset_ms"])
+        for r in out_s.filter("status = 'scheduled'").collect()
+    }
+    assert sched_1 == sched_s and len(sched_1) > 0
+    # the mega host schedules exactly its per-generation budget
+    rb = robots.set_index("host")
+    mega_budget = int(rb.loc["host0000.test", "max_per_generation"])
+    n_mega_sched = out_s.filter(
+        "status = 'scheduled' and host = 'host0000.test'"
+    ).count()
+    assert n_mega_sched == mega_budget
+    out_1.unpersist(); out_s.unpersist()

@@ -157,11 +157,14 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bj_right")
 
 
-def test_bucketed_seen_elides_cogroup_exchange(spark, tmp_path):
-    # the fused step's exact side, snapshotted as a bucketed table on
-    # host_bucket (what CrawlPlan's checkpoint mode writes), joins the
-    # cogroup WITHOUT its own exchange: only the candidate side shuffles
-    from crawlers_spark.operators.fused_schedule import fused_filter_schedule
+def test_bucketed_state_elides_cogroup_exchange(spark, tmp_path):
+    # the fused step's whole STATE side (seen rows + robots dimension as
+    # one tagged table), snapshotted bucketed on host_bucket (what
+    # CrawlPlan's checkpoint mode writes), joins the cogroup WITHOUT its
+    # own exchange: only the candidate side shuffles
+    from crawlers_spark.operators.fused_schedule import (
+        STATE_COLS, fused_filter_schedule, robots_state, seen_state,
+    )
     from crawlers_spark.operators.scheduler import SchedulerConfig
     from crawlers_spark.plans.crawl import prepare_frontier
     from crawlers_spark.sources.synthweb import (
@@ -175,18 +178,19 @@ def test_bucketed_seen_elides_cogroup_exchange(spark, tmp_path):
             make_seed_urls(web, 200).assign(seed_rank=lambda d: d.seed_rank + 9000)
         ), 8,
     ).select("url_hash", "host_bucket")
+    state = seen_state(exact).unionByName(robots_state(spark, robots_pdf(web), 8))
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     spark.sql("DROP TABLE IF EXISTS seen_bkt_test")
     (
-        exact.write.mode("overwrite").format("parquet")
+        state.write.mode("overwrite").format("parquet")
         .bucketBy(n_shuffle, "host_bucket").sortBy("url_hash")
         .option("path", str(tmp_path / "seen"))
         .saveAsTable("seen_bkt_test")
     )
     try:
         out = fused_filter_schedule(
-            spark, cand, spark.table("seen_bkt_test"),
-            robots_pdf(web), SchedulerConfig(),
+            spark, cand, None, robots_pdf(web), SchedulerConfig(),
+            state=spark.table("seen_bkt_test").select(*STATE_COLS),
         )
         plan = _simple_plan(out)
         assert plan.count("Exchange hashpartitioning(host_bucket") == 1, plan

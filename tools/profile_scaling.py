@@ -69,7 +69,8 @@ def main() -> None:
             spark, web, p["n_candidates"], p["n_host_buckets"], partitions=cpus * 4
         )
         fused = fused_filter_schedule(
-            spark, raw, exact, robots, SchedulerConfig(), blobs=blobs, params=params
+            spark, raw, exact, robots, SchedulerConfig(), blobs=blobs, params=params,
+            n_host_buckets=p["n_host_buckets"],
         )
         fused.filter("status = 'scheduled'").count()
         out["fused"].append(round(time.monotonic() - t0, 2))
