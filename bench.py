@@ -137,7 +137,12 @@ def run_crawl_bench(cpus: int, reps: int | None = None) -> dict:
     web = SynthWebConfig(n_hosts=p["n_hosts"], base_pages=p["base_pages"])
     robots = robots_pdf(web)
 
-    # ---- setup (untimed): pre-populate the seen-set
+    # ---- setup (untimed): pre-populate the seen-set + robots STATE side,
+    # pre-partitioned on host_bucket like the engine's long-lived bucketed
+    # state snapshot (plans/crawl.py checkpoint mode) — per generation only
+    # the candidate side moves
+    from crawlers_spark.operators.fused_schedule import robots_state, seen_state
+
     params = BloomParams.size_for(p["n_preseen"] * 2, n_buckets=p["n_host_buckets"])
     preseen_urls = distributed_seed_urls(
         spark, web, p["n_preseen"], start=p["n_candidates"]
@@ -150,6 +155,13 @@ def run_crawl_bench(cpus: int, reps: int | None = None) -> dict:
     )
     exact.count()  # materialize seen-set outside the timed window
     blobs = build_host_bucket_blobs(exact, params)
+    state = (
+        seen_state(exact)
+        .unionByName(robots_state(spark, robots, p["n_host_buckets"]))
+        .repartition(p["n_host_buckets"], "host_bucket")
+        .persist()
+    )
+    state.count()
 
     # ---- timed: the frontier machinery over n_candidates URLs, as the
     # fused bucket-local step (ONE candidate exchange; see
@@ -167,8 +179,8 @@ def run_crawl_bench(cpus: int, reps: int | None = None) -> dict:
             spark, web, p["n_candidates"], p["n_host_buckets"], partitions=cpus * 4
         )
         out = fused_filter_schedule(
-            spark, raw, exact, robots, SchedulerConfig(), blobs=blobs, params=params,
-            n_host_buckets=p["n_host_buckets"],
+            spark, raw, None, robots, SchedulerConfig(), blobs=blobs, params=params,
+            n_host_buckets=p["n_host_buckets"], state=state,
         )
         scheduled = out.filter("status = 'scheduled'")
         n_scheduled = scheduled.count()

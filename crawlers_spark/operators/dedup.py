@@ -180,6 +180,34 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash60_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — 60-bit sign-vote fingerprint with an ORACLE-PORTABLE
+    word hash: the first 15 hex chars of md5(word) parsed as an integer,
+    which evaluates to the identical int64 in Spark SQL
+    (``conv(substring(md5(w),1,15),16,10)``) and DuckDB
+    (``('0x' || substring(md5(w),1,15))::BIGINT``) — so the banded
+    near-dup pipeline downstream is fully checkable cross-engine, unlike
+    the xxhash64 variant (simhash64). 60 bits keep the value inside a
+    signed BIGINT without overflow in either engine."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    ).withColumn(
+        "wh", F.expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)")
+    )
+    votes = [
+        F.sum(F.shiftright(F.col("wh"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+        for i in range(60)
+    ]
+    agg = words.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(60):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
+        )
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
 def hamming64(a, b):
     """Popcount of XOR via bit_count (Spark 3.4+)."""
     return F.bit_count(a.bitwiseXOR(b))
