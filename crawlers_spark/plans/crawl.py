@@ -89,6 +89,13 @@ class CrawlConfig:
     # Python task at ~1/n_salts of a host's candidates (two-phase exact
     # politeness; see operators/fused_schedule.py docstring). 1 = off.
     n_salts: int = 1
+    # auto_salt watches the per-bucket candidate counters the loop already
+    # aggregates each generation (zero extra jobs) and raises the salt
+    # count for the NEXT generation when one bucket dominates — the
+    # one-site-per-crawler shape of the reference (SURVEY.md §4.2) at
+    # scale. Salting never changes results (two-phase exact top-k), only
+    # the physical task bound, so auto-raising is always safe.
+    auto_salt: bool = True
 
 
 @dataclass
@@ -176,6 +183,25 @@ def prepare_frontier(seeds: DataFrame, n_host_buckets: int) -> DataFrame:
         F.min("priority").alias("priority")
     )
     return dedup.select("url_hash", "url_canon", "host", "host_bucket", "priority")
+
+
+def auto_salts(by_bucket: dict[int, int], n_buckets: int, base: int = 1,
+               min_total: int = 50_000, trigger_ratio: float = 8.0,
+               max_salts: int = 16) -> int:
+    """Salt count for the next generation from this generation's
+    per-bucket candidate counts: below ``min_total`` rows or below
+    ``trigger_ratio``x the mean bucket, stay at ``base``; above, split
+    the hot bucket to ~2x the mean (bounded by ``max_salts``)."""
+    if not by_bucket:
+        return base
+    total = sum(by_bucket.values())
+    if total < min_total:
+        return base
+    mean = total / max(1, n_buckets)
+    mx = max(by_bucket.values())
+    if mx < trigger_ratio * mean:
+        return base
+    return int(min(max_salts, max(base, round(mx / mean / 2))))
 
 
 def _counts_by_bucket(df: DataFrame, name: str) -> DataFrame:
@@ -569,6 +595,7 @@ class CrawlPlan:
 
         gen_stats: dict[int, tuple[dict, int]] = {}
         prev_tbl: str | None = None
+        cur_salts = cfg.n_salts
         generations = g0
         for g in range(g0, g0 + cfg.max_generations):
             gen_t0 = time.monotonic()
@@ -644,7 +671,7 @@ class CrawlPlan:
             fused_out = fused_filter_schedule(
                 spark, cand, None, self.robots, cfg.scheduler, emit_dropped=True,
                 total_budget_per_host=cfg.total_budget_per_host,
-                n_salts=cfg.n_salts,
+                n_salts=cur_salts,
                 state=state,
             ).localCheckpoint(eager=True)
 
@@ -688,6 +715,13 @@ class CrawlPlan:
             n_frontier = sum(
                 v for (_b, s), v in st.items() if s in next_statuses
             )
+            if cfg.auto_salt:
+                by_bucket: dict[int, int] = {}
+                for (b, _s), v in st.items():
+                    by_bucket[b] = by_bucket.get(b, 0) + v
+                cur_salts = auto_salts(
+                    by_bucket, cfg.n_host_buckets, base=cfg.n_salts
+                )
 
             if cfg.checkpoint_dir:
                 fm = fetched.groupBy("ok").agg(F.count("*").alias("n")).collect()

@@ -649,6 +649,135 @@ WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5
 """
 
 
+_MH_PERMS, _MH_BANDS, _MH_ROWS = 16, 8, 2
+
+
+def q_dedup_minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, fully oracle-checked: 16 md5-lane
+    permutation hashes (int64-identical in Spark
+    ``conv(substring(md5(p || '|' || s),1,15),16,10)`` and DuckDB
+    ``('0x' || ...)::BIGINT``, same trick as dedup_simhash_banded),
+    banded 8x2 -> candidate equi-join -> exact-Jaccard verify at 0.5.
+    The xxhash64 pipeline (dedup_minhash_lsh) stays as the fast
+    rows-only variant; this one proves the band/verify semantics
+    cross-engine."""
+    from .operators.dedup import normalize_text
+
+    docs = _docs_with_mutants(spark, sf)
+    t = docs.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("w"))
+    grams = (
+        t.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+            )).alias("s"),
+        )
+        .distinct()
+    )
+    mins = [
+        F.min(F.expr(
+            f"cast(conv(substring(md5(concat('{p}|', s)), 1, 15), 16, 10) as bigint)"
+        )).alias(f"m{p}")
+        for p in range(_MH_PERMS)
+    ]
+    sigs = grams.groupBy("doc_id").agg(*mins)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.concat_ws(",", *[
+                    F.col(f"m{_MH_ROWS * b + j}").cast("string")
+                    for j in range(_MH_ROWS)
+                ]).alias("bv"),
+            )
+            for b in range(_MH_BANDS)
+        ])).alias("b"),
+    ).select("doc_id", "b.bi", "b.bv")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.bi") == F.col("b.bi")) & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sz = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = grams.select(F.col("doc_id").alias("id_a"), "s")
+    gb = grams.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        cand.join(ga, "id_a").join(gb, ["id_b", "s"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("ni"))
+    )
+    na = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    # jaccard: one division of identical int64 operands -> identical
+    # IEEE doubles in both engines; emit unrounded
+    return (
+        inter.join(na, "id_a").join(nb, "id_b")
+        .withColumn("jaccard", F.col("ni") / (F.col("n_a") + F.col("n_b") - F.col("ni")))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _minhash_md5_oracle() -> str:
+    mins = ",\n       ".join(
+        f"min(('0x' || substring(md5('{p}|' || s), 1, 15))::BIGINT) AS m{p}"
+        for p in range(_MH_PERMS)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bi, "
+        f"m{_MH_ROWS * b}::VARCHAR || ',' || m{_MH_ROWS * b + 1}::VARCHAR AS bv FROM sigs"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+alldocs AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_MUTANT_OFFSET}, regexp_replace(text, ' \\w+$', '') FROM base
+),
+t AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM alldocs),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       FROM t WHERE len(w) >= 3),
+sigs AS (
+  SELECT doc_id,
+       {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jaccard
+FROM inter
+JOIN sz za ON za.doc_id = id_a
+JOIN sz zb ON zb.doc_id = id_b
+WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5
+"""
+
+
+ORACLE_MINHASH_MD5 = _minhash_md5_oracle()
+
+
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (shingle→sign→band→verify); xxhash64
     banding is not DuckDB-expressible → rows-only driver check."""
@@ -1415,6 +1544,7 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprints": (q_doc_fingerprints, ORACLE_DOC_FINGERPRINTS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_minhash_lsh, None),
+    "dedup_minhash_md5": (q_dedup_minhash_md5, ORACLE_MINHASH_MD5),
     "dedup_simhash": (q_simhash, None),
     "dedup_simhash_banded": (q_simhash_banded, ORACLE_SIMHASH_BANDED),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),

@@ -227,3 +227,20 @@ def test_fused_inmemory_storage_flat(spark):
     # checkpointed parts but assert no superlinear/persist leak beyond
     # them: < 4 entries per generation with a small constant.
     assert after - before <= 4 * res.generations + 6, (before, after)
+
+
+def test_auto_salts_decision():
+    from crawlers_spark.plans.crawl import auto_salts
+
+    # below min_total: never triggers
+    assert auto_salts({0: 40_000}, 32) == 1
+    # uniform: stays at base
+    even = {b: 4_000 for b in range(32)}
+    assert auto_salts(even, 32) == 1
+    # one bucket holds ~90%: salts ~ (max/mean)/2, capped
+    skew = {b: 500 for b in range(32)}
+    skew[7] = 200_000
+    s = auto_salts(skew, 32)
+    assert 4 <= s <= 16, s
+    # base > 1 is a floor
+    assert auto_salts(even, 32, base=4) == 4
