@@ -1169,6 +1169,42 @@ def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_embedding_near_dups_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact brute-force embedding near-dup pairs (cosine >= 0.35) — the
+    oracle-checkable baseline that the SRP-LSH scale path
+    (embedding_near_dups) approximates. All built-in zip_with/aggregate
+    (no UDF); one division of identically-ordered sums gives identical
+    IEEE doubles in Spark and DuckDB (same exactness pattern as
+    cosine_topk). All-pairs by construction — labeled the small-side
+    baseline, never the 100-TB path."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cs"))
+        .filter(F.col("cs") >= 0.35)
+        .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
+    )
+
+
+ORACLE_NEAR_DUPS_EXACT = """
+WITH ex AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+         CAST(unnest(b.embedding) AS DOUBLE) AS xb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+s AS (SELECT id_a, id_b, sum(xa * xb) AS dot,
+             sqrt(sum(xa * xa)) AS na, sqrt(sum(xb * xb)) AS nb
+      FROM ex GROUP BY 1, 2)
+SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos_sim
+FROM s WHERE dot / (na * nb) >= 0.35
+"""
+
+
 # --------------------------------------------------------------------------
 # crawl-engine queries (custom stateful — rows-only driver check)
 # --------------------------------------------------------------------------
@@ -1552,6 +1588,7 @@ QUERIES: dict[str, tuple] = {
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, None),
+    "embedding_near_dups_exact": (q_embedding_near_dups_exact, ORACLE_NEAR_DUPS_EXACT),
     "ivf_topk": (q_ivf_topk, None),
     "crawl_pages_by_host": (q_crawl_pages_by_host, None),
     "crawl_schedule": (q_crawl_schedule, None),

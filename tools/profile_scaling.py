@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import CRAWL_BENCH, _get_spark  # noqa: E402
+from bench import CRAWL_BENCH, CRAWL_BENCH_CONF, _get_spark, _use_tmpfs_local_dir  # noqa: E402
 
 
 def main() -> None:
@@ -41,7 +41,8 @@ def main() -> None:
     )
 
     p = CRAWL_BENCH
-    spark = _get_spark(cpus, shuffle=p["n_host_buckets"])
+    _use_tmpfs_local_dir()
+    spark = _get_spark(cpus, shuffle=p["n_host_buckets"], extra_conf=CRAWL_BENCH_CONF)
     web = SynthWebConfig(n_hosts=p["n_hosts"], base_pages=p["base_pages"])
     robots = robots_pdf(web)
     params = BloomParams.size_for(p["n_preseen"] * 2, n_buckets=p["n_host_buckets"])
