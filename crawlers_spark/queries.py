@@ -1205,6 +1205,89 @@ FROM s WHERE dot / (na * nb) >= 0.35
 """
 
 
+_MIX_RATES = {"en": 0.5, "zh": 1.0, "es": 0.25, "de": 0.125}
+_MIX_DEFAULT = 0.0625
+_MIX_SEED = "mix1"
+
+
+def q_sample_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic mixture sampler (operators/sampling.py): resample
+    the documents table to a target language mix via hash-Bernoulli —
+    keep iff md5-lane U(doc_id) < rate[lang]·2^60. No RNG, no shuffle;
+    identical rows at any parallelism, and cross-engine exact (the
+    oracle compares the same int64 thresholds)."""
+    from .operators.sampling import sample_mixture
+
+    docs = load_table(spark, sf, "documents")
+    out = sample_mixture(
+        docs, "doc_id", "lang", _MIX_RATES, default_rate=_MIX_DEFAULT,
+        seed=_MIX_SEED,
+    )
+    return out.select("doc_id", "lang")
+
+
+def _mixture_oracle() -> str:
+    from .operators.sampling import mixture_thresholds
+
+    thr, default_thr = mixture_thresholds(_MIX_RATES, _MIX_DEFAULT)
+    whens = " ".join(f"WHEN '{s}' THEN {t}" for s, t in thr.items())
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substring(md5('{_MIX_SEED}|' || doc_id), 1, 15))::BIGINT
+      < CASE lang {whens} ELSE {default_thr} END
+"""
+
+
+ORACLE_SAMPLE_MIXTURE = _mixture_oracle()
+
+
+_CONTAM_K = 4  # real pipelines use 8-13-gram overlap; the synthetic docs
+# are 10-54 words, so 4-grams keep the check selective AND non-empty
+
+
+def q_contamination_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/sampling.py): flag corpus
+    docs sharing word 4-grams with a held-out eval slice (doc_id%17==0
+    stands in for the benchmark set). Distinct-gram equi-join with the
+    eval side broadcast — the corpus side never shuffles."""
+    from .operators.dedup import normalize_text
+    from .operators.sampling import contaminated_docs
+
+    docs = load_table(spark, sf, "documents")
+    k = _CONTAM_K
+    t = docs.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("w"))
+    grams = (
+        t.filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(0, size(w) - {k}),"
+                f" i -> concat_ws(' ', {', '.join(f'w[i+{j}]' for j in range(k))}))"
+            )).alias("s"),
+        )
+        .distinct()
+    )
+    ev = grams.filter(F.col("doc_id") % 17 == 0)
+    co = grams.filter(F.col("doc_id") % 17 != 0)
+    return contaminated_docs(co, ev).select("doc_id", "n_hit_grams", "n_eval_docs")
+
+
+ORACLE_CONTAMINATION = f"""
+WITH t AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(w) - {_CONTAM_K - 2}),
+                     i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(_CONTAM_K))})) AS s
+       FROM t WHERE len(w) >= {_CONTAM_K}),
+ev AS (SELECT * FROM sh WHERE doc_id % 17 = 0),
+co AS (SELECT * FROM sh WHERE doc_id % 17 != 0)
+SELECT co.doc_id, count(DISTINCT co.s) AS n_hit_grams,
+       count(DISTINCT ev.doc_id) AS n_eval_docs
+FROM co JOIN ev USING (s) GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # crawl-engine queries (custom stateful — rows-only driver check)
 # --------------------------------------------------------------------------
@@ -1589,6 +1672,8 @@ QUERIES: dict[str, tuple] = {
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, None),
     "embedding_near_dups_exact": (q_embedding_near_dups_exact, ORACLE_NEAR_DUPS_EXACT),
+    "sample_mixture": (q_sample_mixture, ORACLE_SAMPLE_MIXTURE),
+    "contamination_ngram": (q_contamination_ngram, ORACLE_CONTAMINATION),
     "ivf_topk": (q_ivf_topk, None),
     "crawl_pages_by_host": (q_crawl_pages_by_host, None),
     "crawl_schedule": (q_crawl_schedule, None),
