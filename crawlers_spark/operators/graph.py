@@ -1,0 +1,110 @@
+"""Connected components over a near-dup pair graph (iterative DataFrame
+label propagation).
+
+Pairwise near-dup detectors (n-gram Jaccard, MinHash-LSH, SimHash,
+phash bands) emit EDGES; a dedup pipeline must collapse them into
+CLUSTERS and keep one representative per cluster — A~B and B~C must
+retire both B and C even when A~C was never emitted as a pair. That
+closure is connected components: ``component(v) = min(id) reachable
+from v``.
+
+Algorithm: min-label propagation. Every node starts labeled with its
+own id; each round every node takes the min of its label and its
+neighbors' labels; stop when a round changes nothing. Rounds are pure
+DataFrame ops (join + groupBy-min), so each round is one shuffle of the
+edge list and converges in O(graph diameter) rounds — near-dup graphs
+are unions of small dense clusters, so diameter is tiny (the classic
+alternating small-star/large-star construction [Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14, public] gets
+O(log n) for adversarial paths; label propagation is the right
+constant-factor choice for dedup-shaped graphs and is exactly
+reproducible). Lineage is cut per round with ``localCheckpoint`` so the
+plan stays flat across iterations (same pattern as the crawl loop).
+
+Determinism: min() is order-independent, so the result is identical at
+any partitioning/parallelism — and cross-engine checkable (the oracle
+computes the same closure with a recursive CTE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Undirected connected components: (node, component) for every node
+    appearing in ``edges``, component = min reachable node id.
+
+    Raises after ``max_iter`` non-converged rounds (a near-dup graph
+    that deep means the pair threshold is broken, not the closure).
+    """
+    a, b = F.col(src).alias("u"), F.col(dst).alias("v")
+    und = edges.select(a, b).union(edges.select(b.alias("u"), a.alias("v")))
+    # adjacency is loop-invariant: one shuffle into its final layout
+    adj = und.repartition("u").localCheckpoint(eager=True)
+
+    labels = (
+        adj.select("u")
+        .distinct()
+        .select("u", F.col("u").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor minimum: edge (u,v) proposes label(v) to u
+        proposals = (
+            adj.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        nxt = (
+            labels.join(proposals, "u", "left")
+            .select("u", F.least("comp", "nmin").alias("comp"),
+                    (F.col("nmin") < F.col("comp")).alias("chg"))
+        ).localCheckpoint(eager=True)
+        changed = nxt.filter("chg").limit(1).count()
+        labels = nxt.select("u", "comp")
+        if changed == 0:
+            return labels.select(F.col("u").alias("node"), "comp")
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iter} rounds "
+        "(pair-graph diameter > max_iter — check the near-dup threshold)"
+    )
+
+
+def dedup_cluster_reps(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment for dedup: (doc_id, cluster, cluster_size,
+    is_rep). ``cluster`` = min doc_id of the near-dup component; docs in
+    ``all_ids`` that appear in no pair are singleton clusters of
+    themselves. Downstream keeps ``is_rep`` rows only."""
+    comps = connected_components(pairs, src=src, dst=dst).select(
+        F.col("node").alias(id_col), "comp"
+    )
+    if all_ids is not None:
+        singles = (
+            all_ids.select(id_col)
+            .join(comps.select(id_col), id_col, "left_anti")
+            .select(id_col, F.col(id_col).alias("comp"))
+        )
+        comps = comps.unionByName(singles)
+    sizes = comps.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        comps.join(sizes, "comp")
+        .select(
+            id_col,
+            F.col("comp").alias("cluster"),
+            "cluster_size",
+            (F.col(id_col) == F.col("comp")).alias("is_rep"),
+        )
+    )

@@ -1205,6 +1205,99 @@ FROM s WHERE dot / (na * nb) >= 0.35
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTER assignment (operators/graph.py): pairwise
+    detectors emit edges, but dedup must retire whole components — A~B
+    and B~C retire B and C even when A~C was never emitted. Corpus =
+    base docs + two mutant levels (drop last 1 and 2 words) so the pair
+    graph contains genuine chains; edges = exact word-3-gram Jaccard
+    >= 0.5 (df-capped, same kernels as dedup_ngram_jaccard); closure =
+    iterative min-label propagation, oracle-checked against a DuckDB
+    recursive CTE."""
+    from .operators.dedup import (
+        jaccard_verify,
+        shingle_candidate_pairs,
+        word_shingles,
+    )
+    from .operators.graph import dedup_cluster_reps
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.pmod("doc_id", F.lit(5)) == 0)
+        .select("doc_id", "text")
+    )
+    m1 = d.select(
+        (F.col("doc_id") + _MUTANT_OFFSET).alias("doc_id"),
+        F.regexp_replace("text", r" \w+$", "").alias("text"),
+    )
+    m2 = d.select(
+        (F.col("doc_id") + 2 * _MUTANT_OFFSET).alias("doc_id"),
+        F.regexp_replace(
+            F.regexp_replace("text", r" \w+$", ""), r" \w+$", ""
+        ).alias("text"),
+    )
+    docs = d.unionByName(m1).unionByName(m2)
+    sh = word_shingles(docs, "text", "doc_id", k=3)
+    pairs = shingle_candidate_pairs(sh, "doc_id", df_cap=NGRAM_DF_CAP)
+    edges = jaccard_verify(pairs, sh, "doc_id", threshold=0.5).select("id_a", "id_b")
+    out = dedup_cluster_reps(edges, all_ids=docs, id_col="doc_id")
+    return out.select(
+        "doc_id", "cluster", "cluster_size", F.col("is_rep").cast("int").alias("is_rep")
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+alldocs AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_MUTANT_OFFSET}, regexp_replace(text, ' \\w+$', '') FROM base
+  UNION ALL
+  SELECT doc_id + {2 * _MUTANT_OFFSET},
+         regexp_replace(regexp_replace(text, ' \\w+$', ''), ' \\w+$', '')
+  FROM base
+),
+t AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM alldocs),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       FROM t WHERE len(w) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+cold AS (SELECT sh.doc_id, sh.s FROM sh
+         JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}) f
+           USING (s)),
+cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          GROUP BY 1, 2),
+edges AS (SELECT id_a, id_b FROM inter
+          JOIN sz za ON za.doc_id = id_a
+          JOIN sz zb ON zb.doc_id = id_b
+          WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5),
+und AS (SELECT id_a AS u, id_b AS v FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+nodes AS (SELECT DISTINCT u FROM und),
+reach(u, m) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT und.u, reach.m FROM und JOIN reach ON und.v = reach.u
+),
+comp AS (SELECT u AS doc_id, min(m) AS cluster FROM reach GROUP BY 1),
+assigned AS (SELECT a.doc_id, coalesce(c.cluster, a.doc_id) AS cluster
+             FROM (SELECT doc_id FROM alldocs) a
+             LEFT JOIN comp c USING (doc_id)),
+csz AS (SELECT cluster, count(*) AS cluster_size FROM assigned GROUP BY 1)
+SELECT f.doc_id, f.cluster, s.cluster_size,
+       CAST(f.doc_id = f.cluster AS INT) AS is_rep
+FROM assigned f JOIN csz s USING (cluster)
+"""
+
+
 _MIX_RATES = {"en": 0.5, "zh": 1.0, "es": 0.25, "de": 0.125}
 _MIX_DEFAULT = 0.0625
 _MIX_SEED = "mix1"
@@ -1672,6 +1765,7 @@ QUERIES: dict[str, tuple] = {
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, None),
     "embedding_near_dups_exact": (q_embedding_near_dups_exact, ORACLE_NEAR_DUPS_EXACT),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "sample_mixture": (q_sample_mixture, ORACLE_SAMPLE_MIXTURE),
     "contamination_ngram": (q_contamination_ngram, ORACLE_CONTAMINATION),
     "ivf_topk": (q_ivf_topk, None),

@@ -1,0 +1,78 @@
+"""Connected components / cluster reps (operators/graph.py).
+
+The cross-engine closure semantics are proven by the oracle suite
+(test_queries_oracle: dedup_clusters vs a DuckDB recursive CTE); these
+tests pin the operator-level contracts: transitivity on chains, cluster
+merging, singleton handling, determinism across partitionings, and the
+non-convergence guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crawlers_spark.operators.graph import connected_components, dedup_cluster_reps
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _comp_map(df):
+    return {r["node"]: r["comp"] for r in df.collect()}
+
+
+def test_chain_closes_transitively(spark):
+    # 1-2, 2-3, 3-4: one component labeled 1, though 1~4 never emitted
+    got = _comp_map(connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4)])))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_clusters_stay_disjoint(spark):
+    got = _comp_map(
+        connected_components(_edges(spark, [(10, 11), (20, 21), (21, 22)]))
+    )
+    assert got == {10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_bridge_merges_two_clusters(spark):
+    # two triangles joined by one bridge edge -> single component
+    pairs = [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9), (3, 7)]
+    got = _comp_map(connected_components(_edges(spark, pairs)))
+    assert set(got.values()) == {1}
+    assert set(got) == {1, 2, 3, 7, 8, 9}
+
+
+def test_deterministic_across_partitionings(spark):
+    pairs = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6), (11, 30)]
+    e = _edges(spark, pairs)
+    a = _comp_map(connected_components(e))
+    b = _comp_map(connected_components(e.repartition(13, "id_b")))
+    assert a == b
+
+
+def test_long_path_needs_iterations(spark):
+    # a 12-node path exercises multi-round propagation (diameter 11)
+    got = _comp_map(
+        connected_components(_edges(spark, [(i, i + 1) for i in range(11)]))
+    )
+    assert set(got.values()) == {0} and len(got) == 12
+
+
+def test_max_iter_guard_raises(spark):
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(9)]), max_iter=2
+        )
+
+
+def test_cluster_reps_with_singletons(spark):
+    all_ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    out = dedup_cluster_reps(
+        _edges(spark, [(0, 3), (3, 5)]), all_ids=all_ids
+    ).collect()
+    got = {r["doc_id"]: (r["cluster"], r["cluster_size"], r["is_rep"]) for r in out}
+    assert got == {
+        0: (0, 3, True), 3: (0, 3, False), 5: (0, 3, False),
+        1: (1, 1, True), 2: (2, 1, True), 4: (4, 1, True),
+    }
