@@ -1205,6 +1205,103 @@ FROM s WHERE dot / (na * nb) >= 0.35
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition quality signals per document (Gopher-style filters,
+    Rae et al. 2021 appendix A — public spec): duplicate-word fraction,
+    top word-2-gram character fraction, and duplicated word-5-gram
+    character score. All JVM-side (split/array_distinct/explode +
+    hash aggs); fractions are single divisions of identical int64
+    operands so Spark and DuckDB produce identical IEEE doubles. A
+    training pipeline filters on thresholds over these columns; the
+    query emits the raw signals."""
+    from .operators.dedup import normalize_text
+
+    base = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("w"))
+        .withColumn("n_chars", F.length(F.array_join("w", " ")))
+    )
+    wstats = base.select(
+        "doc_id", "n_chars",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+    )
+
+    def grams(k: int):
+        return base.select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(0, size(w) - {k}),"
+                f" i -> concat_ws(' ', {', '.join(f'w[i+{j}]' for j in range(k))}))"
+            )).alias("g"),
+        ).groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+
+    from pyspark.sql import Window
+
+    top2 = (
+        grams(2)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("g"))
+            ),
+        )
+        .filter("rn = 1")
+        .select("doc_id", F.col("g").alias("top_bigram"),
+                (F.col("cnt") * F.length("g")).alias("top2_chars"))
+    )
+    dup5 = (
+        grams(5)
+        .filter("cnt >= 2")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("g")).alias("dup5_chars"))
+    )
+    return (
+        wstats.join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id", "n_words",
+            ((F.col("n_words") - F.col("n_distinct")) / F.col("n_words"))
+            .alias("dup_word_frac"),
+            "top_bigram",
+            (F.coalesce("top2_chars", F.lit(0)) / F.col("n_chars"))
+            .alias("top_bigram_char_frac"),
+            (F.coalesce("dup5_chars", F.lit(0)) / F.col("n_chars"))
+            .alias("dup_5gram_char_score"),
+        )
+    )
+
+
+ORACLE_DOC_REPETITION = """
+WITH base AS (SELECT doc_id,
+                string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents),
+st AS (SELECT doc_id, w, array_to_string(w, ' ') AS nt FROM base),
+wstats AS (SELECT doc_id, len(nt) AS n_chars, len(w) AS n_words,
+                  len(list_distinct(w)) AS n_distinct FROM st),
+g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+       FROM st),
+c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+top2 AS (SELECT doc_id, g AS top_bigram, cnt * len(g) AS top2_chars
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+               FROM c2) WHERE rn = 1),
+g5 AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(w) - 3),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+       FROM st WHERE len(w) >= 5),
+c5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+dup5 AS (SELECT doc_id, sum(cnt * len(g)) AS dup5_chars FROM c5 WHERE cnt >= 2 GROUP BY 1)
+SELECT s.doc_id, s.n_words,
+       CAST(s.n_words - s.n_distinct AS DOUBLE) / s.n_words AS dup_word_frac,
+       t.top_bigram,
+       CAST(coalesce(t.top2_chars, 0) AS DOUBLE) / s.n_chars AS top_bigram_char_frac,
+       CAST(coalesce(d.dup5_chars, 0) AS DOUBLE) / s.n_chars AS dup_5gram_char_score
+FROM wstats s
+LEFT JOIN top2 t USING (doc_id)
+LEFT JOIN dup5 d USING (doc_id)
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTER assignment (operators/graph.py): pairwise
     detectors emit edges, but dedup must retire whole components — A~B
@@ -1765,6 +1862,7 @@ QUERIES: dict[str, tuple] = {
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, None),
     "embedding_near_dups_exact": (q_embedding_near_dups_exact, ORACLE_NEAR_DUPS_EXACT),
+    "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "sample_mixture": (q_sample_mixture, ORACLE_SAMPLE_MIXTURE),
     "contamination_ngram": (q_contamination_ngram, ORACLE_CONTAMINATION),
