@@ -1546,6 +1546,31 @@ def q_phash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_phash_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-cluster image dedup: connected components over the phash
+    hamming<=3 band pairs (operators/graph.py over operators/dedup.py
+    hash_band_pairs) — a pipeline keeps ``is_rep`` rows only, retiring
+    every member of a near-dup image cluster, not just pair partners.
+    Rows-only: phash comes from crawled image bytes (not
+    SQL-expressible); the closure semantics are oracle-proven by
+    dedup_clusters and the banding by the zero-false-negative test."""
+    from .operators.dedup import hash_band_pairs
+    from .operators.graph import dedup_cluster_reps
+
+    res = _small_crawl(spark)
+    imgs = res.pages.select("image_id", "phash")
+    pairs = hash_band_pairs(imgs, "image_id", "phash", max_hamming=3)
+    out = dedup_cluster_reps(
+        pairs.select("id_a", "id_b"),
+        all_ids=imgs.select("image_id"),
+        id_col="image_id",
+    )
+    return out.select(
+        "image_id", "cluster", "cluster_size",
+        F.col("is_rep").cast("int").alias("is_rep"),
+    )
+
+
 def q_image_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: decode the pages table's binary image column
     (numpy codecs) inside mapInPandas and aggregate pixel stats per fmt."""
@@ -1874,6 +1899,7 @@ QUERIES: dict[str, tuple] = {
     "video_frame_sample": (q_video_frame_sample, None),
     "audio_features": (q_audio_features, None),
     "phash_near_dups": (q_phash_near_dups, None),
+    "phash_clusters": (q_phash_clusters, None),
 }
 
 
