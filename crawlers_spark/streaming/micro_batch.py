@@ -219,3 +219,72 @@ def stream_politeness_schedule(
         .start()
     )
     return query
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+):
+    """Stateful streaming exact dedup: emit each document fingerprint the
+    FIRST time it is ever seen, across micro-batches and restarts.
+
+    The streaming twin of operators/dedup.dedup_exact for a corpus that
+    arrives continuously (the training-pipeline shape: crawled documents
+    land in batches; downstream wants only first-seen content). Grouped
+    by a fingerprint bucket (``pmod(fingerprint, n_buckets)``) so state
+    shards across executors exactly like the batch engine's bucketed
+    seen-set; each bucket's state is its fingerprint set, persisted in
+    the state store and restored from the checkpoint on restart.
+    Within a batch, ties keep the min doc_id (deterministic at any
+    partitioning — same keep rule as dedup_exact).
+
+    Scale: state grows with distinct fingerprints, which is what exact
+    streaming dedup costs — shard it wider (n_buckets) and back the
+    state store with RocksDB
+    (``spark.sql.streaming.stateStore.providerClass``) so per-executor
+    memory stays bounded; the batch engine's Bloom+exact rescue remains
+    the cheaper path when the corpus can be re-read. Reference analog:
+    the in-memory `repeat_list` dedup carried across cron runs
+    (/root/reference/nft/get_opensea_v1.1.py:61-66) — here the state
+    survives process death via the checkpoint instead of being lost.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import normalize_text
+
+    src = spark.readStream.schema("doc_id long, text string").parquet(docs_dir)
+    fp = src.select(
+        "doc_id",
+        F.xxhash64(normalize_text(F.col("text"))).alias("fingerprint"),
+    ).withColumn("bucket", F.pmod("fingerprint", F.lit(n_buckets)).cast("int"))
+
+    def dedup(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["fingerprint", "doc_id"], kind="stable")
+        batch = batch.drop_duplicates("fingerprint", keep="first")
+        fresh = batch.loc[~batch["fingerprint"].isin(seen)]
+        if len(fresh):
+            yield pd.DataFrame(
+                {"doc_id": fresh["doc_id"], "fingerprint": fresh["fingerprint"]}
+            )
+        state.update((sorted(seen | set(int(x) for x in fresh["fingerprint"])),))
+
+    out = fp.groupBy("bucket").applyInPandasWithState(
+        dedup,
+        outputStructType="doc_id long, fingerprint long",
+        stateStructType="seen array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -162,3 +162,32 @@ def test_stream_crawl_processing_time_long_lived(spark, tmp_path):
         str(tmp_path / "pages") + "/generation=*"
     )
     assert pages.count() > 0
+
+
+def test_stream_dedup_exact_across_restarts(spark, tmp_path):
+    """Stateful streaming dedup: first-seen fingerprints only, across
+    micro-batches AND query restarts (state restored from checkpoint);
+    within a batch the min doc_id wins."""
+    from crawlers_spark.streaming.micro_batch import stream_dedup_exact
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    # batch 1: "a b" appears twice (doc 2 and 5 -> keep 2); "c d" once
+    pd.DataFrame(
+        {"doc_id": [5, 2, 3], "text": ["a b", "A  b ", "c d"]}
+    ).to_parquet(os.path.join(docs_dir, "b1.parquet"))
+    q = stream_dedup_exact(spark, docs_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got1 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {2, 3}  # normalized "a b" dup keeps min doc_id
+
+    # batch 2 after restart: one already-seen text, one new
+    pd.DataFrame(
+        {"doc_id": [9, 10], "text": ["a b", "e f"]}
+    ).to_parquet(os.path.join(docs_dir, "b2.parquet"))
+    q2 = stream_dedup_exact(spark, docs_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {2, 3, 10}  # doc 9's text was seen in batch 1's state
