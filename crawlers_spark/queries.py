@@ -1571,6 +1571,51 @@ def q_phash_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_image_embed_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-dedup-by-embedding, end to end on crawled bytes: decode the
+    binary image column (mapInPandas, numpy codecs), pool 4x4 block
+    means per channel into a deterministic 48-d pixel embedding, then
+    run the SRP-LSH near-dup path (operators/similarity.py) over those
+    vectors — the multimodal twin of embedding_near_dups, with the
+    embedding produced by the engine instead of read from a table. The
+    stub pooling stands in for a real vision encoder (not in this
+    container); the Spark plumbing — decode batch shape, vector schema,
+    bucketed pair join — is the real article. Rows-only (binary input)."""
+    import pandas as pd
+
+    from .functions.images import decode_image
+    from .operators.similarity import embedding_near_dups
+
+    res = _small_crawl(spark)
+    imgs = res.pages.select("image_id", "bytes", "fmt")
+
+    def embed(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = []
+            for b, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(b), fmt).astype("float64")
+                h, w, _ = px.shape
+                v = px[: h - h % 4, : w - w % 4].reshape(
+                    4, (h - h % 4) // 4, 4, (w - w % 4) // 4, 3
+                ).mean(axis=(1, 3)).reshape(-1) / 255.0
+                # mean-center so cosine measures structure (correlation),
+                # not shared brightness — uncentered pixel vectors are all
+                # near-parallel and the threshold stops discriminating
+                vecs.append(v - v.mean())
+            yield pd.DataFrame(
+                {"image_id": pdf["image_id"], "embedding": vecs}
+            )
+
+    emb = imgs.mapInPandas(embed, schema="image_id string, embedding array<double>")
+    out = embedding_near_dups(
+        emb, dim=48, threshold=0.9, n_bits=4,
+        id_col="image_id", n_rows=4096,
+    )
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def q_image_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: decode the pages table's binary image column
     (numpy codecs) inside mapInPandas and aggregate pixel stats per fmt."""
@@ -1900,6 +1945,7 @@ QUERIES: dict[str, tuple] = {
     "audio_features": (q_audio_features, None),
     "phash_near_dups": (q_phash_near_dups, None),
     "phash_clusters": (q_phash_clusters, None),
+    "image_embed_near_dups": (q_image_embed_near_dups, None),
 }
 
 
