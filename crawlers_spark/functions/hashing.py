@@ -130,6 +130,42 @@ def fnv64(values: pd.Series, seed: int = 0) -> np.ndarray:
     return out.view(np.int64)
 
 
+def fnv64_lanes(values: pd.Series, seed2: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent fnv64 lanes (seed 0 and ``seed2``) over ONE byte
+    matrix and ONE column loop — bit-identical to calling
+    ``fnv64(values)`` and ``fnv64(values, seed=seed2)``, at roughly half
+    the cost (the Arrow conversion + padded-matrix scatter dominates and
+    is shared; verified equal in tests/test_kernels.py)."""
+    mat, lens = _byte_matrix(values)
+    n = mat.shape[0]
+    order = np.argsort(-lens, kind="stable")
+    smat = mat[order]
+    slens = lens[order]
+    init2 = _FNV_OFFSET ^ splitmix64(np.array([seed2], _U64))[0]
+    h1 = np.full(n, _FNV_OFFSET, _U64)
+    h2 = np.full(n, init2, _U64)
+    with np.errstate(over="ignore"):
+        for j in range(mat.shape[1]):
+            k = int(np.searchsorted(-slens, -(j + 1), side="right"))
+            if k == 0:
+                break
+            col = smat[:k, j]
+            hk = h1[:k]
+            hk ^= col
+            hk *= _FNV_PRIME
+            hk2 = h2[:k]
+            hk2 ^= col
+            hk2 *= _FNV_PRIME
+        fin = splitmix64(lens.astype(_U64))
+        out1 = np.empty(n, _U64)
+        out1[order] = h1
+        out1 ^= fin
+        out2 = np.empty(n, _U64)
+        out2[order] = h2
+        out2 ^= fin
+    return out1.view(np.int64), out2.view(np.int64)
+
+
 def fnv64_i64(keys: np.ndarray, salt: int = 0) -> np.ndarray:
     """Mix an int64 array into a fresh 64-bit space (for Bloom k-hashing)."""
     return splitmix64(keys.astype(np.int64).view(_U64) ^ _U64(salt & 0xFFFFFFFFFFFFFFFF)).view(

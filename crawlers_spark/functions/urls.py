@@ -116,11 +116,15 @@ def canon_urls(urls: pd.Series) -> pd.Series:
     """Canonicalize a Series of URL strings (see module docstring)."""
     if _HAS_PA:
         try:
-            out, _host = _canon_urls_pa_arr(urls)
+            out, _ = _canon_urls_pa_arr(urls, want_host=False)
         except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
             return _canon_urls_pd(urls)  # non-string objects in the column
+        # .to_numpy, NOT .to_pandas: Series data with an explicit index
+        # label-ALIGNS (reindexing the RangeIndexed result -> NaN/garbage
+        # for any caller passing a filtered/reordered Series)
         return pd.Series(
-            out.to_pandas(), index=urls.index, name=urls.name, dtype=object
+            out.to_numpy(zero_copy_only=False), index=urls.index,
+            name=urls.name, dtype=object,
         )
     return _canon_urls_pd(urls)
 
@@ -138,9 +142,11 @@ def canon_with_host(urls: pd.Series) -> tuple[pd.Series, pd.Series]:
         except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
             canon = _canon_urls_pd(urls)
             return canon, url_host(canon)
-        return (
-            pd.Series(out.to_pandas(), index=urls.index, dtype=object),
-            pd.Series(host.to_pandas(), index=urls.index, dtype=object),
+        return (  # .to_numpy, not .to_pandas: see canon_urls
+            pd.Series(out.to_numpy(zero_copy_only=False), index=urls.index,
+                      dtype=object),
+            pd.Series(host.to_numpy(zero_copy_only=False), index=urls.index,
+                      dtype=object),
         )
     canon = _canon_urls_pd(urls)
     return canon, url_host(canon)
@@ -158,7 +164,9 @@ def _scatter(arr: "pa.Array", idxs: np.ndarray, values: np.ndarray) -> "pa.Array
     return pa.array(objs, type=pa.large_string())
 
 
-def _canon_urls_pa_arr(urls: pd.Series) -> tuple["pa.Array", "pa.Array"]:
+def _canon_urls_pa_arr(
+    urls: pd.Series, want_host: bool = True
+) -> tuple["pa.Array", "pa.Array | None"]:
     """Arrow fast path; returns (canon, host) as Arrow arrays."""
     s = urls if urls.dtype == object else urls.astype(object)
     arr = pa.array(s.to_numpy(dtype=object, copy=False), type=pa.large_string(),
@@ -233,6 +241,8 @@ def _canon_urls_pa_arr(urls: pd.Series) -> tuple["pa.Array", "pa.Array"]:
         _ls("://"), host, port_sfx, path, q, _ls(""),
     )
     out = pc.if_else(pc.greater(pc.utf8_length(host), 0), out, arr)
+    if not want_host:  # plain canon callers skip a full-column regex pass
+        return out, None
     host_out = pc.struct_field(pc.extract_regex(out, _HOST_RE_PA), "h")
     return out, pc.fill_null(host_out, _ls(""))
 
@@ -308,8 +318,9 @@ def url_host(urls: pd.Series) -> pd.Series:
                 "",
             )
             h = pc.struct_field(pc.extract_regex(arr, _HOST_RE_PA), "h")
-            return pd.Series(
-                pc.fill_null(h, "").to_pandas(), index=urls.index, dtype=object
+            return pd.Series(  # .to_numpy, not .to_pandas: see canon_urls
+                pc.fill_null(h, "").to_numpy(zero_copy_only=False),
+                index=urls.index, dtype=object,
             )
         except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
             pass

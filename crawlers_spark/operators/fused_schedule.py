@@ -261,6 +261,12 @@ def fused_filter_schedule(
             return _empty_out(out_cols)
         if not has_host:
             cand = cand.assign(host=url_host(cand["url_canon"]))
+        elif cand["host"].isna().any():
+            # a caller-supplied host column may carry nulls (their own
+            # extraction failing on a malformed URL); np.unique raises on
+            # None-vs-str comparisons, so normalize to "" — which hits no
+            # robots entry and takes scheduler defaults, same as before
+            cand = cand.assign(host=cand["host"].fillna(""))
         tags = st["tag"].to_numpy() if len(st) else np.zeros(0, "U1")
         seen_hashes = (
             st["url_hash"].to_numpy(np.int64)[tags == "s"] if len(st) else None

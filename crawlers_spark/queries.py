@@ -809,7 +809,20 @@ def q_simhash_banded(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_SIMHASH_BANDED = f"""
+def _simhash_banded_oracle() -> str:
+    """Generated md5-lane SimHash oracle: 60 vote lanes + the 60-term
+    bit-OR are built from ONE range(60) loop (single source of truth —
+    the previous hand-unrolled literal was 120 lines that had to be
+    edited in lockstep; the generated text is byte-identical to it)."""
+    votes = ",\n".join(
+        f"       sum(((wh >> {i}) & 1)*2 - 1) AS v{i}" for i in range(60)
+    )
+    terms = [
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(60)
+    ]
+    sim = "       " + terms[0] + "\n" + "\n".join(f"     | {t}" for t in terms[1:])
+    return f"""
 WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
 alldocs AS (
   SELECT doc_id, text FROM base
@@ -826,130 +839,12 @@ hashed AS (
 ),
 votes AS (
   SELECT doc_id,
-       sum(((wh >> 0) & 1)*2 - 1) AS v0,
-       sum(((wh >> 1) & 1)*2 - 1) AS v1,
-       sum(((wh >> 2) & 1)*2 - 1) AS v2,
-       sum(((wh >> 3) & 1)*2 - 1) AS v3,
-       sum(((wh >> 4) & 1)*2 - 1) AS v4,
-       sum(((wh >> 5) & 1)*2 - 1) AS v5,
-       sum(((wh >> 6) & 1)*2 - 1) AS v6,
-       sum(((wh >> 7) & 1)*2 - 1) AS v7,
-       sum(((wh >> 8) & 1)*2 - 1) AS v8,
-       sum(((wh >> 9) & 1)*2 - 1) AS v9,
-       sum(((wh >> 10) & 1)*2 - 1) AS v10,
-       sum(((wh >> 11) & 1)*2 - 1) AS v11,
-       sum(((wh >> 12) & 1)*2 - 1) AS v12,
-       sum(((wh >> 13) & 1)*2 - 1) AS v13,
-       sum(((wh >> 14) & 1)*2 - 1) AS v14,
-       sum(((wh >> 15) & 1)*2 - 1) AS v15,
-       sum(((wh >> 16) & 1)*2 - 1) AS v16,
-       sum(((wh >> 17) & 1)*2 - 1) AS v17,
-       sum(((wh >> 18) & 1)*2 - 1) AS v18,
-       sum(((wh >> 19) & 1)*2 - 1) AS v19,
-       sum(((wh >> 20) & 1)*2 - 1) AS v20,
-       sum(((wh >> 21) & 1)*2 - 1) AS v21,
-       sum(((wh >> 22) & 1)*2 - 1) AS v22,
-       sum(((wh >> 23) & 1)*2 - 1) AS v23,
-       sum(((wh >> 24) & 1)*2 - 1) AS v24,
-       sum(((wh >> 25) & 1)*2 - 1) AS v25,
-       sum(((wh >> 26) & 1)*2 - 1) AS v26,
-       sum(((wh >> 27) & 1)*2 - 1) AS v27,
-       sum(((wh >> 28) & 1)*2 - 1) AS v28,
-       sum(((wh >> 29) & 1)*2 - 1) AS v29,
-       sum(((wh >> 30) & 1)*2 - 1) AS v30,
-       sum(((wh >> 31) & 1)*2 - 1) AS v31,
-       sum(((wh >> 32) & 1)*2 - 1) AS v32,
-       sum(((wh >> 33) & 1)*2 - 1) AS v33,
-       sum(((wh >> 34) & 1)*2 - 1) AS v34,
-       sum(((wh >> 35) & 1)*2 - 1) AS v35,
-       sum(((wh >> 36) & 1)*2 - 1) AS v36,
-       sum(((wh >> 37) & 1)*2 - 1) AS v37,
-       sum(((wh >> 38) & 1)*2 - 1) AS v38,
-       sum(((wh >> 39) & 1)*2 - 1) AS v39,
-       sum(((wh >> 40) & 1)*2 - 1) AS v40,
-       sum(((wh >> 41) & 1)*2 - 1) AS v41,
-       sum(((wh >> 42) & 1)*2 - 1) AS v42,
-       sum(((wh >> 43) & 1)*2 - 1) AS v43,
-       sum(((wh >> 44) & 1)*2 - 1) AS v44,
-       sum(((wh >> 45) & 1)*2 - 1) AS v45,
-       sum(((wh >> 46) & 1)*2 - 1) AS v46,
-       sum(((wh >> 47) & 1)*2 - 1) AS v47,
-       sum(((wh >> 48) & 1)*2 - 1) AS v48,
-       sum(((wh >> 49) & 1)*2 - 1) AS v49,
-       sum(((wh >> 50) & 1)*2 - 1) AS v50,
-       sum(((wh >> 51) & 1)*2 - 1) AS v51,
-       sum(((wh >> 52) & 1)*2 - 1) AS v52,
-       sum(((wh >> 53) & 1)*2 - 1) AS v53,
-       sum(((wh >> 54) & 1)*2 - 1) AS v54,
-       sum(((wh >> 55) & 1)*2 - 1) AS v55,
-       sum(((wh >> 56) & 1)*2 - 1) AS v56,
-       sum(((wh >> 57) & 1)*2 - 1) AS v57,
-       sum(((wh >> 58) & 1)*2 - 1) AS v58,
-       sum(((wh >> 59) & 1)*2 - 1) AS v59
+{votes}
   FROM hashed GROUP BY doc_id
 ),
 sims AS (
   SELECT doc_id,
-       (CASE WHEN v0 > 0 THEN (1::BIGINT << 0) ELSE 0::BIGINT END)
-     | (CASE WHEN v1 > 0 THEN (1::BIGINT << 1) ELSE 0::BIGINT END)
-     | (CASE WHEN v2 > 0 THEN (1::BIGINT << 2) ELSE 0::BIGINT END)
-     | (CASE WHEN v3 > 0 THEN (1::BIGINT << 3) ELSE 0::BIGINT END)
-     | (CASE WHEN v4 > 0 THEN (1::BIGINT << 4) ELSE 0::BIGINT END)
-     | (CASE WHEN v5 > 0 THEN (1::BIGINT << 5) ELSE 0::BIGINT END)
-     | (CASE WHEN v6 > 0 THEN (1::BIGINT << 6) ELSE 0::BIGINT END)
-     | (CASE WHEN v7 > 0 THEN (1::BIGINT << 7) ELSE 0::BIGINT END)
-     | (CASE WHEN v8 > 0 THEN (1::BIGINT << 8) ELSE 0::BIGINT END)
-     | (CASE WHEN v9 > 0 THEN (1::BIGINT << 9) ELSE 0::BIGINT END)
-     | (CASE WHEN v10 > 0 THEN (1::BIGINT << 10) ELSE 0::BIGINT END)
-     | (CASE WHEN v11 > 0 THEN (1::BIGINT << 11) ELSE 0::BIGINT END)
-     | (CASE WHEN v12 > 0 THEN (1::BIGINT << 12) ELSE 0::BIGINT END)
-     | (CASE WHEN v13 > 0 THEN (1::BIGINT << 13) ELSE 0::BIGINT END)
-     | (CASE WHEN v14 > 0 THEN (1::BIGINT << 14) ELSE 0::BIGINT END)
-     | (CASE WHEN v15 > 0 THEN (1::BIGINT << 15) ELSE 0::BIGINT END)
-     | (CASE WHEN v16 > 0 THEN (1::BIGINT << 16) ELSE 0::BIGINT END)
-     | (CASE WHEN v17 > 0 THEN (1::BIGINT << 17) ELSE 0::BIGINT END)
-     | (CASE WHEN v18 > 0 THEN (1::BIGINT << 18) ELSE 0::BIGINT END)
-     | (CASE WHEN v19 > 0 THEN (1::BIGINT << 19) ELSE 0::BIGINT END)
-     | (CASE WHEN v20 > 0 THEN (1::BIGINT << 20) ELSE 0::BIGINT END)
-     | (CASE WHEN v21 > 0 THEN (1::BIGINT << 21) ELSE 0::BIGINT END)
-     | (CASE WHEN v22 > 0 THEN (1::BIGINT << 22) ELSE 0::BIGINT END)
-     | (CASE WHEN v23 > 0 THEN (1::BIGINT << 23) ELSE 0::BIGINT END)
-     | (CASE WHEN v24 > 0 THEN (1::BIGINT << 24) ELSE 0::BIGINT END)
-     | (CASE WHEN v25 > 0 THEN (1::BIGINT << 25) ELSE 0::BIGINT END)
-     | (CASE WHEN v26 > 0 THEN (1::BIGINT << 26) ELSE 0::BIGINT END)
-     | (CASE WHEN v27 > 0 THEN (1::BIGINT << 27) ELSE 0::BIGINT END)
-     | (CASE WHEN v28 > 0 THEN (1::BIGINT << 28) ELSE 0::BIGINT END)
-     | (CASE WHEN v29 > 0 THEN (1::BIGINT << 29) ELSE 0::BIGINT END)
-     | (CASE WHEN v30 > 0 THEN (1::BIGINT << 30) ELSE 0::BIGINT END)
-     | (CASE WHEN v31 > 0 THEN (1::BIGINT << 31) ELSE 0::BIGINT END)
-     | (CASE WHEN v32 > 0 THEN (1::BIGINT << 32) ELSE 0::BIGINT END)
-     | (CASE WHEN v33 > 0 THEN (1::BIGINT << 33) ELSE 0::BIGINT END)
-     | (CASE WHEN v34 > 0 THEN (1::BIGINT << 34) ELSE 0::BIGINT END)
-     | (CASE WHEN v35 > 0 THEN (1::BIGINT << 35) ELSE 0::BIGINT END)
-     | (CASE WHEN v36 > 0 THEN (1::BIGINT << 36) ELSE 0::BIGINT END)
-     | (CASE WHEN v37 > 0 THEN (1::BIGINT << 37) ELSE 0::BIGINT END)
-     | (CASE WHEN v38 > 0 THEN (1::BIGINT << 38) ELSE 0::BIGINT END)
-     | (CASE WHEN v39 > 0 THEN (1::BIGINT << 39) ELSE 0::BIGINT END)
-     | (CASE WHEN v40 > 0 THEN (1::BIGINT << 40) ELSE 0::BIGINT END)
-     | (CASE WHEN v41 > 0 THEN (1::BIGINT << 41) ELSE 0::BIGINT END)
-     | (CASE WHEN v42 > 0 THEN (1::BIGINT << 42) ELSE 0::BIGINT END)
-     | (CASE WHEN v43 > 0 THEN (1::BIGINT << 43) ELSE 0::BIGINT END)
-     | (CASE WHEN v44 > 0 THEN (1::BIGINT << 44) ELSE 0::BIGINT END)
-     | (CASE WHEN v45 > 0 THEN (1::BIGINT << 45) ELSE 0::BIGINT END)
-     | (CASE WHEN v46 > 0 THEN (1::BIGINT << 46) ELSE 0::BIGINT END)
-     | (CASE WHEN v47 > 0 THEN (1::BIGINT << 47) ELSE 0::BIGINT END)
-     | (CASE WHEN v48 > 0 THEN (1::BIGINT << 48) ELSE 0::BIGINT END)
-     | (CASE WHEN v49 > 0 THEN (1::BIGINT << 49) ELSE 0::BIGINT END)
-     | (CASE WHEN v50 > 0 THEN (1::BIGINT << 50) ELSE 0::BIGINT END)
-     | (CASE WHEN v51 > 0 THEN (1::BIGINT << 51) ELSE 0::BIGINT END)
-     | (CASE WHEN v52 > 0 THEN (1::BIGINT << 52) ELSE 0::BIGINT END)
-     | (CASE WHEN v53 > 0 THEN (1::BIGINT << 53) ELSE 0::BIGINT END)
-     | (CASE WHEN v54 > 0 THEN (1::BIGINT << 54) ELSE 0::BIGINT END)
-     | (CASE WHEN v55 > 0 THEN (1::BIGINT << 55) ELSE 0::BIGINT END)
-     | (CASE WHEN v56 > 0 THEN (1::BIGINT << 56) ELSE 0::BIGINT END)
-     | (CASE WHEN v57 > 0 THEN (1::BIGINT << 57) ELSE 0::BIGINT END)
-     | (CASE WHEN v58 > 0 THEN (1::BIGINT << 58) ELSE 0::BIGINT END)
-     | (CASE WHEN v59 > 0 THEN (1::BIGINT << 59) ELSE 0::BIGINT END) AS sim
+{sim} AS sim
   FROM votes
 ),
 bands AS (
@@ -964,6 +859,9 @@ pairs AS (
 )
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
 """
+
+
+ORACLE_SIMHASH_BANDED = _simhash_banded_oracle()
 
 
 
@@ -1228,7 +1126,10 @@ def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def grams(k: int):
-        return base.select(
+        # the size guard is load-bearing: sequence(0, size(w)-k) goes
+        # DESCENDING when size(w) < k and w[i+j] then indexes out of
+        # bounds (ANSI error; silent null-skipping grams otherwise)
+        return base.filter(F.size("w") >= k).select(
             "doc_id",
             F.explode(F.expr(
                 f"transform(sequence(0, size(w) - {k}),"

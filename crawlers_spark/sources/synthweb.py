@@ -213,10 +213,13 @@ def image_id_for(url_canon: pd.Series) -> pd.Series:
     per-row Python (the previous sha1 ran one hashlib call per row)."""
     import binascii
 
+    from ..functions.hashing import fnv64_lanes
+
     n = len(url_canon)
+    l1, l2 = fnv64_lanes(url_canon, seed2=0x1D8AF6C7)  # one byte-matrix pass
     lanes = np.empty((n, 2), ">u8")
-    lanes[:, 0] = fnv64(url_canon).view(_U64)
-    lanes[:, 1] = fnv64(url_canon, seed=0x1D8AF6C7).view(_U64)
+    lanes[:, 0] = l1.view(_U64)
+    lanes[:, 1] = l2.view(_U64)
     ids = np.frombuffer(binascii.hexlify(lanes.tobytes()), dtype="S32")
     return pd.Series(ids.astype(str), index=url_canon.index, dtype=object)
 

@@ -131,3 +131,31 @@ def test_idempotent_and_rowwise(host_list):
     # batch result equals row-at-a-time results (no cross-row effects)
     singles = [canon_urls(pd.Series([u]))[0] for u in urls]
     assert list(once) == singles
+
+
+def test_non_default_index_preserved_not_aligned():
+    """pandas UDF slices and library callers may pass Series with
+    filtered/reordered indexes; results must be positional, never
+    label-aligned (a reindex silently returns NaN or other rows'
+    values)."""
+    from crawlers_spark.functions.urls import canon_with_host, url_host
+
+    urls = ["http://A.test/x/../y", "http://B.test:80/p", "http://C.test/?b=2&a=1"]
+    want = list(canon_urls(pd.Series(urls)))
+
+    shifted = pd.Series(urls, index=[5, 17, 23])
+    got = canon_urls(shifted)
+    assert list(got) == want and list(got.index) == [5, 17, 23]
+    assert not got.isna().any()
+
+    # overlapping-but-permuted integer index: label alignment would
+    # return the WRONG rows' values without any NaN tell
+    perm = pd.Series(urls, index=[2, 1, 0])
+    assert list(canon_urls(perm)) == want
+
+    c, h = canon_with_host(shifted)
+    assert list(c) == want
+    assert list(h) == ["a.test", "b.test", "c.test"]
+    assert list(url_host(pd.Series(want, index=[9, 4, 7]))) == [
+        "a.test", "b.test", "c.test"
+    ]

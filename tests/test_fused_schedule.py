@@ -196,3 +196,26 @@ def test_salting_bounds_mega_host_partition(spark):
     ).count()
     assert n_mega_sched == mega_budget
     out_1.unpersist(); out_s.unpersist()
+
+
+def test_null_host_candidate_does_not_crash(spark, setup):
+    """A caller-supplied host column may carry nulls (their extraction
+    failing on a malformed URL); the fused kernel must process the row
+    with scheduler defaults instead of crashing np.unique."""
+    _spark, _web, _params, _preseen, _cands, _raw, robots = setup
+    cand = spark.createDataFrame(
+        pd.DataFrame({
+            "url_hash": [11, 12],
+            "url_canon": ["http://h0.test/a", "garbage-no-host"],
+            "host": ["h0.test", None],
+            "host_bucket": [0, 0],
+            "priority": [1, 2],
+        })
+    )
+    out = fused_filter_schedule(
+        spark, cand, None, robots, SchedulerConfig(), n_host_buckets=N_BUCKETS
+    ).collect()
+    by_hash = {r["url_hash"]: r for r in out}
+    assert by_hash[11]["status"] == "scheduled"
+    assert by_hash[12]["status"] == "scheduled"  # defaults, no robots hit
+    assert by_hash[12]["host"] == ""

@@ -376,3 +376,16 @@ class TestMediaCodecs:
         assert up.shape == (16, 16) and dn.shape == (4, 4)
         assert (up[::2, ::2] == px).all()       # upsample keeps originals
         assert (dn == px[::2, ::2]).all()       # downsample picks nearest
+
+
+def test_fnv64_lanes_bit_identical_to_two_calls():
+    from crawlers_spark.functions.hashing import fnv64, fnv64_lanes
+
+    s = pd.Series(
+        ["", "a", "http://x.test/a?q=1", "u" * 300, None, "ü中" * 40],
+        index=[9, 3, 7, 1, 0, 5],  # non-default index must not matter
+    )
+    l1, l2 = fnv64_lanes(s, seed2=0x1D8AF6C7)
+    assert (l1 == fnv64(s)).all()
+    assert (l2 == fnv64(s, seed=0x1D8AF6C7)).all()
+    assert (l1 != l2).all()  # independent lanes

@@ -93,3 +93,37 @@ def test_entry_contract(spark):
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 25
+
+
+def test_doc_repetition_short_docs_edge(spark, tmp_path):
+    """Docs shorter than the gram widths (1, 2, 4 words) must not crash
+    (sequence(0, size-k) goes descending => ANSI array-index error
+    without the size guard) and must match the oracle's empty-gram
+    semantics exactly."""
+    import pandas as pd
+
+    from crawlers_spark.queries import QUERIES
+
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["solo", "two words", "a b a b", "w x y z w x y z w x"],
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+
+    fn, sql = QUERIES["doc_repetition"]
+    srows = {r["doc_id"]: r.asDict() for r in fn(spark, str(tmp_path)).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    orows = {r[cols.index("doc_id")]: dict(zip(cols, r)) for r in cur.fetchall()}
+    con.close()
+
+    assert set(srows) == {1, 2, 3, 4} and set(orows) == {1, 2, 3, 4}
+    for d in srows:
+        for c in cols:
+            assert srows[d][c] == orows[d][c], (d, c, srows[d][c], orows[d][c])
+    assert srows[1]["top_bigram"] is None  # no bigram in a 1-word doc
+    assert srows[2]["dup_5gram_char_score"] == 0.0

@@ -18,21 +18,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _kernel_chunk(args):
-    start, n = args
-    import numpy as np
-
-    from crawlers_spark.functions.hashing import fnv64, pmod_bucket
-    from crawlers_spark.functions.urls import canon_urls, url_host
-    from crawlers_spark.sources.synthweb import SynthWebConfig, seed_urls_pdf
-
-    cfg = SynthWebConfig(n_hosts=4096, base_pages=600_000)
-    ids = np.arange(start, start + n, dtype=np.int64)
-    raw = seed_urls_pdf(cfg, ids)
-    canon = canon_urls(raw["url"])
-    h = fnv64(canon)
-    b = pmod_bucket(fnv64(url_host(canon)), 256)
-    return int(h.sum()) ^ int(b.sum())
+# shared with bench.py so the standalone tool and the published
+# BASELINE.md ceiling measure the SAME workload definition (two drifting
+# copies previously used different canon paths and configs)
+from bench import _kernel_chunk  # noqa: E402
 
 
 def timed(procs: int, urls_per_proc: int, chunks_per_proc: int = 3) -> float:
