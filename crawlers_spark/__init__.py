@@ -11,7 +11,9 @@ DataFrame + vectorized pandas/Arrow-UDF pipeline:
   layout), the deterministic synthetic web + ``mapInPandas`` fetch stage.
 * ``operators``  — partitioned Bloom seen-set (treeAggregate merge),
   politeness-aware priority scheduler, dedup family (exact / MinHash-LSH /
-  SimHash / n-gram Jaccard / embedding cosine), similarity search.
+  SimHash / n-gram Jaccard / embedding cosine), similarity search,
+  near-dup cluster closure (connected components), deterministic
+  mixture sampling + benchmark decontamination.
 * ``plans``      — the generation crawl loop with checkpoint/resume,
   per-partition lineage and metrics.
 * ``streaming``  — Structured-Streaming generation driver.
