@@ -82,7 +82,8 @@ def test_rows_only_query_runs(spark, name):
     rows = df.collect()
     assert df.columns, name
     if name in ("dedup_minhash_lsh", "crawl_pages_by_host", "crawl_schedule",
-                "image_decode_stats", "dedup_simhash"):
+                "image_decode_stats", "dedup_simhash", "phash_clusters",
+                "image_embed_near_dups"):
         assert len(rows) > 0, f"{name}: expected rows"
 
 
