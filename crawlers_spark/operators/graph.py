@@ -8,18 +8,22 @@ retire both B and C even when A~C was never emitted as a pair. That
 closure is connected components: ``component(v) = min(id) reachable
 from v``.
 
-Algorithm: min-label propagation. Every node starts labeled with its
-own id; each round every node takes the min of its label and its
-neighbors' labels; stop when a round changes nothing. Rounds are pure
-DataFrame ops (join + groupBy-min), so each round is one shuffle of the
-edge list and converges in O(graph diameter) rounds — near-dup graphs
-are unions of small dense clusters, so diameter is tiny (the classic
-alternating small-star/large-star construction [Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14, public] gets
-O(log n) for adversarial paths; label propagation is the right
-constant-factor choice for dedup-shaped graphs and is exactly
-reproducible). Lineage is cut per round with ``localCheckpoint`` so the
-plan stays flat across iterations (same pattern as the crawl loop).
+Algorithm: min-label propagation with pointer jumping. Every node
+starts labeled with its own id; each round every node takes the min of
+its label, its neighbors' labels, AND its label's label (the pointer
+jump — one self-join of the label table that halves remaining path
+lengths, the same doubling idea as the small-star/large-star
+construction [Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14, public]); stop when a round changes nothing. Rounds
+are pure DataFrame ops (joins + groupBy-min), so each round shuffles
+the edge list once and the label table twice, and converges in
+O(log diameter) rounds — ~3 for dedup-shaped graphs (unions of small
+dense clusters), ~6 for a 64-node adversarial path (tested), where
+plain propagation needs diameter rounds. The jump does not change the
+fixpoint (labels stay min-monotone within a component), only reaches it
+exponentially faster. Lineage is cut per round with ``localCheckpoint``
+so the plan stays flat across iterations (same pattern as the crawl
+loop).
 
 Determinism: min() is order-independent, so the result is identical at
 any partitioning/parallelism — and cross-engine checkable (the oracle
@@ -62,10 +66,19 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("nmin"))
         )
+        # pointer jump: my label's label (halves remaining path lengths)
+        jump = labels.select(
+            F.col("u").alias("comp"), F.col("comp").alias("jmin")
+        )
         nxt = (
             labels.join(proposals, "u", "left")
-            .select("u", F.least("comp", "nmin").alias("comp"),
-                    (F.col("nmin") < F.col("comp")).alias("chg"))
+            .join(jump, "comp", "left")
+            .select(
+                "u",
+                F.least("comp", "nmin", "jmin").alias("comp"),
+                (F.least(F.col("nmin"), F.col("jmin")) < F.col("comp"))
+                .alias("chg"),
+            )
         ).localCheckpoint(eager=True)
         changed = nxt.filter("chg").limit(1).count()
         labels = nxt.select("u", "comp")

@@ -76,3 +76,13 @@ def test_cluster_reps_with_singletons(spark):
         0: (0, 3, True), 3: (0, 3, False), 5: (0, 3, False),
         1: (1, 1, True), 2: (2, 1, True), 4: (4, 1, True),
     }
+
+
+def test_adversarial_long_path_converges_via_pointer_jumping(spark):
+    """A 64-node path (diameter 63) converges within the default
+    max_iter=25 only because of the pointer-jump (plain neighbor
+    propagation needs 63 rounds)."""
+    got = _comp_map(
+        connected_components(_edges(spark, [(i, i + 1) for i in range(63)]))
+    )
+    assert set(got.values()) == {0} and len(got) == 64
