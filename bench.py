@@ -610,10 +610,23 @@ def main() -> None:
                 "ceiling_probes": ceil,
             }
 
+        def pair_compact(pair: tuple, levels: tuple) -> dict:
+            """Scalar summary only — keeps the final stdout line small."""
+            lo, hi, eff, ceil, norm = pair
+            return {
+                f"local{levels[0]}_urls_per_sec": lo["urls_per_sec"],
+                f"local{levels[1]}_urls_per_sec": hi["urls_per_sec"],
+                "efficiency": eff,
+                "host_ceiling_eff": ceil["kernels"]["ceiling_eff"],
+                "efficiency_vs_host_ceiling": norm,
+            }
+
+        detail: dict = {}
         try:
             primary = measure_pair(SCALING_LEVELS)
             if primary is not None:
-                result["crawl_scaling"] = pair_json(primary, SCALING_LEVELS)
+                detail["crawl_scaling"] = pair_json(primary, SCALING_LEVELS)
+                result["crawl_scaling"] = pair_compact(primary, SCALING_LEVELS)
                 secondary = None
                 if have_budget(SECONDARY_LEVELS[0]):
                     try:
@@ -622,12 +635,26 @@ def main() -> None:
                         secondary = None
                 if secondary is not None:
                     sk = f"crawl_scaling_{SECONDARY_LEVELS[0]}v{SECONDARY_LEVELS[1]}"
-                    result[sk] = pair_json(secondary, SECONDARY_LEVELS)
+                    detail[sk] = pair_json(secondary, SECONDARY_LEVELS)
+                    result[sk] = pair_compact(secondary, SECONDARY_LEVELS)
                 update_baseline_md(primary, secondary)
             else:
                 result["crawl_scaling"] = {"skipped": "budget exhausted"}
         except Exception as ex:  # noqa: BLE001 — bench must still report
             result["crawl_scaling"] = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+
+        # Full per-rep walls + ceiling ladders go to a file and an EARLY
+        # stdout line; the driver's tail capture only needs the final
+        # compact line (round 3's single giant line got its head cut off
+        # and recorded parsed:null — never again).
+        if detail:
+            try:
+                with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       "BENCH_DETAIL.json"), "w") as fh:
+                    json.dump(detail, fh, indent=1)
+            except OSError:
+                pass
+            print(json.dumps({"bench_detail": detail}))
 
     print(json.dumps(result))
 
