@@ -158,30 +158,33 @@ def embedding_near_dups(
     """
     if n_bits is None:
         n_bits = near_dup_bits_for(n_rows if n_rows is not None else data.count())
+    # Candidate generation carries ONLY ids: the bucket self-join and the
+    # cross-table distinct shuffle (bucket, id) / (id_a, id_b) rows, never
+    # the vectors — at 10^10 rows the distinct is the heaviest shuffle and
+    # dragging array<float> through it (×n_tables) roughly doubles its
+    # bytes for nothing. Vectors attach once per side after dedup.
     per_table = []
     for t in range(n_tables):
         b = data.select(
-            F.col(id_col), F.col(vec_col),
+            F.col(id_col),
             srp_bucket(F.col(vec_col), dim, n_bits, seed=42 + t).alias("bucket"),
         )
-        left = b.select(
-            F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-        )
-        right = b.select(
-            F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
-        )
+        left = b.select(F.col("bucket"), F.col(id_col).alias("id_a"))
+        right = b.select(F.col("bucket"), F.col(id_col).alias("id_b"))
         per_table.append(
             left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "__va", "__vb")
+            .select("id_a", "id_b")
         )
     pairs = per_table[0]
     for p in per_table[1:]:
         pairs = pairs.unionByName(p)
+    pairs = pairs.distinct()
+    va = data.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = data.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        pairs.distinct()
+        pairs.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
-        .distinct()
     )
 
 

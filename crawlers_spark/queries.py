@@ -1491,20 +1491,31 @@ def q_image_embed_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     imgs = res.pages.select("image_id", "bytes", "fmt")
 
     def embed(batches):
+        import numpy as np
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vecs = []
-            for b, fmt in zip(pdf["bytes"], pdf["fmt"]):
-                px = decode_image(bytes(b), fmt).astype("float64")
-                h, w, _ = px.shape
-                v = px[: h - h % 4, : w - w % 4].reshape(
-                    4, (h - h % 4) // 4, 4, (w - w % 4) // 4, 3
-                ).mean(axis=(1, 3)).reshape(-1) / 255.0
+            # decode is inherently per-image (variable-length bytes); the
+            # pooling is NOT — stack same-shape images and pool the whole
+            # batch in one reshape/mean per shape group
+            px = [decode_image(bytes(b), f) for b, f in zip(pdf["bytes"], pdf["fmt"])]
+            by_shape: dict[tuple, list[int]] = {}
+            for i, a in enumerate(px):
+                by_shape.setdefault(a.shape, []).append(i)
+            vecs: list = [None] * len(px)
+            for (h, w, _c), idxs in by_shape.items():
+                stack = np.stack([px[i] for i in idxs]).astype("float64")
+                hh, ww = h - h % 4, w - w % 4
+                v = stack[:, :hh, :ww].reshape(
+                    len(idxs), 4, hh // 4, 4, ww // 4, 3
+                ).mean(axis=(2, 4)).reshape(len(idxs), -1) / 255.0
                 # mean-center so cosine measures structure (correlation),
                 # not shared brightness — uncentered pixel vectors are all
                 # near-parallel and the threshold stops discriminating
-                vecs.append(v - v.mean())
+                v = v - v.mean(axis=1, keepdims=True)
+                for j, i in enumerate(idxs):
+                    vecs[i] = v[j]
             yield pd.DataFrame(
                 {"image_id": pdf["image_id"], "embedding": vecs}
             )
