@@ -226,24 +226,29 @@ def stream_dedup_exact(
     docs_dir: str,
     out_dir: str,
     checkpoint_dir: str,
-    n_buckets: int = 16,
 ):
     """Stateful streaming exact dedup: emit each document fingerprint the
     FIRST time it is ever seen, across micro-batches and restarts.
 
     The streaming twin of operators/dedup.dedup_exact for a corpus that
     arrives continuously (the training-pipeline shape: crawled documents
-    land in batches; downstream wants only first-seen content). Grouped
-    by a fingerprint bucket (``pmod(fingerprint, n_buckets)``) so state
-    shards across executors exactly like the batch engine's bucketed
-    seen-set; each bucket's state is its fingerprint set, persisted in
-    the state store and restored from the checkpoint on restart.
+    land in batches; downstream wants only first-seen content). State is
+    keyed BY FINGERPRINT — one tiny state row per distinct fingerprint —
+    so the state store only touches the keys present in the current
+    micro-batch: per-batch update cost is O(batch), never O(|state|).
+    (An earlier layout kept one sorted fingerprint array per hash bucket;
+    that serialized the ENTIRE bucket state on every batch — O(|state|)
+    per micro-batch — and could never survive 10^9+ fingerprints. A
+    per-key layout is what HDFS/RocksDB state stores are built to delta:
+    numRowsUpdated == fresh fingerprints in the batch, asserted in
+    tests/test_streaming.py.)
     Within a batch, ties keep the min doc_id (deterministic at any
-    partitioning — same keep rule as dedup_exact).
+    partitioning — same keep rule as dedup_exact; this is why the
+    built-in streaming ``dropDuplicates`` is not used: it keeps an
+    arbitrary first arrival on in-batch ties).
 
-    Scale: state grows with distinct fingerprints, which is what exact
-    streaming dedup costs — shard it wider (n_buckets) and back the
-    state store with RocksDB
+    Scale: state rows grow with distinct fingerprints, which is what
+    exact streaming dedup costs — back the store with RocksDB
     (``spark.sql.streaming.stateStore.providerClass``) so per-executor
     memory stays bounded; the batch engine's Bloom+exact rescue remains
     the cheaper path when the corpus can be re-read. Reference analog:
@@ -260,24 +265,25 @@ def stream_dedup_exact(
     fp = src.select(
         "doc_id",
         F.xxhash64(normalize_text(F.col("text"))).alias("fingerprint"),
-    ).withColumn("bucket", F.pmod("fingerprint", F.lit(n_buckets)).cast("int"))
+    )
 
     def dedup(key, pdfs, state: GroupState):
-        seen = set(state.get[0]) if state.exists else set()
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["fingerprint", "doc_id"], kind="stable")
-        batch = batch.drop_duplicates("fingerprint", keep="first")
-        fresh = batch.loc[~batch["fingerprint"].isin(seen)]
-        if len(fresh):
-            yield pd.DataFrame(
-                {"doc_id": fresh["doc_id"], "fingerprint": fresh["fingerprint"]}
-            )
-        state.update((sorted(seen | set(int(x) for x in fresh["fingerprint"])),))
+        if state.exists:
+            return  # fingerprint already emitted in an earlier batch
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                best = m if best is None else min(best, m)
+        if best is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame({"doc_id": [best], "fingerprint": [key[0]]})
 
-    out = fp.groupBy("bucket").applyInPandasWithState(
+    out = fp.groupBy("fingerprint").applyInPandasWithState(
         dedup,
         outputStructType="doc_id long, fingerprint long",
-        stateStructType="seen array<long>",
+        stateStructType="seen boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

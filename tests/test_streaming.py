@@ -191,3 +191,15 @@ def test_stream_dedup_exact_across_restarts(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert got2 == {2, 3, 10}  # doc 9's text was seen in batch 1's state
+
+    # O(batch) state updates: per-fingerprint state rows mean batch 2
+    # writes exactly its ONE fresh fingerprint ("e f"), not a rewrite of
+    # everything seen so far; total state rows = cumulative distinct (3).
+    prog = q2.lastProgress
+    ops = prog["stateOperators"] if isinstance(prog, dict) else prog.stateOperators
+    assert ops, "expected a stateful operator in progress metrics"
+    op = ops[0]
+    updated = op["numRowsUpdated"] if isinstance(op, dict) else op.numRowsUpdated
+    total = op["numRowsTotal"] if isinstance(op, dict) else op.numRowsTotal
+    assert updated == 1, f"state updates must be O(batch): {updated}"
+    assert total == 3, f"state rows must be cumulative distinct: {total}"
