@@ -431,7 +431,9 @@ def _pair_rows(pair: tuple, tag: str) -> str:
     return rows
 
 
-def update_baseline_md(primary: tuple, secondary: tuple | None) -> None:
+def update_baseline_md(
+    primary: tuple, secondary: tuple | None, levels: dict | None = None
+) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     side = os.path.join(os.path.dirname(path), "secondary_pair.json")
@@ -443,6 +445,29 @@ def update_baseline_md(primary: tuple, secondary: tuple | None) -> None:
             secondary = tuple(json.load(f))
     p = CRAWL_BENCH
     rows = _pair_rows(primary, "4v16")
+    if levels:
+        thr = {int(k): v for k, v in levels.items()}
+        seq = [c for c in (4, 8, 16, 32) if c in thr]
+        mono3 = all(thr[a] < thr[b] for a, b in zip(seq, seq[1:]) if b <= 16)
+        lvl_txt = ", ".join(f"local[{c}] {thr[c]:,.0f}" for c in seq)
+        mono_note = (
+            f"All four levels were measured in ONE interleaved session "
+            f"(cycles of 4,16,8,32 — same drift window): {lvl_txt} URLs/s. "
+            + ("thr(4) < thr(8) < thr(16) holds in this artifact. "
+               if mono3 else
+               "The no-oversubscription levels are NOT monotone in this "
+               "artifact (host-VM drift exceeds the level gap); the pair "
+               "efficiencies above, whose spawns are interleaved, remain "
+               "the meaningful numbers. ")
+            + ("local[32] is the 2x-oversubscribed stress level and is "
+               "reported as measured, monotone or not."
+               if 32 in thr else "")
+        )
+    else:
+        mono_note = (
+            "(No same-session 4-level record in this run; per-pair "
+            "efficiencies above are each internally interleaved.)"
+        )
     sec_note = ""
     if secondary is not None:
         rows += _pair_rows(secondary, "8v32")
@@ -518,11 +543,9 @@ the kernel probe's — isolating what the ENGINE adds (scheduling,
 exchange, Arrow) from what the shared box takes. That ratio, not the
 raw shared-box number, predicts a real 4N-executor cluster, where every
 node brings its own DRAM and clocks and both ceilings scale with node
-count. At the no-oversubscription 4v16 pair the engine measures ≈0.99
-of its hardware ceiling — the engine-attributable scaling loss is ≈1%,
-comfortably inside the north-rule's 0.8 at cluster-transferable terms —
-and the four levels are mutually consistent
-(thr(4) < thr(8) < thr(16) < thr(32)). Shuffle/spill dirs are tmpfs
+count.
+{mono_note}
+Shuffle/spill dirs are tmpfs
 (spark.local.dir=/dev/shm via SPARK_GRAFT_LOCAL_DIR in the bench env)
 so no disk is in the timed path.
 
@@ -581,18 +604,11 @@ def main() -> None:
         def have_budget(cpus: int) -> bool:
             return time.monotonic() - t_start + est[cpus] <= budget
 
-        def measure_pair(levels: tuple) -> tuple | None:
-            """One lo/hi pair: ceiling ladder + interleaved engine spawns."""
+        runs: dict[int, list] = {c: [] for c in set(SCALING_LEVELS) | set(SECONDARY_LEVELS)}
+
+        def pair_from_runs(levels: tuple, ceil: dict | None) -> tuple | None:
             n, n4 = levels
-            ceil = ceiling_probes(n, n4)
-            result.setdefault("host_ceiling", {})[f"{n}v{n4}"] = ceil
-            runs: dict[int, list] = {n: [], n4: []}
-            # interleaved A/B/A/B: two spawns per level, fresh JVM each
-            for cpus in (n, n4, n, n4):
-                if not have_budget(cpus):
-                    break
-                runs[cpus].append(spawn(cpus))
-            if not (runs[n] and runs[n4]):
+            if ceil is None or not (runs[n] and runs[n4]):
                 return None
             lo, hi = _agg_level(runs[n]), _agg_level(runs[n4])
             ratio = hi["urls_per_sec"] / lo["urls_per_sec"]
@@ -623,21 +639,46 @@ def main() -> None:
 
         detail: dict = {}
         try:
-            primary = measure_pair(SCALING_LEVELS)
+            # Ceiling ladders for both pairs first (bare mp.Pool, no
+            # Spark), then ONE interleaved spawn session over all FOUR
+            # levels — every cross-level ratio, including the 4-level
+            # monotonicity record, comes from the same drift window
+            # (round 3 published two pairs measured at different times
+            # and the levels disagreed; never again).
+            ceil_p = ceiling_probes(*SCALING_LEVELS)
+            result.setdefault("host_ceiling", {})["4v16"] = ceil_p
+            ceil_s = None
+            try:
+                ceil_s = ceiling_probes(*SECONDARY_LEVELS)
+                result["host_ceiling"]["8v32"] = ceil_s
+            except Exception:  # noqa: BLE001
+                ceil_s = None
+            # cycle order (4,16,8,32): the primary pair completes first
+            # if the wall budget dies mid-cycle
+            cycle = (SCALING_LEVELS[0], SCALING_LEVELS[1],
+                     SECONDARY_LEVELS[0], SECONDARY_LEVELS[1])
+            for _round in range(2):
+                for cpus in cycle:
+                    if not have_budget(cpus):
+                        continue
+                    runs[cpus].append(spawn(cpus))
+
+            primary = pair_from_runs(SCALING_LEVELS, ceil_p)
             if primary is not None:
                 detail["crawl_scaling"] = pair_json(primary, SCALING_LEVELS)
                 result["crawl_scaling"] = pair_compact(primary, SCALING_LEVELS)
-                secondary = None
-                if have_budget(SECONDARY_LEVELS[0]):
-                    try:
-                        secondary = measure_pair(SECONDARY_LEVELS)
-                    except Exception:  # noqa: BLE001
-                        secondary = None
+                secondary = pair_from_runs(SECONDARY_LEVELS, ceil_s)
                 if secondary is not None:
                     sk = f"crawl_scaling_{SECONDARY_LEVELS[0]}v{SECONDARY_LEVELS[1]}"
                     detail[sk] = pair_json(secondary, SECONDARY_LEVELS)
                     result[sk] = pair_compact(secondary, SECONDARY_LEVELS)
-                update_baseline_md(primary, secondary)
+                levels_thr = {
+                    str(c): _agg_level(rs)["urls_per_sec"]
+                    for c, rs in sorted(runs.items()) if rs
+                }
+                detail["crawl_levels_urls_per_sec"] = levels_thr
+                result["crawl_levels_urls_per_sec"] = levels_thr
+                update_baseline_md(primary, secondary, levels_thr)
             else:
                 result["crawl_scaling"] = {"skipped": "budget exhausted"}
         except Exception as ex:  # noqa: BLE001 — bench must still report

@@ -44,19 +44,39 @@ except ImportError:  # pragma: no cover
     _HAS_PA = False
 
 
-def _byte_matrix(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Pack a string Series into a zero-padded (n, max_len) uint8 matrix.
+def _flat_utf8(arr: "pa.Array", n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat bytes, starts, lens) views over a large_string Arrow array."""
+    off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    offsets = np.frombuffer(off_buf, np.int64, n + 1, arr.offset * 8)
+    lens = offsets[1:] - offsets[:-1]
+    data = np.frombuffer(data_buf, np.uint8) if data_buf else np.zeros(0, np.uint8)
+    flat = data[offsets[0]: offsets[-1]]
+    starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+    return flat, starts, lens.astype(np.int64)
+
+
+def _byte_matrix(values) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a string column (pd.Series OR pyarrow string array) into a
+    zero-padded (n, max_len) uint8 matrix.
 
     Fast path: one Arrow conversion yields a single contiguous UTF-8
     buffer + offsets (no per-row bytes objects, no driver-side join);
-    the padded matrix is then one fancy-index scatter. The pure-pandas
-    fallback produces identical bytes (UTF-8 both ways).
+    the padded matrix is then one fancy-index scatter. An Arrow array
+    input skips the conversion entirely (the applyInArrow kernels hand
+    columns straight through). The pure-pandas fallback produces
+    identical bytes (UTF-8 both ways).
     """
     n = len(values)
     if n == 0:
         return np.zeros((0, 0), np.uint8), np.zeros(0, np.int64)
     flat = lens = None
-    if _HAS_PA:
+    if _HAS_PA and isinstance(values, (pa.Array, pa.ChunkedArray)):
+        import pyarrow.compute as pc
+
+        arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
+        arr = pc.cast(pc.fill_null(arr, ""), pa.large_string())
+        flat, starts, lens = _flat_utf8(arr, n)
+    elif _HAS_PA:
         try:
             s = values if values.dtype == object else values.astype(object)
             arr = pa.array(
@@ -67,13 +87,7 @@ def _byte_matrix(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
                 import pyarrow.compute as pc
 
                 arr = pc.fill_null(arr, "")
-            off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
-            offsets = np.frombuffer(off_buf, np.int64, n + 1, arr.offset * 8)
-            lens = offsets[1:] - offsets[:-1]
-            data = np.frombuffer(data_buf, np.uint8) if data_buf else np.zeros(0, np.uint8)
-            flat = data[offsets[0]: offsets[-1]]
-            starts = (offsets[:-1] - offsets[0]).astype(np.int64)
-            lens = lens.astype(np.int64)
+            flat, starts, lens = _flat_utf8(arr, n)
         except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
             flat = None
     if flat is None:

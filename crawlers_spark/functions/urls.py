@@ -109,6 +109,11 @@ _DOT_PASSES = (
     (r"/[^/]+/\.\./", "/"),
     (r"/\.$", "/"),
     (r"/[^/]+/\.\.$", "/"),
+    # a leading "/.." has no segment to pop: RFC 3986 remove_dot_segments
+    # drops it ("/../a" -> "/a", "/.." -> "/"); reachable through
+    # percent-decoding ("%2E%2E" -> "..", found by Hypothesis)
+    (r"^/\.\./", "/"),
+    (r"^/\.\.$", "/"),
 )
 
 
@@ -171,7 +176,21 @@ def _canon_urls_pa_arr(
     s = urls if urls.dtype == object else urls.astype(object)
     arr = pa.array(s.to_numpy(dtype=object, copy=False), type=pa.large_string(),
                    from_pandas=True)
-    arr = pc.fill_null(arr, "")
+    return canon_arr(arr, want_host=want_host)
+
+
+def canon_arr(
+    arr: "pa.Array", want_host: bool = True
+) -> tuple["pa.Array", "pa.Array | None"]:
+    """Arrow-native canonicalization: pa string array in, pa arrays out.
+
+    The applyInArrow/mapInArrow kernels call this directly so URL strings
+    never materialize as Python objects; same kernels (and bits) as the
+    pandas-facing :func:`canon_urls` / :func:`canon_with_host`.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(pc.fill_null(arr, ""), pa.large_string())
     if not isinstance(arr, pa.Array):  # chunked: normalize
         arr = arr.combine_chunks()
     arr = pc.utf8_trim(arr, _PY_WHITESPACE)

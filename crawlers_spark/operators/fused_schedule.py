@@ -68,6 +68,14 @@ from ..functions.urls import url_host
 from .scheduler import SchedulerConfig
 from .seen_set import BloomParams, bloom_build_blob, bloom_test_blob
 
+try:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _HAS_PA = True
+except ImportError:  # pragma: no cover
+    _HAS_PA = False
+
 OUT_COLS = ["url_hash", "url_canon", "host", "host_bucket", "priority",
             "is_new", "retry_count", "status", "host_rank", "fetch_offset_ms"]
 OUT_SCHEMA = (
@@ -198,6 +206,7 @@ def fused_filter_schedule(
     n_host_buckets: int | None = None,
     n_salts: int = 1,
     state: DataFrame | None = None,
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """candidates (url_hash,url_canon,host,host_bucket,priority[,is_new]) ×
     state (seen ∪ robots ∪ quota) → rows with status ∈
@@ -228,6 +237,11 @@ def fused_filter_schedule(
     docstring). Pass ``state`` directly (pre-built tagged table, e.g. the
     bucketed checkpoint snapshot) to skip the union assembly and keep the
     state side's bucketed partitioning for exchange elision.
+
+    ``use_arrow`` selects the kernel: ``applyInArrow`` (default when
+    pyarrow is importable — URL strings never materialize as Python
+    objects) or the pandas twin (fallback + differential-test oracle;
+    same values, equivalence-tested in tests/test_fused_schedule.py).
     """
     if "is_new" not in candidates.columns:
         candidates = candidates.withColumn("is_new", F.lit(True))
@@ -419,16 +433,224 @@ def fused_filter_schedule(
         out = pd.concat(parts, ignore_index=True)
         return out[out_cols]
 
+    _STATUSES = ["scheduled", "deferred", "disallowed", "dup", "seen", "pending"]
+
+    def _empty_pa(salted_cols: bool) -> "pa.Table":
+        cols = {
+            "url_hash": pa.array([], pa.int64()),
+            "url_canon": pa.array([], pa.string()),
+            "host": pa.array([], pa.string()),
+            "host_bucket": pa.array([], pa.int32()),
+            "priority": pa.array([], pa.int64()),
+            "is_new": pa.array([], pa.bool_()),
+            "retry_count": pa.array([], pa.int32()),
+            "status": pa.array([], pa.string()),
+            "host_rank": pa.array([], pa.int32()),
+            "fetch_offset_ms": pa.array([], pa.int64()),
+        }
+        if salted_cols:
+            cols["crawl_delay_ms"] = pa.array([], pa.int64())
+            cols["budget_eff"] = pa.array([], pa.int64())
+        return pa.table(cols)
+
+    def run_arrow(cand: "pa.Table", st: "pa.Table") -> "pa.Table":
+        """Arrow-native twin of ``run``: same kernels, same values, but URL
+        strings stay in Arrow buffers end-to-end — no Python str objects
+        are minted per row on either the input or output side. At high
+        parallelism the per-worker CPU this saves is the difference
+        between scaling with cores and burning them on object churn."""
+        from ..functions.urls import _HOST_RE_PA
+
+        n = cand.num_rows
+        if n == 0:
+            return _empty_pa(salted)
+        canon = cand.column("url_canon").combine_chunks()
+        url_hash_np = cand.column("url_hash").to_numpy()
+        priority_np = cand.column("priority").to_numpy()
+        is_new_np = cand.column("is_new").to_numpy()
+        retry_np = cand.column("retry_count").to_numpy()
+        hb_np = cand.column("host_bucket").to_numpy()
+        if has_host:
+            host_arr = pc.fill_null(cand.column("host").combine_chunks(), "")
+        else:
+            host_arr = pc.fill_null(
+                pc.struct_field(pc.extract_regex(canon, _HOST_RE_PA), "h"), ""
+            )
+
+        # state slices (tag-sliced in C++, never via Python strings)
+        if st.num_rows:
+            tag = st.column("tag")
+            seen_hashes = (
+                st.column("url_hash").filter(pc.equal(tag, "s")).to_numpy()
+            )
+            rb = st.filter(pc.equal(tag, "r")).select(
+                ["host", "crawl_delay_ms", "max_per_generation", "disallow_prefixes"]
+            ).to_pydict()
+            delays = dict(zip(rb["host"], rb["crawl_delay_ms"]))
+            budgets = dict(zip(rb["host"], rb["max_per_generation"]))
+            disallow = {
+                h: v for h, v in zip(rb["host"], rb["disallow_prefixes"])
+                if v is not None and len(v)
+            }
+            qt = st.filter(pc.equal(tag, "q")).select(["host", "spent"]).to_pydict()
+            spent = dict(zip(qt["host"], qt["spent"]))
+        else:
+            seen_hashes = None
+            delays, budgets, disallow, spent = {}, {}, {}, {}
+
+        new_idx = np.flatnonzero(is_new_np)
+        byp_idx = np.flatnonzero(~is_new_np)
+        dup_idx = seen_idx = np.zeros(0, np.int64)
+
+        # 1. spelling-dedup on new rows (adjacent after hash-primary sort
+        #    == pandas .duplicated on the same stable permutation)
+        if len(new_idx):
+            order = np.lexsort((priority_np[new_idx], url_hash_np[new_idx]))
+            s = new_idx[order]
+            hs = url_hash_np[s]
+            dup = np.zeros(len(s), bool)
+            dup[1:] = hs[1:] == hs[:-1]
+            if emit_dropped and dup.any():
+                dup_idx = s[dup]
+            new_idx = s[~dup]
+
+        # 2. exact membership (Bloom blob pre-filters the probe set)
+        if len(new_idx):
+            h = url_hash_np[new_idx]
+            ex = (
+                np.sort(seen_hashes)
+                if seen_hashes is not None and len(seen_hashes)
+                else None
+            )
+            seen_mask = np.zeros(len(new_idx), bool)
+            if ex is not None and len(ex):
+                if blobs_bc is not None and params is not None:
+                    b = int(hb_np[0])
+                    probe = np.flatnonzero(
+                        bloom_test_blob(h, blobs_bc.value.get(b), params)
+                    )
+                else:
+                    probe = np.arange(len(h))
+                if len(probe):
+                    idx = np.clip(np.searchsorted(ex, h[probe]), 0, len(ex) - 1)
+                    seen_mask[probe[ex[idx] == h[probe]]] = True
+            if emit_dropped and seen_mask.any():
+                seen_idx = new_idx[seen_mask]
+            new_idx = new_idx[~seen_mask]
+
+        pool_idx = np.concatenate([byp_idx, new_idx]) if len(byp_idx) else new_idx
+        if len(pool_idx) == 0 and not (len(dup_idx) or len(seen_idx)):
+            return _empty_pa(salted)
+
+        pool_host = pc.take(host_arr, pa.array(pool_idx))
+        denc = pc.dictionary_encode(pool_host)
+        hcodes = denc.indices.to_numpy().astype(np.int64)
+        uhosts = denc.dictionary.to_pylist()
+
+        # 3. robots disallow prefixes (per-host loop: few hosts per bucket)
+        blocked = np.zeros(len(pool_idx), bool)
+        for c, hst in enumerate(uhosts):
+            prefixes = disallow.get(hst)
+            if not prefixes:
+                continue
+            rows = np.flatnonzero(hcodes == c)
+            paths = pc.replace_substring_regex(
+                pc.take(canon, pa.array(pool_idx[rows])),
+                pattern=r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", replacement="",
+            )
+            hit = np.zeros(len(rows), bool)
+            for pfx in prefixes:
+                hit |= pc.starts_with(paths, pattern=pfx).to_numpy(
+                    zero_copy_only=False
+                )
+            blocked[rows] = hit
+
+        # 4. per-host rank over allowed rows -> budget + offsets (same
+        #    lexsort as the pandas kernel; dictionary codes group hosts
+        #    contiguously, and rank depends only on within-host order)
+        ap = np.flatnonzero(~blocked)
+        apc = pool_idx[ap]
+        order = np.lexsort(
+            (url_hash_np[apc], priority_np[apc], is_new_np[apc], hcodes[ap])
+        )
+        allowed_pool = ap[order]
+        allowed_cand = pool_idx[allowed_pool]
+        hc = hcodes[allowed_pool]
+        idx = np.arange(len(hc))
+        change = np.empty(len(hc), bool)
+        if len(hc):
+            change[0] = True
+            change[1:] = hc[1:] != hc[:-1]
+        starts = np.maximum.accumulate(np.where(change, idx, 0))
+        rank = (idx - starts + 1).astype(np.int64)
+        u_budget = np.fromiter(
+            (budgets.get(h, default_budget) for h in uhosts), np.int64, len(uhosts)
+        )
+        if total_budget is not None:
+            u_left = np.fromiter(
+                (max(0, total_budget - spent.get(h, 0)) for h in uhosts),
+                np.int64, len(uhosts),
+            )
+            u_budget = np.minimum(u_budget, u_left)
+        budget = u_budget[hc]
+        u_delay = np.fromiter(
+            (delays.get(h, default_delay) for h in uhosts), np.int64, len(uhosts)
+        )
+        delay = u_delay[hc]
+        within = rank <= budget
+
+        # output assembly: one permutation over the original cand rows +
+        # per-segment status codes; strings leave via a single pc.take
+        blocked_cand = pool_idx[np.flatnonzero(blocked)]
+        n_a, n_b, n_d, n_s = len(allowed_cand), len(blocked_cand), len(dup_idx), len(seen_idx)
+        final_idx = np.concatenate([allowed_cand, blocked_cand, dup_idx, seen_idx])
+        codes = np.empty(len(final_idx), np.int8)
+        if salted:
+            codes[:n_a] = np.where(within, 5, 1)  # pending | deferred
+        else:
+            codes[:n_a] = np.where(within, 0, 1)  # scheduled | deferred
+        codes[n_a:n_a + n_b] = 2
+        codes[n_a + n_b:n_a + n_b + n_d] = 3
+        codes[n_a + n_b + n_d:] = 4
+        host_rank = np.zeros(len(final_idx), np.int32)
+        offset = np.zeros(len(final_idx), np.int64)
+        if not salted:
+            host_rank[:n_a] = rank.astype(np.int32)
+            offset[:n_a] = np.where(within, (rank - 1) * delay, 0)
+        take = pa.array(final_idx)
+        cols = {
+            "url_hash": pa.array(url_hash_np[final_idx]),
+            "url_canon": pc.cast(pc.take(canon, take), pa.string()),
+            "host": pc.cast(pc.take(host_arr, take), pa.string()),
+            "host_bucket": pa.array(hb_np[final_idx].astype(np.int32)),
+            "priority": pa.array(priority_np[final_idx]),
+            "is_new": pa.array(is_new_np[final_idx]),
+            "retry_count": pa.array(retry_np[final_idx].astype(np.int32)),
+            "status": pa.DictionaryArray.from_arrays(
+                pa.array(codes), pa.array(_STATUSES)
+            ).cast(pa.string()),
+            "host_rank": pa.array(host_rank),
+            "fetch_offset_ms": pa.array(offset),
+        }
+        if salted:
+            d_col = np.zeros(len(final_idx), np.int64)
+            b_col = np.zeros(len(final_idx), np.int64)
+            d_col[:n_a] = delay
+            b_col[:n_a] = budget
+            cols["crawl_delay_ms"] = pa.array(d_col)
+            cols["budget_eff"] = pa.array(b_col)
+        return pa.table(cols)
+
     in_cols = ["url_hash", "url_canon", "host_bucket", "priority", "is_new", "retry_count"]
     if has_host:
         in_cols.insert(2, "host")
     cand_sel = candidates.select(*in_cols)
+    arrow = _HAS_PA if use_arrow is None else use_arrow
     if not salted:
-        return (
-            cand_sel.groupBy("host_bucket")
-            .cogroup(state.groupBy("host_bucket"))
-            .applyInPandas(run, schema=OUT_SCHEMA)
-        )
+        grouped = cand_sel.groupBy("host_bucket").cogroup(state.groupBy("host_bucket"))
+        if arrow:
+            return grouped.applyInArrow(run_arrow, schema=OUT_SCHEMA)
+        return grouped.applyInPandas(run, schema=OUT_SCHEMA)
 
     # salted phase 1: candidates and exact rows slice by pmod(url_hash),
     # per-host dimension rows replicate into every slice of their bucket
@@ -440,11 +662,13 @@ def fused_filter_schedule(
     sal = state.filter(F.col("tag") == "s").withColumn("salt", salt_of)
     state_salted = sal.unionByName(dim)
 
-    p1 = (
-        cand_salted.groupBy("host_bucket", "salt")
-        .cogroup(state_salted.groupBy("host_bucket", "salt"))
-        .applyInPandas(run, schema=P1_SCHEMA)
+    p1_grouped = cand_salted.groupBy("host_bucket", "salt").cogroup(
+        state_salted.groupBy("host_bucket", "salt")
     )
+    if arrow:
+        p1 = p1_grouped.applyInArrow(run_arrow, schema=P1_SCHEMA)
+    else:
+        p1 = p1_grouped.applyInPandas(run, schema=P1_SCHEMA)
 
     def rank_host(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((

@@ -807,9 +807,25 @@ class CrawlPlan:
                 # the full fetched frame (links arrays + working columns)
                 # can be released below — executor storage stays flat at
                 # output size instead of growing by one fetch cache per
-                # generation
-                pages_parts.append(pages_g.localCheckpoint(eager=True))
-                log_parts.append(log_g.localCheckpoint(eager=True))
+                # generation. ONE combined checkpoint (not one each for
+                # pages/log) saves a driver-latency job per generation;
+                # pages/log are lazy projections of it.
+                combined = fetched.select(
+                    *PAGES_COLS, "generation", "host_bucket", "priority",
+                    "url_canon", "host", "ok", "fetch_offset_ms",
+                ).localCheckpoint(eager=True)
+                pages_parts.append(
+                    combined.filter("ok").select(
+                        *PAGES_COLS, "generation", "host_bucket", "priority",
+                        "url_canon",
+                    )
+                )
+                log_parts.append(
+                    combined.select(
+                        "generation", "priority", "url_canon", "host",
+                        "host_bucket", "ok", "fetch_offset_ms",
+                    )
+                )
             fetched.unpersist()
             scheduled = nxt.filter("status = 'scheduled'")
             deferred = nxt.filter("status = 'deferred'").select(

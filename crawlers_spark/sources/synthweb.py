@@ -253,6 +253,52 @@ def fetch_pages_pdf(
     return out
 
 
+def _seed_urls_pa(cfg: SynthWebConfig, rank, host_idx, page_idx, variant) -> "pa.Array":
+    """Messy spelling variants as ONE Arrow string array.
+
+    Builds variants from the known components (no regex re-extract);
+    bit-identical to the pandas construction in :func:`seed_urls_pdf`.
+    """
+    seeds = _page_seed(cfg, host_idx, page_idx)
+    private = pa.array((seeds % _U64(cfg.private_mod)) == 0)
+    hosts = pa.array(host_name(host_idx), pa.string())
+    pages = pc.cast(pa.array(page_idx), pa.string())
+    path = pc.binary_join_element_wise(
+        pc.if_else(private, "/private/p/", "/p/"), pages, ""
+    )
+    canon_a = pc.binary_join_element_wise("http://", hosts, path, "")
+    v1 = pc.binary_join_element_wise(
+        "HTTP://WWW.", pc.utf8_upper(hosts), ":80", path, ""
+    )
+    v2 = pc.binary_join_element_wise(canon_a, "#section-2", "")
+    v3 = pc.binary_join_element_wise(
+        canon_a, "?utm_source=feed&utm_medium=x&utm_campaign=1", ""
+    )
+    v4 = pc.binary_join_element_wise(
+        "http://", hosts, "/x/../",
+        pc.if_else(private, "private/p/", "p/"), pages, "",
+    )
+    return pc.case_when(
+        pc.make_struct(*(pa.array(variant == k) for k in range(1, 5))),
+        v1, v2, v3, v4, canon_a,
+    )
+
+
+def seed_urls_arr(cfg: SynthWebConfig, rank: np.ndarray) -> "pa.Array":
+    """Arrow-native twin of :func:`seed_urls_pdf`: messy URL spellings for
+    a rank array, without ever minting Python string objects. Used by the
+    mapInArrow candidate generator."""
+    rank = np.asarray(rank, np.int64)
+    ppl = cfg.pages_per_host()
+    host_idx = (splitmix64(rank.view(_U64) ^ _U64(cfg.seed * 31)) % _U64(cfg.n_hosts)).astype(
+        np.int64
+    )
+    page_idx = (
+        splitmix64(rank.view(_U64) ^ _U64(cfg.seed * 131)) % ppl[host_idx].view(_U64)
+    ).astype(np.int64)
+    return _seed_urls_pa(cfg, rank, host_idx, page_idx, rank % 5)
+
+
 def make_seed_urls(cfg: SynthWebConfig, n_seeds: int) -> pd.DataFrame:
     """Messy seed list exercising canonicalization (5 spelling variants)."""
     return seed_urls_pdf(cfg, np.arange(n_seeds, dtype=np.int64))
@@ -274,31 +320,7 @@ def seed_urls_pdf(cfg: SynthWebConfig, rank: np.ndarray) -> pd.DataFrame:
     ).astype(np.int64)
     variant = rank % 5
     if _HAS_PA and len(rank):
-        # build variants from the known components (no regex re-extract);
-        # bit-identical to the pandas construction below
-        seeds = _page_seed(cfg, host_idx, page_idx)
-        private = pa.array((seeds % _U64(cfg.private_mod)) == 0)
-        hosts = pa.array(host_name(host_idx), pa.string())
-        pages = pc.cast(pa.array(page_idx), pa.string())
-        path = pc.binary_join_element_wise(
-            pc.if_else(private, "/private/p/", "/p/"), pages, ""
-        )
-        canon_a = pc.binary_join_element_wise("http://", hosts, path, "")
-        v1 = pc.binary_join_element_wise(
-            "HTTP://WWW.", pc.utf8_upper(hosts), ":80", path, ""
-        )
-        v2 = pc.binary_join_element_wise(canon_a, "#section-2", "")
-        v3 = pc.binary_join_element_wise(
-            canon_a, "?utm_source=feed&utm_medium=x&utm_campaign=1", ""
-        )
-        v4 = pc.binary_join_element_wise(
-            "http://", hosts, "/x/../",
-            pc.if_else(private, "private/p/", "p/"), pages, "",
-        )
-        messy = pc.case_when(
-            pc.make_struct(*(pa.array(variant == k) for k in range(1, 5))),
-            v1, v2, v3, v4, canon_a,
-        )
+        messy = _seed_urls_pa(cfg, rank, host_idx, page_idx, variant)
         return pd.DataFrame(
             {"url": messy.to_numpy(zero_copy_only=False), "seed_rank": rank}
         )
@@ -339,24 +361,32 @@ def distributed_candidates(spark, cfg: SynthWebConfig, n: int, n_host_buckets: i
     (url_canon, url_hash, host_bucket, priority) leave; the raw spelling
     never crosses the boundary at all. Identical output to the composed
     pair (same kernels), ~2x less Arrow traffic on the generate side.
+
+    The stage runs as ``mapInArrow``: URL strings live as Arrow arrays
+    end-to-end (generation → canon → fnv64 all operate on the contiguous
+    UTF-8 buffer), so no Python str objects are ever minted — at high
+    parallelism the per-worker CPU saved is what keeps 4N-core scaling
+    honest (BASELINE.md oversubscription pair).
     """
     from ..functions.hashing import fnv64, pmod_bucket
-    from ..functions.urls import canon_with_host
+    from ..functions.urls import canon_arr
 
     def gen(batches):
-        for pdf in batches:
-            raw = seed_urls_pdf(cfg, pdf["id"].to_numpy())
-            canon, host = canon_with_host(raw["url"])
-            out = pd.DataFrame({
-                "url_canon": canon,
-                "url_hash": fnv64(canon),
-                "host_bucket": pmod_bucket(fnv64(host), n_host_buckets),
-                "priority": raw["seed_rank"].to_numpy(),
-            })
-            yield out
+        for rb in batches:
+            rank = rb.column("id").to_numpy()
+            canon, host = canon_arr(seed_urls_arr(cfg, rank))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(canon, pa.string()),
+                    pa.array(fnv64(canon)),
+                    pa.array(pmod_bucket(fnv64(host), n_host_buckets)),
+                    pa.array(rank),
+                ],
+                names=["url_canon", "url_hash", "host_bucket", "priority"],
+            )
 
     rng = spark.range(start, start + n, 1, partitions or spark.sparkContext.defaultParallelism)
-    return rng.mapInPandas(
+    return rng.mapInArrow(
         gen, schema="url_canon string, url_hash long, host_bucket int, priority long"
     )
 

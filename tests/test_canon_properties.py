@@ -116,6 +116,13 @@ def test_pct_unit_cases():
         "http://a.test/100%zz": "http://a.test/100%zz",    # malformed kept
         "http://a.test/x%": "http://a.test/x%",
         "http://a.test/?q=%61%3D1": "http://a.test/?q=a%3D1",
+        # leading dot-dot pops to root (RFC 3986 remove_dot_segments);
+        # reachable via percent-decoding — Hypothesis-found regression
+        "http://a.test/%2E%2E": "http://a.test/",
+        "http://a.test/../x": "http://a.test/x",
+        "http://a.test/../../x": "http://a.test/x",
+        "http://a.test/..": "http://a.test/",
+        "http://a.test/..x": "http://a.test/..x",  # not a dot segment
     }
     got = canon_urls(pd.Series(list(cases)))
     assert list(got) == list(cases.values())

@@ -219,3 +219,37 @@ def test_null_host_candidate_does_not_crash(spark, setup):
     assert by_hash[11]["status"] == "scheduled"
     assert by_hash[12]["status"] == "scheduled"  # defaults, no robots hit
     assert by_hash[12]["host"] == ""
+
+
+@pytest.mark.parametrize("n_salts", [1, 4])
+def test_arrow_kernel_matches_pandas_kernel(spark, setup, n_salts):
+    """applyInArrow kernel ≡ applyInPandas kernel, row-for-row, including
+    the emit_dropped dup/seen segments and lifetime-quota budgets."""
+    _spark, _web, params, preseen, _cands, raw, robots = setup
+    blobs = build_host_bucket_blobs(preseen, params)
+    exact = preseen.select("url_hash", "host_bucket")
+    host_spent = spark.createDataFrame(
+        pd.DataFrame({"host": ["host0000.test", "host0001.test"], "spent": [995, 2]})
+    )
+
+    def go(use_arrow):
+        rows = fused_filter_schedule(
+            spark, raw, exact, robots, SchedulerConfig(), blobs=blobs,
+            params=params, emit_dropped=True, host_spent=host_spent,
+            total_budget_per_host=1000, n_host_buckets=N_BUCKETS,
+            n_salts=n_salts, use_arrow=use_arrow,
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    a, p = go(True), go(False)
+    assert len(a) == len(p)
+    if n_salts > 1:
+        # host_rank of phase-1-deferred rows is not globally meaningful
+        # under salting (module docstring) — compare without it
+        def strip(rows):
+            return sorted(t[:8] + t[9:] for t in rows)
+        assert strip(a) == strip(p)
+    else:
+        assert a == p
+    statuses = {t[7] for t in a}
+    assert {"scheduled", "dup", "seen"} <= statuses
