@@ -89,7 +89,18 @@ SECONDARY_LEVELS = (8, 32)
 # per job regardless of core count and therefore taxes the fast level
 # disproportionately. The engine keeps AQE ON by default (session.py) for
 # real queries where runtime re-planning pays for itself.
-CRAWL_BENCH_CONF = {"spark.sql.adaptive.enabled": "false"}
+CRAWL_BENCH_CONF = {
+    "spark.sql.adaptive.enabled": "false",
+    # 40k-row Arrow batches for the frontier stages (vs the 10k library
+    # default): rows here are one short URL string + 3 ints, so batches
+    # stay ~2-3 MB while Python-dispatch overhead per batch amortizes 4x
+    # — measured +15% at local[32], identical config at every level. The
+    # library default stays 10k because batch MEMORY scales with row
+    # width (image-bytes columns would make 40k-row batches huge).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+        "SPARK_GRAFT_ARROW_BATCH", "40000"
+    ),
+}
 
 
 def _use_tmpfs_local_dir() -> None:

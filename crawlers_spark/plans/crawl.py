@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import fnv64
-from ..functions.urls import canon_urls, canon_with_host, url_host
+from ..functions.urls import canon_urls, url_host
 from ..operators.fused_schedule import (
     STATE_COLS,
     fused_filter_schedule,
@@ -136,33 +136,45 @@ def canonize(
 
     Chained scalar pandas UDFs (canon → hash → host → bucket) would cost
     four ArrowEvalPython nodes, i.e. four Python round-trips per batch —
-    measured ~2.5x slower on the 4M-URL bench. A single ``mapInPandas``
-    runs all four numpy kernels on one batch transfer.
+    measured ~2.5x slower on the 4M-URL bench. A single ``mapInArrow``
+    runs all four kernels on one batch transfer, and the URL strings stay
+    in Arrow buffers throughout (pass-through columns are never converted
+    to pandas at all).
 
     ``keep_host=False`` omits the host string from the output (the fused
     step re-derives it bucket-locally) — the host column would otherwise
     ride the candidate exchange for ~20% extra shuffle bytes.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from ..functions.hashing import pmod_bucket
+    from ..functions.urls import canon_arr
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     host_part = "host string, " if keep_host else ""
     schema = f"{fields}, url_canon string, url_hash long, {host_part}host_bucket int"
+    in_names = [f.name for f in df.schema.fields]
 
     def run(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            canon, host = canon_with_host(pdf[url_col])
-            out = pdf.copy()
-            out["url_canon"] = canon.to_numpy()
-            out["url_hash"] = fnv64(canon)
+            canon, host = canon_arr(rb.column(in_names.index(url_col)))
+            arrays = list(rb.columns)
+            names = list(in_names)
+            arrays.append(pc.cast(canon, pa.string()))
+            names.append("url_canon")
+            arrays.append(pa.array(fnv64(canon)))
+            names.append("url_hash")
             if keep_host:
-                out["host"] = host.to_numpy()
-            out["host_bucket"] = pmod_bucket(fnv64(host), n_host_buckets)
-            yield out
+                arrays.append(pc.cast(host, pa.string()))
+                names.append("host")
+            arrays.append(pa.array(pmod_bucket(fnv64(host), n_host_buckets)))
+            names.append("host_bucket")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return df.mapInPandas(run, schema=schema)
+    return df.mapInArrow(run, schema=schema)
 
 
 def prepare_frontier(seeds: DataFrame, n_host_buckets: int) -> DataFrame:
