@@ -1379,6 +1379,158 @@ FROM co JOIN ev USING (s) GROUP BY 1
 """
 
 
+# PII patterns shared by q_pii_redact and its oracle. Subset of regex
+# syntax valid in BOTH Java (Spark) and RE2 (DuckDB): char classes,
+# bounded reps, \\b, \\d. No lookarounds, no backrefs.
+_PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction (training-data curation; engine add —
+    the reference crawler stores raw captions, see
+    /root/reference/utils/call_mysql.py:13 for its sink surface).
+
+    The synthetic corpus has no organic PII, so both engines first
+    inject deterministic email/phone/IP strings into every third doc
+    (pure string concat of doc_id — identical bytes cross-engine), then
+    count and redact them. Output is the per-pattern hit counts plus the
+    md5 of the redacted text, so the driver hash-check proves the
+    redaction itself is byte-identical, not just the counts.
+
+    Scale: one projection pass, all JVM regexp kernels (regexp_count /
+    regexp_replace inside whole-stage codegen), zero shuffles.
+    """
+    d = load_table(spark, sf, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ),
+    ).otherwise(F.col("text"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(injected, _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_IP_RE,
+            "<IP>",
+        ),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(_PII_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(injected, F.lit(_PII_PHONE_RE)).cast("long").alias("n_phone"),
+        F.regexp_count(injected, F.lit(_PII_IP_RE)).cast("long").alias("n_ip"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
+
+
+ORACLE_PII_REDACT = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or call 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+         ELSE text END AS txt
+  FROM documents
+),
+r AS (
+  SELECT doc_id, txt,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(txt, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PII_IP_RE}', '<IP>', 'g'),
+           '{_PII_PHONE_RE}', '<PHONE>', 'g') AS red
+  FROM t
+)
+SELECT doc_id,
+       len(regexp_extract_all(txt, '{_PII_EMAIL_RE}')) AS n_email,
+       len(regexp_extract_all(txt, '{_PII_PHONE_RE}')) AS n_phone,
+       len(regexp_extract_all(txt, '{_PII_IP_RE}')) AS n_ip,
+       md5(red) AS redacted_md5,
+       length(red) AS redacted_len
+FROM r
+"""
+
+
+def q_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 keyword extraction by TF-IDF (curation engine
+    add). Rank is the fully-integer key (tf DESC, df ASC, word ASC) —
+    rarity-weighted term frequency with no float in the ordering, so the
+    cross-engine rank is bit-deterministic; the float tfidf score itself
+    is emitted rounded to 6 dp (irrational via ln — tie measure-zero,
+    same convention as cosine_topk).
+
+    Scale: tf = one shuffle on (doc_id, word) with map-side combine;
+    df = second shuffle on word (already distinct per doc after tf);
+    n_docs is a scalar agg broadcast via cross join; the tf⋈df equi-join
+    shuffles on word and the top-3 window on doc_id. No all-pairs stage,
+    no driver collect — survives 100 TB.
+    """
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = (
+        d.filter(F.length(norm) > 0)
+        .select("doc_id", F.explode(F.split(norm, " ")).alias("word"))
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("word").asc()
+    )
+    return (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf_q6"),
+        )
+    )
+
+
+ORACLE_TFIDF = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(string_split(txt, ' ')) AS word
+  FROM norm WHERE length(txt) > 0
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, word, tf, df,
+       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf_q6
+FROM (
+  SELECT t.doc_id, t.word, t.tf, d.df, n.n_docs,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.word ASC) AS rk
+  FROM tf t JOIN df d USING (word) CROSS JOIN n
+) WHERE rk <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # crawl-engine queries (custom stateful — rows-only driver check)
 # --------------------------------------------------------------------------
@@ -1848,6 +2000,8 @@ QUERIES: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "sample_mixture": (q_sample_mixture, ORACLE_SAMPLE_MIXTURE),
     "contamination_ngram": (q_contamination_ngram, ORACLE_CONTAMINATION),
+    "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
+    "tfidf_keywords": (q_tfidf_keywords, ORACLE_TFIDF),
     "ivf_topk": (q_ivf_topk, None),
     "crawl_pages_by_host": (q_crawl_pages_by_host, None),
     "crawl_schedule": (q_crawl_schedule, None),
