@@ -207,6 +207,7 @@ def fused_filter_schedule(
     n_salts: int = 1,
     state: DataFrame | None = None,
     use_arrow: bool | None = None,
+    emit_strings: str = "all",
 ) -> DataFrame:
     """candidates (url_hash,url_canon,host,host_bucket,priority[,is_new]) ×
     state (seen ∪ robots ∪ quota) → rows with status ∈
@@ -242,7 +243,31 @@ def fused_filter_schedule(
     pyarrow is importable — URL strings never materialize as Python
     objects) or the pandas twin (fallback + differential-test oracle;
     same values, equivalence-tested in tests/test_fused_schedule.py).
+
+    ``emit_strings`` trims the output Arrow hop (hash/flag columns are
+    always emitted for every row, bit-identical across modes):
+
+    - ``"all"``: every row carries url_canon + host (default).
+    - ``"frontier"``: strings only on rows that outlive this generation
+      (scheduled + deferred + pending — the fetch/requeue set).
+      dup/seen/disallowed rows are only ever counted or folded into the
+      seen-set BY HASH downstream (plans/crawl.py), so nulling their
+      strings is loop-safe, and at real frontier scale the dropped
+      majority's string bytes vanish from the worker→JVM hop.
+    - ``"scheduled"``: strings only on this generation's fetch set
+      (scheduled + pending); the caller must resolve deferred rows'
+      strings itself (e.g. a url_hash-keyed store) before requeueing
+      them as candidates.
     """
+    if emit_strings not in ("all", "frontier", "scheduled"):
+        raise ValueError(f"emit_strings must be all|frontier|scheduled, got {emit_strings!r}")
+    # statuses whose rows keep their strings ("pending" is the salted
+    # phase-1 stand-in for scheduled; phase 2 needs its strings either way)
+    keep_statuses = {
+        "all": None,
+        "frontier": ("scheduled", "pending", "deferred"),
+        "scheduled": ("scheduled", "pending"),
+    }[emit_strings]
     if "is_new" not in candidates.columns:
         candidates = candidates.withColumn("is_new", F.lit(True))
     if "retry_count" not in candidates.columns:
@@ -431,6 +456,9 @@ def fused_filter_schedule(
             for d in dropped:
                 parts.append(d.assign(host_rank=0, fetch_offset_ms=0))
         out = pd.concat(parts, ignore_index=True)
+        if keep_statuses is not None:
+            keep = out["status"].isin(keep_statuses)
+            out.loc[~keep, ["url_canon", "host"]] = None
         return out[out_cols]
 
     _STATUSES = ["scheduled", "deferred", "disallowed", "dup", "seen", "pending"]
@@ -618,10 +646,23 @@ def fused_filter_schedule(
             host_rank[:n_a] = rank.astype(np.int32)
             offset[:n_a] = np.where(within, (rank - 1) * delay, 0)
         take = pa.array(final_idx)
+        if keep_statuses is None:
+            str_take = take
+        else:
+            # hash-only rows outside the keep set: strings ride the
+            # Arrow hop only where a consumer can still read them
+            # (segment layout: [:n_a] = scheduled/pending|deferred,
+            # then disallowed, dup, seen — see `codes` above)
+            keep = np.zeros(len(final_idx), bool)
+            if "deferred" in keep_statuses:
+                keep[:n_a] = True
+            else:
+                keep[:n_a] = within
+            str_take = pa.array(final_idx, mask=~keep)
         cols = {
             "url_hash": pa.array(url_hash_np[final_idx]),
-            "url_canon": pc.cast(pc.take(canon, take), pa.string()),
-            "host": pc.cast(pc.take(host_arr, take), pa.string()),
+            "url_canon": pc.cast(pc.take(canon, str_take), pa.string()),
+            "host": pc.cast(pc.take(host_arr, str_take), pa.string()),
             "host_bucket": pa.array(hb_np[final_idx].astype(np.int32)),
             "priority": pa.array(priority_np[final_idx]),
             "is_new": pa.array(is_new_np[final_idx]),

@@ -520,6 +520,7 @@ class CrawlPlan:
             total_budget_per_host=cfg.total_budget_per_host,
             n_salts=cfg.n_salts,
             state=self._state_for(None, host_spent),
+            emit_strings="frontier",
         )
         return (
             boot.filter("status = 'scheduled'").withColumn("generation", F.lit(g0)),
@@ -680,11 +681,16 @@ class CrawlPlan:
                 if ckpt_state is not None and cfg.total_budget_per_host is None
                 else self._state_for(exact, host_spent)
             )
+            # emit_strings="frontier": dup/seen/disallowed rows come back
+            # hash-only — this loop only counts them / folds them into
+            # the seen-set by url_hash, so the dropped majority's string
+            # bytes never ride the worker→JVM hop
             fused_out = fused_filter_schedule(
                 spark, cand, None, self.robots, cfg.scheduler, emit_dropped=True,
                 total_budget_per_host=cfg.total_budget_per_host,
                 n_salts=cur_salts,
                 state=state,
+                emit_strings="frontier",
             ).localCheckpoint(eager=True)
 
             # One small agg over the fused output drives every loop counter

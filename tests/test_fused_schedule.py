@@ -253,3 +253,78 @@ def test_arrow_kernel_matches_pandas_kernel(spark, setup, n_salts):
         assert a == p
     statuses = {t[7] for t in a}
     assert {"scheduled", "dup", "seen"} <= statuses
+
+
+@pytest.mark.parametrize("use_arrow", [True, False])
+@pytest.mark.parametrize("mode,kept", [
+    ("frontier", {"scheduled", "deferred"}),
+    ("scheduled", {"scheduled"}),
+])
+def test_emit_strings_modes(spark, setup, mode, kept, use_arrow):
+    """emit_strings trims url_canon/host to the keep set and changes
+    NOTHING else: every hash/flag column is bit-identical to mode="all",
+    kept rows carry the identical strings, all other rows carry null."""
+    _spark, _web, params, preseen, _cands, raw, robots = setup
+    blobs = build_host_bucket_blobs(preseen, params)
+    exact = preseen.select("url_hash", "host_bucket")
+
+    def go(emit_strings):
+        rows = fused_filter_schedule(
+            spark, raw, exact, robots, SchedulerConfig(), blobs=blobs,
+            params=params, emit_dropped=True, n_host_buckets=N_BUCKETS,
+            use_arrow=use_arrow, emit_strings=emit_strings,
+        ).collect()
+        return {r["url_hash"]: r for r in rows}
+
+    full, trimmed = go("all"), go(mode)
+    assert set(full) == set(trimmed)
+    hash_cols = ["url_hash", "host_bucket", "priority", "is_new",
+                 "retry_count", "status", "host_rank", "fetch_offset_ms"]
+    n_kept = 0
+    for h, f in full.items():
+        t = trimmed[h]
+        assert [t[c] for c in hash_cols] == [f[c] for c in hash_cols]
+        if f["status"] in kept:
+            assert (t["url_canon"], t["host"]) == (f["url_canon"], f["host"])
+            n_kept += 1
+        else:
+            assert t["url_canon"] is None and t["host"] is None
+    assert n_kept > 0 and n_kept < len(full)
+
+
+def test_crawl_loop_frontier_strings_identical(spark):
+    """The loop runs emit_strings="frontier" (plans/crawl.py): a short
+    crawl must produce the same pages + crawl order as the same loop
+    forced to emit_strings="all"."""
+    import contextlib
+    from unittest import mock
+
+    from crawlers_spark.operators.seen_set import BloomParams
+    from crawlers_spark.plans import crawl as crawl_mod
+    from crawlers_spark.plans.crawl import CrawlConfig, CrawlPlan
+    from crawlers_spark.sources.synthweb import make_seed_urls
+
+    web = SynthWebConfig(n_hosts=6, base_pages=40)
+
+    def run(force_all):
+        cfg = CrawlConfig(web=web, n_host_buckets=4, max_generations=3,
+                          bloom=BloomParams.size_for(5_000, n_buckets=4))
+        seeds = spark.createDataFrame(make_seed_urls(web, 12))
+        orig = crawl_mod.fused_filter_schedule
+
+        def no_trim(*a, **kw):
+            kw["emit_strings"] = "all"
+            return orig(*a, **kw)
+
+        ctx = (
+            mock.patch.object(crawl_mod, "fused_filter_schedule", side_effect=no_trim)
+            if force_all else contextlib.nullcontext()
+        )
+        with ctx:
+            res = CrawlPlan(spark, cfg).run(seeds)
+            rows = res.crawl_log.select(
+                "generation", "priority", "url_canon", "ok"
+            ).collect()
+        return sorted(map(tuple, rows))
+
+    assert run(False) == run(True)
