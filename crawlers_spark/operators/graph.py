@@ -121,3 +121,37 @@ def dedup_cluster_reps(
             (F.col(id_col) == F.col("comp")).alias("is_rep"),
         )
     )
+
+
+def dedup_cluster_best(
+    comps: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "q_score",
+) -> DataFrame:
+    """Quality-aware cluster retirement: keep each near-dup cluster's
+    best member instead of its min-id label.
+
+    ``comps`` is (id, cluster, cluster_size) — e.g. from
+    ``dedup_cluster_reps`` — and ``quality`` is (id, score). The kept
+    member maximizes (score, -id): highest score, smallest id on ties —
+    a total order, so the choice is deterministic on any executor
+    layout. One hash-agg (``max_by`` with map-side partials) per
+    cluster; no window, no sort of the full membership. At corpus scale
+    the score column rides the existing cluster shuffle — nothing new
+    is broadcast or collected.
+    """
+    best = (
+        comps.join(quality, id_col)
+        .groupBy("cluster")
+        .agg(
+            F.expr(f"max_by({id_col}, struct({score_col}, -{id_col}))").alias("keep_id")
+        )
+    )
+    return comps.join(best, "cluster").select(
+        id_col,
+        "cluster",
+        "cluster_size",
+        "keep_id",
+        (F.col(id_col) == F.col("keep_id")).cast("int").alias("is_kept"),
+    )

@@ -1296,6 +1296,161 @@ FROM assigned f JOIN csz s USING (cluster)
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware near-dup retirement (operators/graph.py
+    dedup_cluster_best): min-label cluster reps keep an ARBITRARY member;
+    real curation keeps the best copy (longest / highest quality).
+    Corpus = base docs + EXTENDED mutants (two trailing filler words), so
+    every cluster's longest member is NOT its min-id member — the kept
+    set provably diverges from dedup_clusters' is_rep. Keep rule:
+    max(length(text)), ties to the smaller doc_id (total order, so the
+    choice is layout-independent). Same banded candidate + jaccard-verify
+    edges as dedup_clusters; one max_by hash-agg replaces the rep rule."""
+    from .operators.dedup import (
+        jaccard_verify,
+        shingle_candidate_pairs,
+        word_shingles,
+    )
+    from .operators.graph import dedup_cluster_best, dedup_cluster_reps
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.pmod("doc_id", F.lit(5)) == 0)
+        .select("doc_id", "text")
+    )
+    ext = d.select(
+        (F.col("doc_id") + _MUTANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" pad filler")).alias("text"),
+    )
+    docs = d.unionByName(ext)
+    sh = word_shingles(docs, "text", "doc_id", k=3)
+    pairs = shingle_candidate_pairs(sh, "doc_id", df_cap=NGRAM_DF_CAP)
+    edges = jaccard_verify(pairs, sh, "doc_id", threshold=0.5).select("id_a", "id_b")
+    comps = dedup_cluster_reps(edges, all_ids=docs, id_col="doc_id").select(
+        "doc_id", "cluster", "cluster_size"
+    )
+    qual = docs.select("doc_id", F.length("text").alias("q_score"))
+    return dedup_cluster_best(comps, qual, id_col="doc_id", score_col="q_score")
+
+
+ORACLE_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+alldocs AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_MUTANT_OFFSET}, text || ' pad filler' FROM base
+),
+t AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM alldocs),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       FROM t WHERE len(w) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+cold AS (SELECT sh.doc_id, sh.s FROM sh
+         JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}) f
+           USING (s)),
+cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          GROUP BY 1, 2),
+edges AS (SELECT id_a, id_b FROM inter
+          JOIN sz za ON za.doc_id = id_a
+          JOIN sz zb ON zb.doc_id = id_b
+          WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5),
+und AS (SELECT id_a AS u, id_b AS v FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+nodes AS (SELECT DISTINCT u FROM und),
+reach(u, m) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT und.u, reach.m FROM und JOIN reach ON und.v = reach.u
+),
+comp AS (SELECT u AS doc_id, min(m) AS cluster FROM reach GROUP BY 1),
+assigned AS (SELECT a.doc_id, coalesce(c.cluster, a.doc_id) AS cluster
+             FROM (SELECT doc_id FROM alldocs) a
+             LEFT JOIN comp c USING (doc_id)),
+csz AS (SELECT cluster, count(*) AS cluster_size FROM assigned GROUP BY 1),
+best AS (SELECT cluster, doc_id AS keep_id FROM (
+           SELECT a.cluster, a.doc_id,
+                  row_number() OVER (PARTITION BY a.cluster
+                                     ORDER BY length(d.text) DESC, a.doc_id ASC) AS rn
+           FROM assigned a JOIN alldocs d USING (doc_id)) WHERE rn = 1)
+SELECT f.doc_id, f.cluster, s.cluster_size, b.keep_id,
+       CAST(f.doc_id = b.keep_id AS INT) AS is_kept
+FROM assigned f JOIN csz s USING (cluster) JOIN best b USING (cluster)
+"""
+
+
+_SPAN_K = 5
+
+
+def q_span_dup_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicate-span signal (RefinedWeb / Lee et al.
+    "Deduplicating Training Data" at n-gram granularity): per doc, the
+    fraction of its DISTINCT word 5-gram spans that also occur in at
+    least one other document. Distinct spans -> span document-frequency
+    (one hash-agg, map-side combine) -> join back (one row per span, no
+    fanout) -> per-doc counters. Complements doc_repetition (within-doc)
+    and contamination_ngram (vs an eval set): this one measures
+    intra-corpus duplication pressure, the signal that decides whether
+    span-level dedup is worth running. String-lane grams for
+    cross-engine checkability; the production path would hash spans to
+    int64 (word_shingles) to shrink both shuffles."""
+    from .operators.dedup import normalize_text
+
+    k = _SPAN_K
+    docs = load_table(spark, sf, "documents")
+    t = docs.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("w"))
+    grams = (
+        t.filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(0, size(w) - {k}),"
+                f" i -> concat_ws(' ', {', '.join(f'w[i+{j}]' for j in range(k))}))"
+            )).alias("s"),
+        )
+        .distinct()
+    )
+    span_df = grams.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        grams.join(span_df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id", "n_spans", "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
+            ).alias("dup_frac_q6"),
+        )
+    )
+
+
+ORACLE_SPAN_DUP = f"""
+WITH t AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(w) - {_SPAN_K - 2}),
+                     i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(_SPAN_K))})) AS s
+       FROM t WHERE len(w) >= {_SPAN_K}),
+df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+SELECT sh.doc_id, count(*) AS n_spans,
+       sum(CAST(df.df >= 2 AS BIGINT)) AS n_dup_spans,
+       round(CAST(sum(CAST(df.df >= 2 AS BIGINT)) AS DOUBLE) / count(*), 6)
+         AS dup_frac_q6
+FROM sh JOIN df USING (s) GROUP BY 1
+"""
+
+
 _MIX_RATES = {"en": 0.5, "zh": 1.0, "es": 0.25, "de": 0.125}
 _MIX_DEFAULT = 0.0625
 _MIX_SEED = "mix1"
@@ -1998,6 +2153,8 @@ QUERIES: dict[str, tuple] = {
     "embedding_near_dups_exact": (q_embedding_near_dups_exact, ORACLE_NEAR_DUPS_EXACT),
     "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "dedup_keep_best": (q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
+    "span_dup_fraction": (q_span_dup_fraction, ORACLE_SPAN_DUP),
     "sample_mixture": (q_sample_mixture, ORACLE_SAMPLE_MIXTURE),
     "contamination_ngram": (q_contamination_ngram, ORACLE_CONTAMINATION),
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),

@@ -86,3 +86,28 @@ def test_adversarial_long_path_converges_via_pointer_jumping(spark):
         connected_components(_edges(spark, [(i, i + 1) for i in range(63)]))
     )
     assert set(got.values()) == {0} and len(got) == 64
+
+
+def test_cluster_best_keeps_highest_quality(spark):
+    """dedup_cluster_best keeps the max-(score, -id) member per cluster;
+    singletons keep themselves; ties go to the smaller id."""
+    from crawlers_spark.operators.graph import dedup_cluster_best
+
+    all_ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 8, 99)], "doc_id long")
+    comps = dedup_cluster_reps(
+        _edges(spark, [(1, 2), (2, 3), (7, 8)]), all_ids=all_ids
+    ).select("doc_id", "cluster", "cluster_size")
+    quality = spark.createDataFrame(
+        # cluster {1,2,3}: 3 wins on score; {7,8}: tie -> 7; {99}: itself
+        [(1, 10), (2, 5), (3, 40), (7, 7), (8, 7), (99, 0)],
+        "doc_id long, q_score long",
+    )
+    got = {
+        r["doc_id"]: (r["keep_id"], r["is_kept"])
+        for r in dedup_cluster_best(comps, quality).collect()
+    }
+    assert got == {
+        1: (3, 0), 2: (3, 0), 3: (3, 1),
+        7: (7, 1), 8: (7, 0),
+        99: (99, 1),
+    }
