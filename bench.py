@@ -201,7 +201,10 @@ def run_crawl_bench(cpus: int, reps: int | None = None) -> dict:
         out = fused_filter_schedule(
             spark, raw, None, robots, SchedulerConfig(), blobs=blobs, params=params,
             n_host_buckets=p["n_host_buckets"], state=state,
-            emit_strings=os.environ.get("SPARK_GRAFT_EMIT_STRINGS", "all"),
+            # "frontier" mirrors the crawl loop's own configuration
+            # (plans/crawl.py): strings ride the output hop only on rows
+            # that outlive the generation
+            emit_strings=os.environ.get("SPARK_GRAFT_EMIT_STRINGS", "frontier"),
         )
         scheduled = out.filter("status = 'scheduled'")
         n_scheduled = scheduled.count()

@@ -17,6 +17,7 @@ reference port — the reference has no vector ops.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -31,6 +32,31 @@ def _norm(a):
 
 def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_arrow():
+    """Arrow-vectorized exact cosine (pandas UDF, one numpy einsum per
+    batch) for VERIFY stages over many candidate pairs.
+
+    ``cosine`` (zip_with/aggregate) stays on the oracle-checked paths:
+    its left-fold summation is IEEE-identical to the DuckDB oracle's.
+    But Catalyst evaluates higher-order-function lambdas INTERPRETED,
+    per element — ~300k candidate pairs × dim 64 cost ~3 s at sf0.1
+    where the einsum batch takes milliseconds. numpy's pairwise
+    summation can differ from the fold in the last ulp, so this lane is
+    for rows-only/verify paths, never the cross-engine-hashed ones."""
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        va = np.stack(a.to_numpy())
+        vb = np.stack(b.to_numpy())
+        num = np.einsum("ij,ij->i", va, vb)
+        den = np.sqrt(
+            np.einsum("ij,ij->i", va, va) * np.einsum("ij,ij->i", vb, vb)
+        )
+        return pd.Series(num / den, index=a.index)
+
+    return _cos
 
 
 def cosine_topk(
@@ -60,19 +86,30 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_bits, dim)).round(6).tolist()
 
 
-def srp_bucket(vec_col, dim: int, n_bits: int = 8, seed: int = 42):
+def srp_bucket(vec_expr: str, dim: int, n_bits: int = 8, seed: int = 42):
     """Sign-random-projection bucket id (0..2^n_bits-1) as a column expr.
 
-    Hyperplanes are literal arrays folded by Catalyst — deterministic
-    across runs and engines, no UDF, no broadcast needed.
+    Hyperplanes are deterministic literals (seeded RNG) — no UDF, no
+    broadcast. They enter the plan as ONE parsed array<array<double>>
+    literal inside a single transform/aggregate lambda, NOT as
+    n_bits × dim unrolled ``lit`` Columns: the unrolled form built
+    thousands of expression nodes through py4j and cost the DRIVER
+    ~1.5 s of analysis/codegen per query (measured at n_bits=4,
+    dim=64, ×3 tables ×2 join branches) for sub-millisecond executor
+    work. The lambda tree is O(1) nodes regardless of n_bits/dim.
+
+    ``vec_expr`` is a SQL expression string (usually the vector column
+    name).
     """
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(_hyperplanes(dim, n_bits, seed)):
-        d = _dot(vec_col, F.array(*[F.lit(float(x)) for x in plane]))
-        bucket = bucket.bitwiseOR(
-            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
-        )
-    return bucket
+    planes = _hyperplanes(dim, n_bits, seed)
+    lit = "array(" + ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in p) + ")" for p in planes
+    ) + ")"
+    return F.expr(
+        f"aggregate(transform({lit}, (p, i) -> IF("
+        f"aggregate(zip_with({vec_expr}, p, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        f" > 0D, shiftleft(1L, i), 0L)), 0L, (acc, b) -> acc + b)"
+    )
 
 
 def lsh_bucket_topk(
@@ -100,7 +137,7 @@ def lsh_bucket_topk(
                     F.col(idc),
                     F.col(vec_col).alias("__vec"),
                     F.lit(t).alias("table"),
-                    srp_bucket(F.col(vec_col), dim, n_bits, seed=42 + t).alias("bucket"),
+                    srp_bucket(vec_col, dim, n_bits, seed=42 + t).alias("bucket"),
                 )
             )
         out = parts[0]
@@ -159,31 +196,36 @@ def embedding_near_dups(
     if n_bits is None:
         n_bits = near_dup_bits_for(n_rows if n_rows is not None else data.count())
     # Candidate generation carries ONLY ids: the bucket self-join and the
-    # cross-table distinct shuffle (bucket, id) / (id_a, id_b) rows, never
-    # the vectors — at 10^10 rows the distinct is the heaviest shuffle and
-    # dragging array<float> through it (×n_tables) roughly doubles its
-    # bytes for nothing. Vectors attach once per side after dedup.
-    per_table = []
-    for t in range(n_tables):
-        b = data.select(
-            F.col(id_col),
-            srp_bucket(F.col(vec_col), dim, n_bits, seed=42 + t).alias("bucket"),
-        )
-        left = b.select(F.col("bucket"), F.col(id_col).alias("id_a"))
-        right = b.select(F.col("bucket"), F.col(id_col).alias("id_b"))
-        per_table.append(
-            left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-    pairs = per_table[0]
-    for p in per_table[1:]:
-        pairs = pairs.unionByName(p)
-    pairs = pairs.distinct()
+    # cross-table distinct shuffle (table, bucket, id) / (id_a, id_b)
+    # rows, never the vectors — at 10^10 rows the distinct is the
+    # heaviest shuffle and dragging array<float> through it (×n_tables)
+    # roughly doubles its bytes for nothing. Vectors attach once per
+    # side after dedup. All n_tables bucket ids come from ONE codegen'd
+    # projection + explode, and the per-table self-joins collapse into
+    # ONE equi-join on (table, bucket): same shuffle bytes as n_tables
+    # separate joins, a third of the exchanges/stages.
+    tables = data.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("t"),
+                srp_bucket(vec_col, dim, n_bits, seed=42 + t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])).alias("tb"),
+    ).select(F.col(id_col), F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    left = tables.select("t", "bucket", F.col(id_col).alias("id_a"))
+    right = tables.select("t", "bucket", F.col(id_col).alias("id_b"))
+    pairs = (
+        left.join(right, ["t", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     va = data.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = data.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
         pairs.join(va, "id_a").join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
+        .select("id_a", "id_b", cosine_arrow()(F.col("__va"), F.col("__vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

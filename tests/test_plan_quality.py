@@ -197,3 +197,24 @@ def test_bucketed_state_elides_cogroup_exchange(spark, tmp_path):
         assert out.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS seen_bkt_test")
+
+
+def test_span_dup_fraction_hash_aggs_no_window(spark):
+    """span_dup_fraction must be pure hash-agg pipeline: no window (a
+    per-doc window would sort every doc's spans), no sort-aggregate."""
+    from crawlers_spark.queries import q_span_dup_fraction
+
+    plan = _plan(q_span_dup_fraction(spark, SF))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "SortAggregate" not in plan
+
+
+def test_dedup_keep_best_no_window(spark):
+    """The keep rule is one max_by hash-agg per cluster — a row_number
+    window (the naive form) would sort full cluster membership."""
+    from crawlers_spark.queries import q_dedup_keep_best
+
+    plan = _plan(q_dedup_keep_best(spark, SF))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
