@@ -575,10 +575,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--crawl", action="store_true", help="crawl bench only (one level)")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--reps", type=int, default=None)
     args = ap.parse_args()
 
     if args.crawl:
-        print(json.dumps(run_crawl_bench(args.cpus)))
+        print(json.dumps(run_crawl_bench(args.cpus, reps=args.reps)))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -599,22 +600,28 @@ def main() -> None:
     # respect a wall-clock budget so a driver-side timeout can't kill the
     # whole bench before anything prints.
     t_start = time.monotonic()
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1900"))
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
+        # the stress pair's levels run one extra rep each (SYMMETRIC
+        # within the pair): their walls are short, so a cold first rep
+        # weighs more in the min — 4/16 keep 3 to fit the budget
+        reps_by_level = {8: 4, 32: 4}
 
         def spawn(cpus: int) -> dict:
             time.sleep(10)  # let the previous JVM fully exit
+            cmd = [sys.executable, os.path.abspath(__file__), "--crawl",
+                   "--cpus", str(cpus)]
+            if cpus in reps_by_level:
+                cmd += ["--reps", str(reps_by_level[cpus])]
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--crawl",
-                 "--cpus", str(cpus)],
-                capture_output=True, text=True, timeout=budget, env=env,
+                cmd, capture_output=True, text=True, timeout=budget, env=env,
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             return json.loads(line)
 
         # rough per-spawn cost (setup + reps + fetch), sec
-        est = {4: 280, 8: 170, 16: 130, 32: 110}
+        est = {4: 280, 8: 190, 16: 130, 32: 125}
 
         def have_budget(cpus: int) -> bool:
             return time.monotonic() - t_start + est[cpus] <= budget
