@@ -1451,6 +1451,47 @@ FROM sh JOIN df USING (s) GROUP BY 1
 """
 
 
+def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (CCNet/C4-adjacent
+    gibberish signal: natural prose sits ~4-4.5 bits-equivalent of nats,
+    random base64 or boilerplate padding falls outside the band). Two
+    hash-aggs: (doc, char) counts, then -Σ p·ln p per doc. Cross-engine
+    exact: p = n/total is a division of identical int64 operands, ln of
+    identical doubles is identical, and the 6-dp rounding absorbs the
+    ~1e-15 summation-order noise between engines (same convention as
+    tfidf_keywords' score)."""
+    docs = load_table(spark, sf, "documents")
+    ch = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("n_distinct_chars")
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_distinct_chars").alias("n_distinct_chars"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy_q6"),
+        )
+    )
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+cnt AS (SELECT doc_id, c, count(*) AS n FROM ch WHERE c != '' GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(n) AS tot, count(*) AS n_distinct_chars
+        FROM cnt GROUP BY 1)
+SELECT cnt.doc_id, max(tot.n_distinct_chars) AS n_distinct_chars,
+       round(-sum((CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)), 6)
+         AS char_entropy_q6
+FROM cnt JOIN tot USING (doc_id) GROUP BY 1
+"""
+
+
 _MIX_RATES = {"en": 0.5, "zh": 1.0, "es": 0.25, "de": 0.125}
 _MIX_DEFAULT = 0.0625
 _MIX_SEED = "mix1"
@@ -2155,6 +2196,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_keep_best": (q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
     "span_dup_fraction": (q_span_dup_fraction, ORACLE_SPAN_DUP),
+    "char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "sample_mixture": (q_sample_mixture, ORACLE_SAMPLE_MIXTURE),
     "contamination_ngram": (q_contamination_ngram, ORACLE_CONTAMINATION),
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
