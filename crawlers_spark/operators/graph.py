@@ -155,3 +155,68 @@ def dedup_cluster_best(
         "keep_id",
         (F.col(id_col) == F.col("keep_id")).cast("int").alias("is_kept"),
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT int64 fixed-point arithmetic.
+
+    Link analysis is the canonical crawl-corpus ranking signal (Page et
+    al. 1999); the reference ranks serially by collection order, so this
+    is an engine addition sized for the link graph a 100-TB crawl
+    actually produces. Each iteration is one shuffle join (ranks onto
+    edges by source) plus one hash aggregation (sum contributions by
+    destination) — the standard distributed PR shape; nothing is ever
+    driver-resident but the node count.
+
+    Float PageRank cannot be oracle-checked bit-exactly (sum order
+    perturbs low bits), so ranks are int64 micro-units of ``scale``:
+
+    * ``r0 = scale // n`` for every node,
+    * contribution = ``rank DIV out_degree`` (exact integer floor),
+    * ``r' = (15 * scale) // (100 * n) + (85 * sum_contrib) DIV 100``
+      (damping 0.85, teleport 0.15, all integer).
+
+    Integer sums are order-independent, so the result is bit-identical
+    at any parallelism AND in any engine that floors integer division
+    the same way for positive operands (DuckDB ``//``) — giving an
+    iterative graph algorithm a full value-hash oracle. The per-node
+    quantization error is < iters * (1 + 0.85 * max_outdeg) micro-units
+    — ~1e-9 relative at the default scale, far below ranking noise.
+
+    Dangling nodes: callers supply edges where every node has outdegree
+    >= 1 (an undirected/bidirectional edge list satisfies this by
+    construction); nodes never appearing as ``src`` are dropped rather
+    than silently re-weighted.
+    """
+    deg = edges.groupBy(src).agg(F.count("*").alias("__od"))
+    n = deg.count()
+    teleport = (15 * scale) // (100 * n)
+    ranks = deg.select(
+        F.col(src).alias("node"), F.lit(scale // n).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, src)
+            .join(ranks, F.col(src) == F.col("node"))
+            .select(F.col(dst).alias("__to"), F.expr("rank DIV __od").alias("__c"))
+            .groupBy("__to")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            deg.select(F.col(src).alias("node"))
+            .join(contrib, F.col("node") == F.col("__to"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr("(85 * coalesce(__s, cast(0 as bigint))) DIV 100")
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks

@@ -2150,6 +2150,205 @@ def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# round-4 additions: as-of join, link analysis, sketches, non-equi joins,
+# sliding windows
+# --------------------------------------------------------------------------
+
+
+def q_orders_last_event(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: every order, enriched with the customer's latest event
+    at-or-before the order timestamp (operators/asof.py — union + one
+    window pass, never a range explosion; reference analog: per-key
+    latest-quote lookup inside the collection loop,
+    /root/reference/coinmarketcap/coin_market_cap_api_2.0.py:200-206,283).
+    Oracle: DuckDB's native ASOF LEFT JOIN — an independent
+    implementation of the same semantics ((user_id, ts) is unique in the
+    events table, so the latest row is well-defined)."""
+    from .operators.asof import asof_join
+
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("k"), "o_orderkey",
+        F.col("o_orderdate").alias("ot"),
+    )
+    e = load_table(spark, sf, "events").select(
+        F.col("user_id").alias("k"), "ts", "event_type", "event_id"
+    )
+    j = asof_join(
+        o, e, on=["k"], left_time="ot", right_time="ts",
+        right_cols=["ts", "event_type", "event_id"], right_order=["event_id"],
+    )
+    return j.select(
+        "o_orderkey",
+        F.date_format("ot", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_event_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
+ORACLE_ORDERS_LAST_EVENT = """
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_event_ts,
+       e.event_type AS last_event_type,
+       e.event_id AS last_event_id
+FROM orders o
+ASOF LEFT JOIN events e
+  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+"""
+
+
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph (bidirectional
+    edges from distinct (o_custkey, l_suppkey) pairs; node ids 2c / 2s+1
+    keep the two key spaces disjoint). 3 iterations of exact int64
+    fixed-point PR (operators/graph.py pagerank_int) — an iterative
+    distributed graph algorithm with a full value-hash oracle. Top 20 by
+    rank with node-id tiebreak."""
+    from .operators.graph import pagerank_int
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank_int(edges, iters=3)
+    return pr.orderBy(F.desc("rank"), "node").limit(20)
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
+    """Unrolled fixed-iteration PR as a WITH chain — generated from one
+    loop so the iteration bodies are byte-identical (same trick as the
+    simhash oracle)."""
+    sql = f"""WITH pairs AS (
+  SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS (
+  SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s AS src, c AS dst FROM pairs
+), deg AS (
+  SELECT src, count(*) AS od FROM e GROUP BY 1
+), nn AS (SELECT count(*) AS n FROM deg
+), r0 AS (SELECT src AS node, {scale} // (SELECT n FROM nn) AS rank FROM deg)"""
+    for i in range(1, iters + 1):
+        sql += f""", c{i} AS (
+  SELECT e.dst AS node, sum(r.rank // d.od) AS s
+  FROM e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1
+), r{i} AS (
+  SELECT deg.src AS node,
+         (15 * {scale}) // (100 * (SELECT n FROM nn))
+           + (85 * coalesce(c{i}.s, 0)) // 100 AS rank
+  FROM deg LEFT JOIN c{i} ON deg.src = c{i}.node)"""
+    sql += f"""
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters}
+ORDER BY rank DESC, node LIMIT 20"""
+    return sql
+
+
+ORACLE_PAGERANK = _pagerank_oracle()
+
+
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event type (m=256 registers,
+    operators/sketches.py — exact-integer register math over the md5
+    lane, so the ESTIMATE itself is oracle-checkable bit-for-bit), next
+    to the exact distinct count for calibration."""
+    from .operators.sketches import hll_distinct
+
+    e = load_table(spark, sf, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    est = hll_distinct(e, ["event_type"], "uid")
+    exact = e.groupBy("event_type").agg(F.countDistinct("uid").alias("n_exact"))
+    return exact.join(est, "event_type").select("event_type", "n_exact", "n_hll")
+
+
+def _hll_oracle() -> str:
+    from .operators.sketches import hll_oracle_sql
+
+    est = hll_oracle_sql("events", "event_type", "user_id::VARCHAR")
+    return f"""
+SELECT ex.event_type, ex.n_exact, est.n_hll
+FROM (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1) ex
+JOIN ({est}) est USING (event_type)
+"""
+
+
+ORACLE_HLL_DISTINCT = _hll_oracle()
+
+VALUE_BANDS = [
+    ("tiny", 0, 1), ("low", 1, 5), ("mid", 5, 20),
+    ("high", 20, 100), ("extreme", 100, 1000),
+]
+
+
+def q_value_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval (non-equi range) join: events against a small interval
+    dimension with irregular [lo, hi) bounds — a real join operator, not
+    a CASE ladder (contrast event_value_bands). Spark picks
+    BroadcastNestedLoopJoin for the broadcast small side: per-row work is
+    |bands|, which is the right 100-TB plan for a dimension this size."""
+    e = load_table(spark, sf, "events")
+    b = spark.createDataFrame(VALUE_BANDS, "band string, lo int, hi int")
+    j = e.join(F.broadcast(b), (e.value >= b.lo) & (e.value < b.hi))
+    return j.groupBy("band").agg(
+        F.count("*").alias("n"), _e(F.col("value"), 2).alias("sum_value_e2")
+    )
+
+
+ORACLE_VALUE_BAND_JOIN = """
+SELECT b.band, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
+FROM events e
+JOIN (VALUES ('tiny', 0, 1), ('low', 1, 5), ('mid', 5, 20),
+             ('high', 20, 100), ('extreme', 100, 1000)) AS b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY 1
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window aggregation: 1-hour windows every 30 minutes
+    (each event lands in exactly 2 windows — F.window's hopping mode,
+    the batch twin of the streaming tumbling window in
+    streaming/micro_batch.py). Oracle reproduces the epoch-aligned
+    window grid arithmetically."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            _e(F.col("value"), 2).alias("sum_value_e2"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n", "n_users", "sum_value_e2",
+        )
+    )
+
+
+ORACLE_SLIDING_WINDOW = """
+WITH wx AS (
+  SELECT make_timestamp((epoch_us(ts) // 1800000000 - t.k) * 1800000000) AS wstart,
+         user_id, value
+  FROM events, (VALUES (0), (1)) AS t(k)
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n, count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
+FROM wx GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
@@ -2211,6 +2410,11 @@ QUERIES: dict[str, tuple] = {
     "phash_near_dups": (q_phash_near_dups, None),
     "phash_clusters": (q_phash_clusters, None),
     "image_embed_near_dups": (q_image_embed_near_dups, None),
+    "orders_last_event": (q_orders_last_event, ORACLE_ORDERS_LAST_EVENT),
+    "pagerank": (q_pagerank, ORACLE_PAGERANK),
+    "hll_distinct": (q_hll_distinct, ORACLE_HLL_DISTINCT),
+    "value_band_join": (q_value_band_join, ORACLE_VALUE_BAND_JOIN),
+    "sliding_window": (q_sliding_window, ORACLE_SLIDING_WINDOW),
 }
 
 

@@ -1,0 +1,133 @@
+"""Round-4 operators: as-of join, integer PageRank, HLL sketch.
+
+The cross-engine value-hash check lives in test_queries_oracle.py; these
+tests pin the operator SEMANTICS on hand-built inputs (tie rules, null
+behavior, convergence against a float reference, error bounds,
+parallelism invariance).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from crawlers_spark.operators.asof import asof_join
+from crawlers_spark.operators.graph import pagerank_int
+from crawlers_spark.operators.sketches import M, hll_distinct
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "o1"), (1, 200, "o2"), (2, 50, "o3"), (3, 10, "o4")],
+        "k int, lt long, oid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, 7, "a"),   # equal-time row: at-or-before includes it
+            (1, 150, 8, "b"),
+            (1, 150, 9, "c"),   # same ts as b: higher rid wins (right_order)
+            (2, 60, 10, "d"),   # after o3: must NOT match
+        ],
+        "k int, rt long, rid int, tag string",
+    )
+    return left, right
+
+
+def test_asof_join_semantics(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right, on=["k"], left_time="lt", right_time="rt",
+        right_cols=["rt", "rid", "tag"], right_order=["rid"],
+    )
+    got = {r["oid"]: (r["rt"], r["rid"], r["tag"]) for r in out.collect()}
+    assert got == {
+        "o1": (100, 7, "a"),      # equal time matches
+        "o2": (150, 9, "c"),      # latest ts; rid tiebreak takes the last
+        "o3": (None, None, None),  # only future right rows for k=2
+        "o4": (None, None, None),  # key absent on the right
+    }
+    assert out.count() == left.count()  # left join: every left row survives
+
+
+def test_asof_join_parallelism_invariant(spark):
+    left, right = _asof_fixture(spark)
+    a = asof_join(left, right, ["k"], "lt", "rt", ["rid"], ["rid"])
+    b = asof_join(
+        left.repartition(7), right.repartition(3), ["k"], "lt", "rt",
+        ["rid"], ["rid"],
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ----------------------------------------------------------------- pagerank
+
+
+def _ref_pagerank(edges: list[tuple[int, int]], iters: int, damp=0.85):
+    """Float reference implementation (driver-side, test-only)."""
+    nodes = sorted({s for s, _ in edges})
+    out: dict[int, list[int]] = {n: [] for n in nodes}
+    for s, d in edges:
+        out[s].append(d)
+    r = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(iters):
+        acc = {n: 0.0 for n in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                acc[d] += r[s] / len(ds)
+        r = {n: (1 - damp) / len(nodes) + damp * acc[n] for n in nodes}
+    return r
+
+
+def test_pagerank_matches_float_reference(spark):
+    # deterministic pseudo-random bidirectional graph, 40 nodes
+    pairs = {(i, (i * i * 7 + 3) % 40) for i in range(40)} | {
+        (i, (i * 13 + 5) % 40) for i in range(40)
+    }
+    pairs = {(a, b) for a, b in pairs if a != b}
+    edges = list(pairs) + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank_int(df, iters=3).collect()}
+    ref = _ref_pagerank(edges, iters=3)
+    assert set(got) == set(ref)
+    scale = 10**12
+    for n, rf in ref.items():
+        # integer floor quantization: tiny, one-sided (int <= float)
+        assert got[n] <= rf * scale + 1
+        assert got[n] > rf * scale - 5e4  # < 5e-8 absolute drift
+    # mass is conserved up to floor losses
+    assert abs(sum(got.values()) - scale) < scale * 1e-6
+
+
+def test_pagerank_parallelism_invariant(spark):
+    edges = [(i % 11, (i * 3 + 1) % 11) for i in range(30) if i % 11 != (i * 3 + 1) % 11]
+    edges = list(set(edges + [(b, a) for a, b in edges]))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, pagerank_int(df, iters=3).collect()))
+    b = sorted(map(tuple, pagerank_int(df.repartition(13), iters=3).collect()))
+    assert a == b  # exact integer arithmetic: bit-identical at any layout
+
+
+# ---------------------------------------------------------------------- hll
+
+
+@pytest.mark.parametrize("n_true", [50, 400, 5000])
+def test_hll_error_bound(spark, n_true):
+    df = spark.range(n_true).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    est = hll_distinct(df, ["g"], "v").collect()[0]["n_hll"]
+    # standard error 1.04/sqrt(m) ~ 6.5%; allow 4 sigma
+    assert abs(est - n_true) < 4 * 1.04 / (M**0.5) * n_true + 2
+
+
+def test_hll_is_mergeable_and_deterministic(spark):
+    # same values split across two groups then re-keyed together must give
+    # the identical estimate as one group (register-max merge semantics)
+    a = spark.range(1000).select(F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
+    dup = a.unionByName(a)  # duplicates must not move the estimate
+    e1 = hll_distinct(a, ["g"], "v").collect()[0]["n_hll"]
+    e2 = hll_distinct(dup.repartition(9), ["g"], "v").collect()[0]["n_hll"]
+    assert e1 == e2
