@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -37,6 +37,7 @@ def global_rank(
     num_partitions: int | None = None,
     with_count: bool = False,
     eager: bool = False,
+    bounds: tuple[int, int] | None = None,
 ):
     """Add ``out_col`` = deterministic global 0-based rank + ``start``.
 
@@ -49,8 +50,24 @@ def global_rank(
     before returning — loop callers get a lineage-cut result with no
     leaked cache entry. (The internal persist is load-bearing: the
     prefix-sum offsets are computed from one concrete range partitioning,
-    and a recompute could sample different boundaries.)"""
+    and a recompute could sample different boundaries.)
+
+    With ``bounds=(lo, hi)`` — a caller-known value range for
+    ``order_cols[0]`` (``lo <= v < hi``; looseness costs only balance,
+    never correctness) — the operator takes a cheaper path producing the
+    IDENTICAL ranks: rows are binned by a monotone arithmetic bucket of
+    the leading key (no ``repartitionByRange``, so no hidden sampling
+    job), per-bucket counts prefix-sum into offsets (one small job), and
+    the final rank is ``offset[bucket] + row_number() OVER (PARTITION BY
+    bucket ORDER BY order_cols)`` — all JVM-side, no Python worker, one
+    exchange, two jobs instead of three. The crawl loop knows its minted
+    priorities' range by construction and uses this path every
+    generation."""
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    if bounds is not None:
+        return _rank_with_bounds(
+            df, order_cols, out_col, start, int(parts), with_count, eager, bounds
+        )
     ordered = (
         df.repartitionByRange(int(parts), *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
@@ -82,6 +99,68 @@ def global_rank(
     if eager:
         out = out.localCheckpoint(eager=True)
         ordered.unpersist()
+    if with_count:
+        return out, acc - start
+    return out
+
+
+def _rank_with_bounds(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str,
+    start: int,
+    parts: int,
+    with_count: bool,
+    eager: bool,
+    bounds: tuple[int, int],
+):
+    """Bucket-offset ranking under a caller-known leading-key range.
+
+    The bucket map ``floor((v - lo) / span * B)`` is monotone
+    non-decreasing in ``v`` (IEEE division and multiplication by a
+    positive constant are monotone, and floor preserves monotonicity),
+    so bucket boundaries respect the total order even when the double
+    arithmetic is inexact — exactness only moves WHERE a boundary falls,
+    which affects balance, not rank values. B = 4x shuffle partitions
+    keeps loose bounds (empty low buckets) from costing parallelism;
+    the window hash-distributes buckets across tasks regardless of
+    bucket id, which is legal because the rank no longer depends on
+    partition placement — only on the bucket id and the within-bucket
+    order."""
+    lo, hi = bounds
+    nb = max(4 * parts, 16)
+    span = float(max(1, hi - lo))
+    key = F.col(order_cols[0])
+    b = F.least(
+        F.lit(nb - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((key - F.lit(lo)).cast("double") / F.lit(span) * F.lit(nb)).cast("int"),
+        ),
+    )
+    binned = df.withColumn("__b", b)
+    counts = {
+        r["__b"]: r["cnt"]
+        for r in binned.groupBy("__b").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = start
+    for bid in sorted(counts):
+        offsets[bid] = acc
+        acc += counts[bid]
+    if counts:
+        omap = F.create_map(
+            *[F.lit(x) for bid in counts for x in (bid, offsets[bid])]
+        )
+    else:  # zero rows: any correctly-typed map (an untyped empty map is VOID)
+        omap = F.create_map(F.lit(0), F.lit(start))
+    w = Window.partitionBy("__b").orderBy(*order_cols)
+    out = binned.withColumn(
+        out_col,
+        (omap[F.col("__b")] + F.row_number().over(w) - 1).cast("long"),
+    ).drop("__b")
+    if eager:
+        out = out.localCheckpoint(eager=True)
     if with_count:
         return out, acc - start
     return out

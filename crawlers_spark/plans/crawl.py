@@ -415,9 +415,12 @@ class CrawlPlan:
             new_rows = seen.filter_new(candidates).persist()
             # global_rank's internal per-partition count collect doubles as
             # the n_new counter — no separate count job.
+            # bounds are known by construction (parents were minted below
+            # next_priority), so ranking takes the sample-free JVM path
             new_ranked, n_new = global_rank(
                 new_rows, ["parent_priority", "slot", "url_hash"], "priority",
                 start=next_priority, with_count=True,
+                bounds=(0, next_priority),
             )
             new_ranked = new_ranked.persist()
             next_priority += n_new
@@ -711,10 +714,16 @@ class CrawlPlan:
             # eager: materialize the ranked delta and release global_rank's
             # internal sorted cache — otherwise cached blocks accumulate
             # one per generation for the length of the crawl
+            # the packed key is parent_priority * MAX_LINK_SLOTS + slot and
+            # every parent was minted below next_priority, so the key range
+            # is known without sampling — global_rank takes the cheaper
+            # bucket-offset JVM path (one fewer job per generation, no
+            # Python worker in the ranking)
             new_ranked, n_new = global_rank(
                 new_rows, ["priority", "url_hash"], "__minted",
                 start=next_priority, with_count=True,
                 num_partitions=cfg.n_host_buckets, eager=True,
+                bounds=(0, next_priority * MAX_LINK_SLOTS),
             )
             new_ranked = new_ranked.withColumn("priority", F.col("__minted")).drop("__minted")
             next_priority += n_new

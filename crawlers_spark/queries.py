@@ -2335,6 +2335,60 @@ def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Search-index construction: token → ordered posting list
+    ``doc:tf,doc:tf,...`` over the documents table (tokenizer identical
+    to tfidf_keywords). Posting rows are banded to 2 <= df <= 50 — the
+    same bounding real systems get from list chunking, and it keeps any
+    single row's bytes independent of corpus size (a df-unbounded
+    posting for a stopword would be O(corpus) in ONE row — wrong shape
+    at 100 TB). Two shuffles: (doc_id, word) tf with map-side combine,
+    then word. The posting string is built by sort_array over a
+    collect_list of (doc_id, tf) structs — order-insensitive input,
+    deterministic output."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = (
+        d.filter(F.length(norm) > 0)
+        .select("doc_id", F.explode(F.split(norm, " ")).alias("word"))
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    posting = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+            lambda s: F.concat(
+                s["doc_id"].cast("string"), F.lit(":"), s["tf"].cast("string")
+            ),
+        ),
+        ",",
+    )
+    return (
+        tf.groupBy("word")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("total_tf"),
+            posting.alias("postings"),
+        )
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+    )
+
+
+ORACLE_INVERTED_INDEX = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(string_split(txt, ' ')) AS word
+  FROM norm WHERE length(txt) > 0
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2)
+SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY 1 HAVING count(*) BETWEEN 2 AND 50
+"""
+
+
 ORACLE_SLIDING_WINDOW = """
 WITH wx AS (
   SELECT make_timestamp((epoch_us(ts) // 1800000000 - t.k) * 1800000000) AS wstart,
@@ -2415,6 +2469,7 @@ QUERIES: dict[str, tuple] = {
     "hll_distinct": (q_hll_distinct, ORACLE_HLL_DISTINCT),
     "value_band_join": (q_value_band_join, ORACLE_VALUE_BAND_JOIN),
     "sliding_window": (q_sliding_window, ORACLE_SLIDING_WINDOW),
+    "inverted_index": (q_inverted_index, ORACLE_INVERTED_INDEX),
 }
 
 

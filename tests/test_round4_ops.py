@@ -131,3 +131,38 @@ def test_hll_is_mergeable_and_deterministic(spark):
     e1 = hll_distinct(a, ["g"], "v").collect()[0]["n_hll"]
     e2 = hll_distinct(dup.repartition(9), ["g"], "v").collect()[0]["n_hll"]
     assert e1 == e2
+
+
+# ------------------------------------------------- global_rank bounds path
+
+
+def test_rank_bounds_path_matches_legacy(spark):
+    from crawlers_spark.operators.ranking import global_rank
+
+    rows = [((i * 37) % 101 + 50, i * 7919) for i in range(200)]
+    df = spark.createDataFrame(rows, "priority long, url_hash long")
+    legacy = {
+        (r["priority"], r["url_hash"]): r["rk"]
+        for r in global_rank(df, ["priority", "url_hash"], "rk", start=1000).collect()
+    }
+    for bounds in [(50, 151), (0, 1000), (60, 120)]:  # tight, loose, clamping
+        fast, n = global_rank(
+            df, ["priority", "url_hash"], "rk", start=1000,
+            with_count=True, bounds=bounds,
+        )
+        got = {(r["priority"], r["url_hash"]): r["rk"] for r in fast.collect()}
+        assert got == legacy, f"bounds={bounds}"
+        assert n == 200
+    # ranks are the positions in the total order, contiguous from start
+    assert sorted(legacy.values()) == list(range(1000, 1200))
+    assert sorted(legacy) == [k for k, _v in sorted(legacy.items(), key=lambda kv: kv[1])]
+
+
+def test_rank_bounds_path_empty_input(spark):
+    from crawlers_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame([], "priority long, url_hash long")
+    out, n = global_rank(
+        df, ["priority", "url_hash"], "rk", with_count=True, bounds=(0, 10)
+    )
+    assert n == 0 and out.count() == 0
