@@ -2402,6 +2402,197 @@ FROM wx GROUP BY 1
 """
 
 
+def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered multi-stage funnel (view -> click -> purchase) per user:
+    first view, first click strictly after it, first purchase strictly
+    after that. Each stage is one equi-join on user_id + a min-agg —
+    after the first shuffle every stage is co-partitioned on user_id, so
+    funnel depth adds map-side work, not new shuffle keys. Timestamps
+    emitted as formatted strings (the repo's cross-engine timestamp
+    lane). Nulls mark users who fell out of the funnel."""
+    e = load_table(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+
+    def fmt(col: str, out: str):
+        return F.date_format(F.col(col), "yyyy-MM-dd HH:mm:ss").alias(out)
+
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            fmt("tv", "t_view"),
+            fmt("tc", "t_click"),
+            fmt("tp", "t_purchase"),
+        )
+    )
+
+
+ORACLE_EVENT_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1
+)
+SELECT v.user_id,
+       strftime(v.tv, '%Y-%m-%d %H:%M:%S') AS t_view,
+       strftime(c.tc, '%Y-%m-%d %H:%M:%S') AS t_click,
+       strftime(p.tp, '%Y-%m-%d %H:%M:%S') AS t_purchase
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+def q_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact discrete per-language length quantiles (p50/p90/p99) by
+    rank selection: row_number over (n_chars, doc_id), pick index
+    (n-1)*k DIV 100 — all-integer index math, so the selected element is
+    engine-exact (no interpolation floats). This is the audit lane; at
+    100 TB the per-group sort window concentrates each language on one
+    task chain (en would be ~half the corpus), so the production path is
+    approx_percentile (t-digest merge, one pass, no per-group sort) with
+    this query as its small-scale truth check."""
+    d = load_table(spark, sf, "documents")
+    wo = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = d.select(
+        "lang",
+        "n_chars",
+        (F.row_number().over(wo) - 1).alias("idx"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def pick(k: int, out: str):
+        want = F.expr(f"(n - 1) * {k} div 100")
+        return F.max(F.when(F.col("idx") == want, F.col("n_chars"))).alias(out)
+
+    return r.groupBy("lang").agg(
+        F.max("n").alias("n_docs"), pick(50, "p50"), pick(90, "p90"), pick(99, "p99")
+    )
+
+
+ORACLE_LENGTH_QUANTILES = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) - 1 AS idx,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, max(n) AS n_docs,
+       max(CASE WHEN idx = (n - 1) * 50 // 100 THEN n_chars END) AS p50,
+       max(CASE WHEN idx = (n - 1) * 90 // 100 THEN n_chars END) AS p90,
+       max(CASE WHEN idx = (n - 1) * 99 // 100 THEN n_chars END) AS p99
+FROM r GROUP BY 1
+"""
+
+
+def q_word_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise word co-occurrence mining (PMI-style feature extraction,
+    counts only — log-free so the row is engine-exact): distinct
+    (doc_id, word), df-band words to 2..50 BEFORE pairing — the same cap
+    that keeps n-gram Jaccard safe bounds the per-doc pair blowup here,
+    since a stopword-grade token would otherwise contribute O(docs)
+    rows to the self-join. One shuffle on doc_id for the pairing, one on
+    the pair for the count."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = (
+        d.filter(F.length(norm) > 0)
+        .select("doc_id", F.explode(F.split(norm, " ")).alias("word"))
+        .distinct()
+    )
+    dfc = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("wdf"))
+        .filter((F.col("wdf") >= 2) & (F.col("wdf") <= 50))
+    )
+    ww = words.join(dfc, "word")
+    a, b = ww.alias("a"), ww.alias("b")
+    pairs = a.join(b, "doc_id").filter(F.col("a.word") < F.col("b.word"))
+    return (
+        pairs.groupBy(
+            F.col("a.word").alias("word_a"),
+            F.col("b.word").alias("word_b"),
+            F.col("a.wdf").alias("df_a"),
+            F.col("b.wdf").alias("df_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+
+
+ORACLE_WORD_COOCCURRENCE = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents
+),
+words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(txt, ' ')) AS word
+  FROM norm WHERE length(txt) > 0
+),
+dfc AS (
+  SELECT word, count(*) AS wdf FROM words GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND 50
+),
+ww AS (SELECT w.doc_id, w.word, dfc.wdf FROM words w JOIN dfc USING (word))
+SELECT a.word AS word_a, b.word AS word_b, a.wdf AS df_a, b.wdf AS df_b,
+       count(*) AS n_pair
+FROM ww a JOIN ww b ON a.doc_id = b.doc_id AND a.word < b.word
+GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram of document lengths per language (bucket =
+    n_chars DIV 50, clamped to 11) — integer bucket math, one hash-agg
+    with map-side combine, output rows bounded by langs x 12 regardless
+    of corpus size."""
+    d = load_table(spark, sf, "documents")
+    bucket = F.least(F.expr("n_chars div 50"), F.lit(11)).alias("bucket")
+    return (
+        d.select("lang", bucket, "n_chars")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+ORACLE_LENGTH_HISTOGRAM = """
+SELECT lang, least(n_chars // 50, 11) AS bucket, count(*) AS n,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -2470,6 +2661,10 @@ QUERIES: dict[str, tuple] = {
     "value_band_join": (q_value_band_join, ORACLE_VALUE_BAND_JOIN),
     "sliding_window": (q_sliding_window, ORACLE_SLIDING_WINDOW),
     "inverted_index": (q_inverted_index, ORACLE_INVERTED_INDEX),
+    "event_funnel": (q_event_funnel, ORACLE_EVENT_FUNNEL),
+    "length_quantiles": (q_length_quantiles, ORACLE_LENGTH_QUANTILES),
+    "word_cooccurrence": (q_word_cooccurrence, ORACLE_WORD_COOCCURRENCE),
+    "length_histogram": (q_length_histogram, ORACLE_LENGTH_HISTOGRAM),
 }
 
 
