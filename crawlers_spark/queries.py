@@ -2593,6 +2593,55 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style training layout):
+    docs concatenated in doc_id order, split into 512-token bins; each
+    doc reports its global token offset and the bin span it lands in.
+    The global offset is operators/packing.prefix_sum — a two-phase
+    distributed exclusive scan (bucket sums -> driver prefix -> within-
+    bucket window), NOT a single-partition ORDER BY window, so the plan
+    survives corpus scale. Token count = whitespace tokens of the
+    normalized text (same tokenizer as inverted_index)."""
+    from .operators.packing import pack_sequences
+
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    t = (
+        d.filter(F.length(norm) > 0)
+        .select("doc_id", F.size(F.split(norm, " ")).cast("long").alias("n_tokens"))
+    )
+    return pack_sequences(t, "n_tokens", bin_tokens=512).select(
+        "doc_id",
+        "n_tokens",
+        F.col("offset").alias("tok_offset"),  # OFFSET is reserved in DuckDB
+        "bin_first",
+        "bin_last",
+        "n_bins",
+    )
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))::BIGINT
+           AS n_tokens
+  FROM documents
+  WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // 512 AS bin_first,
+       (tok_offset + n_tokens - 1) // 512 AS bin_last,
+       ((tok_offset + n_tokens - 1) // 512 - tok_offset // 512 + 1) AS n_bins
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -2665,6 +2714,7 @@ QUERIES: dict[str, tuple] = {
     "length_quantiles": (q_length_quantiles, ORACLE_LENGTH_QUANTILES),
     "word_cooccurrence": (q_word_cooccurrence, ORACLE_WORD_COOCCURRENCE),
     "length_histogram": (q_length_histogram, ORACLE_LENGTH_HISTOGRAM),
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
 }
 
 

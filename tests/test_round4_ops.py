@@ -166,3 +166,47 @@ def test_rank_bounds_path_empty_input(spark):
         df, ["priority", "url_hash"], "rk", with_count=True, bounds=(0, 10)
     )
     assert n == 0 and out.count() == 0
+
+
+# ------------------------------------------------------------- prefix_sum
+
+
+def test_prefix_sum_matches_single_partition_window(spark):
+    from crawlers_spark.operators.packing import prefix_sum
+
+    rows = [((i * 53) % 97, i, (i * 13) % 7 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, tie long, v long").repartition(11)
+    got = {
+        (r["k"], r["tie"]): r["offset"]
+        for r in prefix_sum(df, ["k", "tie"], "v", "offset").collect()
+    }
+    acc, want = 0, {}
+    for k, tie, v in sorted(rows):
+        want[(k, tie)] = acc
+        acc += v
+    assert got == want
+    # explicit loose bounds give the identical scan
+    fast, total = prefix_sum(
+        df, ["k", "tie"], "v", "offset", bounds=(0, 1000), with_total=True
+    )
+    assert {(r["k"], r["tie"]): r["offset"] for r in fast.collect()} == want
+    assert total == acc
+
+
+def test_prefix_sum_empty_and_pack_spans(spark):
+    from crawlers_spark.operators.packing import pack_sequences, prefix_sum
+
+    empty = spark.createDataFrame([], "k long, v long")
+    out, total = prefix_sum(empty, ["k"], "v", with_total=True)
+    assert total == 0 and out.count() == 0
+
+    docs = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 1100), (4, 24)], "doc_id long, n_tokens long"
+    )
+    packed = {r["doc_id"]: r for r in pack_sequences(docs, "n_tokens", 512).collect()}
+    # doc1: [0,300) -> bin 0; doc2: [300,600) -> bins 0-1 (boundary split)
+    assert (packed[1]["bin_first"], packed[1]["bin_last"]) == (0, 0)
+    assert (packed[2]["bin_first"], packed[2]["bin_last"], packed[2]["n_bins"]) == (0, 1, 2)
+    # doc3: [600,1700) spans bins 1-3; doc4: [1700,1724) -> bin 3
+    assert (packed[3]["bin_first"], packed[3]["bin_last"], packed[3]["n_bins"]) == (1, 3, 3)
+    assert (packed[4]["bin_first"], packed[4]["bin_last"]) == (3, 3)
