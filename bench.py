@@ -475,7 +475,9 @@ def update_baseline_md(
                "efficiencies above, whose spawns are interleaved, remain "
                "the meaningful numbers. ")
             + ("local[32] is the 2x-oversubscribed stress level and is "
-               "reported as measured, monotone or not."
+               "reported as measured, monotone or not"
+               + (" — in this artifact it IS monotone: thr(16) < thr(32)."
+                  if 16 in thr and 32 in thr and thr[16] < thr[32] else ".")
                if 32 in thr else "")
         )
     else:

@@ -939,6 +939,24 @@ FROM documents
 """
 
 
+def _quality_x10_col():
+    """The composite quality score as a reusable Column (shared by
+    doc_quality and the curation_pipeline gate — one definition, two
+    consumers, so the gate can never drift from the reported score)."""
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    ws = F.when(F.length(norm) == 0, 0).otherwise(F.size(F.split(norm, " ")))
+    n_punct = F.regexp_count("text", F.lit(r"[^\w\s]"))
+    stop_hits = sum(
+        [_marker_count(F.col("text"), m) for m in LANG_MARKERS["en"]], F.lit(0)
+    )
+    length = F.length("text")
+    return (
+        F.when(length.between(50, 20000), 4).otherwise(0)
+        + F.when(n_punct * 5 < length, 3).otherwise(0)
+        + F.when(stop_hits * 100 > ws, 3).otherwise(0)
+    )
+
+
 def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Composite quality score: length band + punctuation ratio + stopword
     presence (en markers). Ratios are emitted as exact integer ppm
@@ -953,11 +971,7 @@ def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     punct_ppm = (n_punct.cast("long") * 1000000).cast("long") / F.greatest(length, F.lit(1))
     stop_ppm = (stop_hits.cast("long") * 1000000).cast("long") / F.greatest(ws, F.lit(1))
     # ratio < 0.2  ⇔  n_punct * 5 < length ; ratio > 0.01 ⇔ hits * 100 > ws
-    quality_x10 = (
-        F.when(length.between(50, 20000), 4).otherwise(0)
-        + F.when(n_punct * 5 < length, 3).otherwise(0)
-        + F.when(stop_hits * 100 > ws, 3).otherwise(0)
-    )
+    quality_x10 = _quality_x10_col()
     return d.select(
         "doc_id",
         F.floor(punct_ppm).cast("long").alias("punct_ppm"),
@@ -2642,6 +2656,332 @@ FROM s
 """
 
 
+# train/val/test thresholds: exact int64 lane cuts at 0.8 / 0.9 of 2^60,
+# shared with the oracle so both engines compare identical integers
+_SPLIT_SEED = "split1"
+_SPLIT_TRAIN_THR = int(0.8 * (1 << 60))
+_SPLIT_VAL_THR = int(0.9 * (1 << 60))
+
+
+def q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by md5-lane
+    uniform hash of doc_id — no RNG, no shuffle, subset-stable (a doc's
+    split never changes when the corpus grows, the property that keeps
+    eval sets honest across corpus versions), identical at any
+    parallelism, cross-engine exact."""
+    from .operators.sampling import hash_uniform
+
+    d = load_table(spark, sf, "documents")
+    u = hash_uniform(F.col("doc_id"), _SPLIT_SEED)
+    split = (
+        F.when(u < _SPLIT_TRAIN_THR, "train")
+        .when(u < _SPLIT_VAL_THR, "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
+ORACLE_DATASET_SPLIT = f"""
+SELECT doc_id, lang,
+       CASE WHEN ('0x' || substring(md5('{_SPLIT_SEED}|' || doc_id), 1, 15))::BIGINT
+                 < {_SPLIT_TRAIN_THR} THEN 'train'
+            WHEN ('0x' || substring(md5('{_SPLIT_SEED}|' || doc_id), 1, 15))::BIGINT
+                 < {_SPLIT_VAL_THR} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_dup_span_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional duplicate-span runs (the region-level signal behind
+    Lee et al.-style substring dedup): mark every word-5-gram position
+    whose span also occurs in another document, then find each doc's
+    longest CONSECUTIVE run of such positions via gaps-and-islands
+    (island id = pos - row_number, one per-doc window — bounded by doc
+    length, never corpus size). A long max_run means a contiguous
+    copied region worth cutting, where span_dup_fraction only says how
+    much of the doc is duplicated overall. Only docs with at least one
+    duplicated position are emitted."""
+    from .operators.dedup import normalize_text
+
+    k = _SPAN_K
+    docs = load_table(spark, sf, "documents")
+    t = docs.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("w"))
+    pos_grams = (
+        t.filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {k}),"
+                    f" i -> concat_ws(' ', {', '.join(f'w[i+{j}]' for j in range(k))}))"
+                )
+            ).alias("pos", "s"),
+        )
+    )
+    cross_doc = (
+        pos_grams.select("doc_id", "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count("*").alias("ddf"))
+        .filter(F.col("ddf") >= 2)
+    )
+    dup_pos = pos_grams.join(cross_doc.select("s"), "s").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        dup_pos.withColumn("isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "isl")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return runs.groupBy("doc_id").agg(
+        F.max("run_len").alias("max_run"),
+        F.sum("run_len").cast("long").alias("n_dup_pos"),
+    )
+
+
+ORACLE_DUP_SPAN_RUNS = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+pos_grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         {" || ' ' || ".join(f"w[i + {j}]" for j in range(_SPAN_K))} AS s
+  FROM t, unnest(range(1, len(w) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(w) >= {_SPAN_K}
+),
+cross_doc AS (
+  SELECT s FROM (SELECT DISTINCT doc_id, s FROM pos_grams)
+  GROUP BY s HAVING count(*) >= 2
+),
+dup_pos AS (
+  SELECT p.doc_id, p.pos FROM pos_grams p JOIN cross_doc USING (s)
+),
+isl AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM dup_pos
+),
+runs AS (
+  SELECT doc_id, isl, count(*) AS run_len FROM isl GROUP BY 1, 2
+)
+SELECT doc_id, max(run_len) AS max_run,
+       CAST(sum(run_len) AS BIGINT) AS n_dup_pos
+FROM runs GROUP BY 1
+"""
+
+
+# curation_pipeline mixture: downsample dominant en, keep the rest
+_CUR_RATES = {"en": 0.5}
+_CUR_DEFAULT = 1.0
+_CUR_SEED = "cur1"
+
+
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation composition — the three stages a training-data
+    build actually chains, in one plan: (1) quality gate (the SAME
+    integer-exact quality_x10 expression doc_quality reports, >= 7),
+    (2) exact dedup keeping the min-doc_id member per normalized-text
+    fingerprint (min of a (doc_id, lang) struct — one hash-agg, no
+    window), (3) deterministic mixture resample (en halved, md5-lane
+    Bernoulli). Each stage shrinks the data before the next shuffles,
+    and the only shuffle is the dedup hash-agg — the filter stages are
+    zero-shuffle projections."""
+    from .operators.dedup import normalize_text
+    from .operators.sampling import hash_uniform, mixture_thresholds
+
+    d = load_table(spark, sf, "documents")
+    gated = d.filter(_quality_x10_col() >= 7)
+    keep = (
+        gated.select(
+            F.md5(normalize_text(F.col("text"))).alias("fp"), "doc_id", "lang"
+        )
+        .groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "lang")).alias("m"))
+        .select(F.col("m.doc_id").alias("doc_id"), F.col("m.lang").alias("lang"))
+    )
+    thr, default_thr = mixture_thresholds(_CUR_RATES, _CUR_DEFAULT)
+    keep_thr = F.when(F.col("lang") == "en", F.lit(thr["en"])).otherwise(
+        F.lit(default_thr)
+    )
+    return keep.filter(hash_uniform(F.col("doc_id"), _CUR_SEED) < keep_thr)
+
+
+def _curation_oracle() -> str:
+    from .operators.sampling import mixture_thresholds
+
+    thr, default_thr = mixture_thresholds(_CUR_RATES, _CUR_DEFAULT)
+    return f"""
+WITH q AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END
+           AS ws,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         {_oracle_marker_sum('en')} AS stop_hits
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, lang, text FROM q
+  WHERE CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 4 ELSE 0 END
+      + CASE WHEN n_punct * 5 < length(text) THEN 3 ELSE 0 END
+      + CASE WHEN stop_hits * 100 > ws THEN 3 ELSE 0 END >= 7
+),
+keep AS (
+  SELECT min_by(doc_id, doc_id) AS doc_id, min_by(lang, doc_id) AS lang
+  FROM gated
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+)
+SELECT doc_id, lang FROM keep
+WHERE ('0x' || substring(md5('{_CUR_SEED}|' || doc_id), 1, 15))::BIGINT
+      < CASE WHEN lang = 'en' THEN {thr['en']} ELSE {default_thr} END
+"""
+
+
+ORACLE_CURATION_PIPELINE = _curation_oracle()
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT surface: per-user event-type counts as columns. The value
+    list is pinned (no discovery pass — an unpinned pivot runs an extra
+    distinct job AND makes the schema data-dependent, both wrong at
+    scale); one hash-agg with map-side combine underneath."""
+    e = load_table(spark, sf, "events")
+    p = e.groupBy("user_id").pivot("event_type", _PIVOT_TYPES).count()
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+ORACLE_EVENT_TYPE_PIVOT = f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _PIVOT_TYPES)}
+FROM events GROUP BY 1
+"""
+
+
+def q_locf_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-fill + last-observation-carried-forward resampling: each
+    user's last event value per day, carried forward across days with
+    no events, on a dense daily grid spanning the table's full range
+    (users < 40 to bound output). The grid is built plan-side (scalar
+    min/max agg broadcast-cross-joined into a sequence explode — no
+    driver collect); LOCF is last(ignorenulls) over a per-user window,
+    bounded by grid length, never corpus size. Value lane is e2-integer
+    (round(value*100)) so the carried value hashes cross-engine."""
+    e = load_table(spark, sf, "events")
+    eu = e.filter(F.col("user_id") < 40)
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    users = eu.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    obs = (
+        eu.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.round(F.expr("max_by(value, struct(ts, event_id))") * 100)
+            .cast("long")
+            .alias("v_e2")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.last("v_e2", ignorenulls=True).over(w).alias("value_e2"),
+        )
+    )
+
+
+ORACLE_LOCF_DAILY = """
+WITH b AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM events),
+u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
+grid AS (
+  SELECT u.user_id, b.lo + r.i::INTEGER AS d
+  FROM u, b, range(0, 100000) r(i) WHERE b.lo + r.i::INTEGER <= b.hi
+),
+obs AS (
+  SELECT user_id, d, v_e2 FROM (
+    SELECT user_id, ts::DATE AS d, CAST(round(value * 100) AS BIGINT) AS v_e2,
+           row_number() OVER (PARTITION BY user_id, ts::DATE
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id < 40)
+  WHERE rn = 1
+),
+j AS (SELECT g.user_id, g.d, o.v_e2 FROM grid g LEFT JOIN obs o USING (user_id, d))
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       last_value(v_e2 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_e2
+FROM j
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table star join: revenue per nation for orders
+    placed in 1996 by customers in ASIA, counted only when the supplier
+    sits in the customer's nation. The two tiny dims (nation, region)
+    broadcast; the fact-side joins are equi-joins Catalyst is free to
+    reorder; the local-supplier predicate (c_nationkey = s_nationkey)
+    rides the supplier join. Revenue in the e4 integer lane so the sum
+    is order-independent."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+    )
+    return j.groupBy("n_name").agg(
+        _e(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue_e4"),
+        F.count("*").alias("n_items"),
+    )
+
+
+ORACLE_REGIONAL_REVENUE = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -2715,6 +3055,12 @@ QUERIES: dict[str, tuple] = {
     "word_cooccurrence": (q_word_cooccurrence, ORACLE_WORD_COOCCURRENCE),
     "length_histogram": (q_length_histogram, ORACLE_LENGTH_HISTOGRAM),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "dataset_split": (q_dataset_split, ORACLE_DATASET_SPLIT),
+    "dup_span_runs": (q_dup_span_runs, ORACLE_DUP_SPAN_RUNS),
+    "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION_PIPELINE),
+    "event_type_pivot": (q_event_type_pivot, ORACLE_EVENT_TYPE_PIVOT),
+    "locf_daily": (q_locf_daily, ORACLE_LOCF_DAILY),
+    "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL_REVENUE),
 }
 
 

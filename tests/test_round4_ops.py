@@ -210,3 +210,38 @@ def test_prefix_sum_empty_and_pack_spans(spark):
     # doc3: [600,1700) spans bins 1-3; doc4: [1700,1724) -> bin 3
     assert (packed[3]["bin_first"], packed[3]["bin_last"], packed[3]["n_bins"]) == (1, 3, 3)
     assert (packed[4]["bin_first"], packed[4]["bin_last"]) == (3, 3)
+
+
+# ---------------------------------------------------------- dataset_split
+
+
+def test_dataset_split_subset_stable(spark):
+    """A doc's split must not change when the corpus grows/shrinks —
+    the property that keeps eval sets honest across corpus versions."""
+    from crawlers_spark.queries import q_dataset_split
+
+    full = {
+        r["doc_id"]: r["split"]
+        for r in q_dataset_split(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(full.values()) == {"train", "val", "test"}
+    n = len(full)
+    n_train = sum(1 for s in full.values() if s == "train")
+    assert 0.6 * n < n_train < 0.95 * n  # ~80% with hash noise
+    # recompute on a halved corpus: every surviving doc keeps its split
+    import crawlers_spark.queries as Q
+    import pyspark.sql.functions as F
+
+    d = Q.load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    from crawlers_spark.operators.sampling import hash_uniform
+
+    u = hash_uniform(F.col("doc_id"), Q._SPLIT_SEED)
+    split = (
+        F.when(u < Q._SPLIT_TRAIN_THR, "train")
+        .when(u < Q._SPLIT_VAL_THR, "val")
+        .otherwise("test")
+    )
+    half = {r["doc_id"]: r["split"] for r in d.select("doc_id", split.alias("split")).collect()}
+    assert all(full[k] == v for k, v in half.items())
