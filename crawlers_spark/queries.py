@@ -869,10 +869,20 @@ def _marker_count(col, marker: str):
     return F.regexp_count(F.lower(col), F.lit(rf"\b{marker}\b"))
 
 
+def _marker_set_count(col, markers) -> "F.Column":
+    """Count marker-set hits in ONE regex pass via alternation.
+
+    Equal to the per-marker sum (what the oracle computes): every match
+    is a whole \\b-delimited word, so two marker occurrences can never
+    overlap, and regexp_count's non-overlapping left-to-right scan
+    counts each occurrence exactly once. One pass instead of
+    len(markers) — 4x fewer regex scans on the lang-ID hot path."""
+    return F.regexp_count(F.lower(col), F.lit(rf"\b(?:{'|'.join(markers)})\b"))
+
+
 def _lang_counts(col):
     return {
-        lang: sum([_marker_count(col, m) for m in marks], F.lit(0))
-        for lang, marks in LANG_MARKERS.items()
+        lang: _marker_set_count(col, marks) for lang, marks in LANG_MARKERS.items()
     }
 
 
@@ -946,9 +956,7 @@ def _quality_x10_col():
     norm = F.trim(F.regexp_replace("text", r"\s+", " "))
     ws = F.when(F.length(norm) == 0, 0).otherwise(F.size(F.split(norm, " ")))
     n_punct = F.regexp_count("text", F.lit(r"[^\w\s]"))
-    stop_hits = sum(
-        [_marker_count(F.col("text"), m) for m in LANG_MARKERS["en"]], F.lit(0)
-    )
+    stop_hits = _marker_set_count(F.col("text"), LANG_MARKERS["en"])
     length = F.length("text")
     return (
         F.when(length.between(50, 20000), 4).otherwise(0)
@@ -966,7 +974,7 @@ def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     norm = F.trim(F.regexp_replace("text", r"\s+", " "))
     ws = F.when(F.length(norm) == 0, 0).otherwise(F.size(F.split(norm, " ")))
     n_punct = F.regexp_count("text", F.lit(r"[^\w\s]"))
-    stop_hits = sum([_marker_count(F.col("text"), m) for m in LANG_MARKERS["en"]], F.lit(0))
+    stop_hits = _marker_set_count(F.col("text"), LANG_MARKERS["en"])
     length = F.length("text")
     punct_ppm = (n_punct.cast("long") * 1000000).cast("long") / F.greatest(length, F.lit(1))
     stop_ppm = (stop_hits.cast("long") * 1000000).cast("long") / F.greatest(ws, F.lit(1))
