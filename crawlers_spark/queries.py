@@ -2990,6 +2990,153 @@ GROUP BY 1
 """
 
 
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting (the classic distributed-graph benchmark) over a
+    user co-occurrence graph: an edge links two users (u < v, user_id <
+    60 to bound the demo graph) who share an (event_type, day) cell.
+    Triangles enumerate by two self-joins of the ordered edge list
+    (u<v<w — each triangle found exactly once), grouped by the smallest
+    vertex. At scale the standard mitigation applies unchanged: ordering
+    edges by degree before the join bounds the join fan-out by arboricity
+    (here the vertex id stands in for degree rank on a synthetic graph)."""
+    e = (
+        load_table(spark, sf, "events")
+        .filter(F.col("user_id") < 60)
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    edges = (
+        a.join(b, ["event_type", "day"])
+        .filter(F.col("a.user_id") < F.col("b.user_id"))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    p1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    p2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    p3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = p1.join(p2, "y").join(p3, ["x", "z"])
+    return tri.groupBy(F.col("x").alias("node")).agg(
+        F.count("*").alias("n_tri")
+    )
+
+
+ORACLE_TRIANGLE_COUNT = """
+WITH e AS (
+  SELECT DISTINCT event_type, ts::DATE AS day, user_id
+  FROM events WHERE user_id < 60
+),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM e a JOIN e b ON a.event_type = b.event_type AND a.day = b.day
+  WHERE a.user_id < b.user_id
+)
+SELECT p1.u AS node, count(*) AS n_tri
+FROM edges p1
+JOIN edges p2 ON p1.v = p2.u
+JOIN edges p3 ON p3.u = p1.u AND p3.v = p2.v
+GROUP BY 1
+"""
+
+
+def q_weekly_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week, distinct
+    active users per (cohort_week, week_offset). Weeks are epoch-day DIV
+    7 integers (ISO-week definitions differ across engines; integer
+    weeks don't). Cohort assignment is a per-user min window — one
+    shuffle on user_id; the retention count is one hash-agg."""
+    e = load_table(spark, sf, "events")
+    wk = F.expr("datediff(to_date(ts), DATE '1970-01-01') div 7")
+    w = Window.partitionBy("user_id")
+    t = e.select("user_id", wk.alias("wk")).withColumn(
+        "cohort_wk", F.min("wk").over(w)
+    )
+    return (
+        t.select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .distinct()
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+ORACLE_WEEKLY_RETENTION = """
+WITH t AS (
+  SELECT user_id, (ts::DATE - DATE '1970-01-01') // 7 AS wk FROM events
+),
+c AS (
+  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_wk FROM t
+)
+SELECT cohort_wk, wk - cohort_wk AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_lineitem_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT/melt surface: per-returnflag wide aggregates folded into
+    (metric, value) long form — the inverse of event_type_pivot. The
+    melt itself is a zero-shuffle projection (Expand node); the only
+    shuffle is the upstream agg."""
+    li = load_table(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _e(F.col("l_quantity"), 2).alias("qty_e2"),
+        _e(F.col("l_extendedprice"), 2).alias("price_e2"),
+        _e(F.col("l_discount"), 4).alias("disc_e4"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["qty_e2", "price_e2", "disc_e4"], "metric", "value"
+    )
+
+
+ORACLE_LINEITEM_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_e2,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_e2,
+         CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) AS disc_e4
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, metric, value
+FROM wide UNPIVOT (value FOR metric IN (qty_e2, price_e2, disc_e4))
+"""
+
+
+def q_moving_sum_7d(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window: per-user trailing-7-day event-value sum over
+    daily totals. The frame is RANGE (value-based, in integer epoch
+    days) not ROWS, so days with no events correctly fall out of the
+    trailing window without densifying the grid. Per-user partitions,
+    e2 integer lane."""
+    e = load_table(spark, sf, "events")
+    day = F.expr("datediff(to_date(ts), DATE '1970-01-01')")
+    daily = (
+        e.filter(F.col("user_id") < 100)
+        .groupBy("user_id", day.alias("day_n"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_e2"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_n")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id", "day_n", F.sum("v_e2").over(w).alias("mov7_e2")
+    )
+
+
+ORACLE_MOVING_SUM_7D = """
+WITH daily AS (
+  SELECT user_id, (ts::DATE - DATE '1970-01-01') AS day_n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_e2
+  FROM events WHERE user_id < 100 GROUP BY 1, 2
+)
+SELECT user_id, day_n,
+       CAST(sum(v_e2) OVER (PARTITION BY user_id ORDER BY day_n
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7_e2
+FROM daily
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -3069,6 +3216,10 @@ QUERIES: dict[str, tuple] = {
     "event_type_pivot": (q_event_type_pivot, ORACLE_EVENT_TYPE_PIVOT),
     "locf_daily": (q_locf_daily, ORACLE_LOCF_DAILY),
     "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL_REVENUE),
+    "triangle_count": (q_triangle_count, ORACLE_TRIANGLE_COUNT),
+    "weekly_retention": (q_weekly_retention, ORACLE_WEEKLY_RETENTION),
+    "lineitem_unpivot": (q_lineitem_unpivot, ORACLE_LINEITEM_UNPIVOT),
+    "moving_sum_7d": (q_moving_sum_7d, ORACLE_MOVING_SUM_7D),
 }
 
 
