@@ -3137,6 +3137,177 @@ FROM daily
 """
 
 
+def q_quality_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-rank windows in one pass: per-language quality
+    quartile (ntile), percent_rank, and cume_dist over (n_chars, doc_id)
+    — the tiering step that turns a raw quality signal into balanced
+    training buckets. Ties broken by doc_id so every rank function is
+    deterministic; the two fractional ranks are 6-dp rounded (both
+    engines compute them as exact small-integer ratios, so the rounding
+    only normalizes repr)."""
+    d = load_table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank_q6"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_q6"),
+    )
+
+
+ORACLE_QUALITY_NTILE = """
+SELECT doc_id, lang,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank_q6,
+       round(cume_dist() OVER w, 6) AS cume_q6
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+"""
+
+
+def q_daily_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER reconcile of two independent daily aggregates (order
+    totals vs event totals) — the cross-system consistency check shape:
+    neither side may drop rows the other has, so inner/left joins are
+    wrong by construction. Both sides pre-aggregate before the join
+    (the join key space is days, not rows), and absent sides surface as
+    zero via coalesce."""
+    o = load_table(spark, sf, "orders")
+    e = load_table(spark, sf, "events")
+    od = (
+        o.groupBy(F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _e(F.col("o_totalprice"), 2).alias("order_total_e2"),
+        )
+    )
+    ed = (
+        e.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _e(F.col("value"), 2).alias("event_total_e2"),
+        )
+    )
+    j = od.join(ed, "day", "full_outer")
+    return j.select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("order_total_e2", F.lit(0)).cast("long").alias("order_total_e2"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("event_total_e2", F.lit(0)).cast("long").alias("event_total_e2"),
+    )
+
+
+ORACLE_DAILY_RECONCILE = """
+WITH od AS (
+  SELECT strftime(o_orderdate::DATE, '%Y-%m-%d') AS day, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS order_total_e2
+  FROM orders GROUP BY 1
+),
+ed AS (
+  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS event_total_e2
+  FROM events GROUP BY 1
+)
+SELECT coalesce(od.day, ed.day) AS day,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(order_total_e2, 0) AS order_total_e2,
+       coalesce(n_events, 0) AS n_events,
+       coalesce(event_total_e2, 0) AS event_total_e2
+FROM od FULL OUTER JOIN ed ON od.day = ed.day
+"""
+
+
+def q_profile_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-profiling utility: per-column null counts, distinct counts,
+    and the table row count for the documents table, in long form — ONE
+    aggregation pass over the data (every stat is a single-agg column;
+    count(distinct) columns each add a partial expand, still one
+    shuffle), then a zero-shuffle unpivot. The profile every ingestion
+    step should emit before the data is trusted."""
+    d = load_table(spark, sf, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    wide = d.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+            for c in cols
+        ],
+        *[F.count_distinct(F.col(c)).alias(f"dist_{c}") for c in cols],
+    )
+    long = wide.unpivot(
+        ["n_rows"],
+        [f"null_{c}" for c in cols] + [f"dist_{c}" for c in cols],
+        "stat",
+        "value",
+    )
+    return long.select(
+        F.col("stat"), F.col("value").cast("long").alias("value"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def _profile_oracle() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    stats = ", ".join(
+        [
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_{c}"
+            for c in cols
+        ]
+        + [f"CAST(count(DISTINCT {c}) AS BIGINT) AS dist_{c}" for c in cols]
+    )
+    names = [f"null_{c}" for c in cols] + [f"dist_{c}" for c in cols]
+    return f"""
+WITH wide AS (SELECT count(*) AS n_rows, {stats} FROM documents)
+SELECT n_rows, stat, value
+FROM wide UNPIVOT (value FOR stat IN ({', '.join(names)}))
+"""
+
+
+ORACLE_PROFILE_DOCUMENTS = _profile_oracle()
+
+
+_KPL_K = 20
+_KPL_SEED = "kpl1"
+
+
+def q_sample_k_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-size stratified sample: exactly K docs per language (fewer
+    only if the stratum is smaller), chosen by md5-lane hash rank —
+    deterministic, parallelism-independent, and decoupled from storage
+    order (a LIMIT-per-group would sample whatever the scan happened to
+    read first). Complements sample_mixture (rate-based, size varies):
+    this one spends a fixed per-stratum budget. One shuffle on lang; at
+    scale with few strata the window concentrates per-lang — the
+    production variant pre-filters with an approximate rate then
+    exact-ranks the survivors, same hash key."""
+    from .operators.sampling import hash_uniform
+
+    d = load_table(spark, sf, "documents")
+    u = hash_uniform(F.col("doc_id"), _KPL_SEED)
+    w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _KPL_K)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLE_SAMPLE_K_PER_LANG = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substring(md5('{_KPL_SEED}|' || doc_id), 1, 15))::BIGINT,
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM r WHERE rk <= {_KPL_K}
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -3220,6 +3391,10 @@ QUERIES: dict[str, tuple] = {
     "weekly_retention": (q_weekly_retention, ORACLE_WEEKLY_RETENTION),
     "lineitem_unpivot": (q_lineitem_unpivot, ORACLE_LINEITEM_UNPIVOT),
     "moving_sum_7d": (q_moving_sum_7d, ORACLE_MOVING_SUM_7D),
+    "quality_ntile": (q_quality_ntile, ORACLE_QUALITY_NTILE),
+    "daily_reconcile": (q_daily_reconcile, ORACLE_DAILY_RECONCILE),
+    "profile_documents": (q_profile_documents, ORACLE_PROFILE_DOCUMENTS),
+    "sample_k_per_lang": (q_sample_k_per_lang, ORACLE_SAMPLE_K_PER_LANG),
 }
 
 

@@ -68,6 +68,38 @@ def stream_events_daily(
     )
 
 
+def stream_event_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    glob: str = "events.parquet",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Streaming sessionization via NATIVE session windows
+    (``F.session_window``): an event joins its user's open session when
+    it lands strictly inside last_ts + gap; otherwise a new session
+    opens. The state store merges overlapping windows per (user,
+    session) — the built-in replacement for a custom
+    applyInPandasWithState sessionizer, with watermark-driven state
+    eviction for free (the custom operator would have to age out its
+    own state). Batch equivalence: a break at gap >= 30 min matches the
+    window's half-open [start, last+gap) semantics."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(events_dir)
+    )
+    return (
+        src.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 @dataclass
 class StreamCrawlState:
     """Cross-batch crawl state: the seen-set and generation counter."""

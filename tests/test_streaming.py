@@ -203,3 +203,49 @@ def test_stream_dedup_exact_across_restarts(spark, tmp_path):
     total = op["numRowsTotal"] if isinstance(op, dict) else op.numRowsTotal
     assert updated == 1, f"state updates must be O(batch): {updated}"
     assert total == 3, f"state rows must be cumulative distinct: {total}"
+
+
+def test_stream_session_windows_match_batch(spark, tmp_path):
+    """Native session windows vs a batch lag-cumsum sessionizer: same
+    (user, session_start, n_events) triples. Break rule: gap >= 30 min
+    (the window's half-open last+gap bound)."""
+    from crawlers_spark.streaming.micro_batch import stream_event_sessions
+
+    agg = stream_event_sessions(spark, SF)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("select * from ev_sessions").collect()
+    }
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) >= F.expr("INTERVAL 30 MINUTES"), 1
+        ).otherwise(0)
+    )
+    sess = (
+        e.withColumn("brk", brk)
+        .withColumn("sid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in sess.collect()
+    }
+    assert got == want and len(got) > 0
