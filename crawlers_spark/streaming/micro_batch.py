@@ -100,6 +100,47 @@ def stream_event_sessions(
     )
 
 
+def stream_view_purchase_join(
+    spark: SparkSession,
+    events_dir: str,
+    glob: str = "events.parquet",
+    horizon: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join — the §2.8 surface where BOTH sides
+    are unbounded: each view pairs with the same user's purchases
+    landing within ``horizon`` after it. Watermarks on both sides plus
+    the time-range predicate are what let the state store evict: a view
+    can stop waiting once the purchase-side watermark passes view.ts +
+    horizon, so state is bounded by (rate x horizon), not by history.
+    Output timestamps in the formatted string lane."""
+
+    def src(tag: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", glob)
+            .parquet(events_dir)
+        )
+        return s.select(
+            F.col("user_id").alias(f"{tag}_user"),
+            F.col("ts").alias(f"{tag}_ts"),
+            F.col("event_type").alias(f"{tag}_type"),
+        ).withWatermark(f"{tag}_ts", "1 day")
+
+    v = src("v").filter(F.col("v_type") == "view")
+    p = src("p").filter(F.col("p_type") == "purchase")
+    joined = v.join(
+        p,
+        F.expr(
+            f"v_user = p_user AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL {horizon}"
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("t_view"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("t_purchase"),
+    )
+
+
 @dataclass
 class StreamCrawlState:
     """Cross-batch crawl state: the seen-set and generation counter."""

@@ -249,3 +249,49 @@ def test_stream_session_windows_match_batch(spark, tmp_path):
         (r["user_id"], r["session_start"]): r["n_events"] for r in sess.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream join (view -> purchase within 2h, same user) equals
+    the batch interval join on the same file."""
+    from crawlers_spark.streaming.micro_batch import stream_view_purchase_join
+
+    j = stream_view_purchase_join(spark, SF)
+    q = (
+        j.writeStream.format("memory")
+        .queryName("vp_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_vp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["t_view"], r["t_purchase"])
+        for r in spark.sql("select * from vp_join").collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("vt")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("pt")
+    )
+    want = {
+        (r["u"], r["tv"], r["tp"])
+        for r in v.join(p, "u")
+        .filter(
+            (F.col("pt") > F.col("vt"))
+            & (F.col("pt") <= F.col("vt") + F.expr("INTERVAL 2 HOURS"))
+        )
+        .select(
+            "u",
+            F.date_format("vt", "yyyy-MM-dd HH:mm:ss").alias("tv"),
+            F.date_format("pt", "yyyy-MM-dd HH:mm:ss").alias("tp"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
