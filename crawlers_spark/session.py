@@ -63,21 +63,21 @@ def get_spark(
     return spark
 
 
-def ship_package(spark: SparkSession) -> None:
-    """Ship crawlers_spark to executors (the --py-files equivalent).
-
-    Zips the package and registers it with ``addPyFile`` so Python
-    workers can unpickle our pandas UDFs regardless of driver cwd — the
-    same mechanism ``spark-submit --py-files crawlers_spark.zip`` uses on
-    a multi-executor cluster (north_rule launch requirement).
-    """
+def build_pyfiles_zip() -> str | None:
+    """Zip the installed crawlers_spark package for ``--py-files`` /
+    ``addPyFile`` shipping; returns the zip path, or None when the
+    package is ITSELF running from a zip archive (a spark-submit
+    --py-files launch) — in that case executors already received the
+    archive from spark-submit and there is nothing on disk to walk."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), "crawlers_spark_pyfiles.zip")
     sources = []
     for root, _dirs, files in os.walk(pkg_dir):
         for fn in files:
             if fn.endswith(".py"):
                 sources.append(os.path.join(root, fn))
+    if not sources:  # zipimport: __file__ points inside an archive
+        return None
+    zip_path = os.path.join(tempfile.gettempdir(), "crawlers_spark_pyfiles.zip")
     # rebuild when stale: executors must never unpickle against an older
     # package than the driver's (a cached zip from a previous session
     # silently drops modules added since)
@@ -88,4 +88,17 @@ def ship_package(spark: SparkSession) -> None:
                 rel = os.path.join("crawlers_spark", os.path.relpath(full, pkg_dir))
                 zf.write(full, rel)
         os.replace(zip_path + ".tmp", zip_path)
-    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship crawlers_spark to executors (the --py-files equivalent).
+
+    Zips the package and registers it with ``addPyFile`` so Python
+    workers can unpickle our pandas UDFs regardless of driver cwd — the
+    same mechanism ``spark-submit --py-files crawlers_spark.zip`` uses on
+    a multi-executor cluster (north_rule launch requirement). No-op when
+    the package already arrived via spark-submit --py-files."""
+    zip_path = build_pyfiles_zip()
+    if zip_path is not None:
+        spark.sparkContext.addPyFile(zip_path)

@@ -244,3 +244,40 @@ def test_auto_salts_decision():
     assert 4 <= s <= 16, s
     # base > 1 is a floor
     assert auto_salts(even, 32, base=4) == 4
+
+
+def test_spark_submit_pyfiles_launch(tmp_path):
+    """north_rule launch shape: the engine runs under real
+    ``spark-submit --py-files crawlers_spark.zip`` from a directory that
+    does NOT contain the package — every import must come from the
+    shipped archive. Asserts the crawl completes and writes output."""
+    import json as _json
+    import os
+    import shutil
+    import subprocess
+
+    from crawlers_spark.session import build_pyfiles_zip
+
+    zip_path = build_pyfiles_zip()
+    assert zip_path is not None
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shutil.copy(os.path.join(repo, "run_crawl.py"), tmp_path / "run_crawl.py")
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    out_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zip_path,
+            str(tmp_path / "run_crawl.py"),
+            "--seeds", "20", "--hosts", "6", "--pages", "40",
+            "--generations", "2", "--host-buckets", "8",
+            "--out", str(out_dir),
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    stats = _json.loads(line)
+    assert stats["generations"] == 2 and stats["fetched"] > 0
+    assert os.path.exists(out_dir / "pages")
