@@ -3308,6 +3308,47 @@ SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM r WHERE rk <= {_KPL_K}
 """
 
 
+def q_crawl_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end crawl→corpus composition — the engine's two halves in
+    ONE plan: crawl the synthetic web (fused frontier loop), take the
+    fetched captions as documents, exact-dedup them (md5 fingerprint,
+    keep min image_id), and pack the survivors into 64-token training
+    bins via the distributed prefix-sum scan. Rows-only for the driver
+    (the crawl source is not SQL-expressible); every downstream stage is
+    individually oracle-proven (dedup_exact, pack_sequences)."""
+    from .operators.packing import pack_sequences
+
+    res = _small_crawl(spark)
+    caps = res.pages.select(
+        "image_id",
+        F.trim(F.regexp_replace("caption", r"\s+", " ")).alias("txt"),
+    ).filter(F.length("txt") > 0)
+    keep = (
+        caps.select(F.md5(F.lower("txt")).alias("fp"), "image_id", "txt")
+        .groupBy("fp")
+        .agg(F.min(F.struct("image_id", "txt")).alias("m"))
+        .select(F.col("m.image_id").alias("image_id"), F.col("m.txt").alias("txt"))
+    )
+    # prefix_sum bins on a NUMERIC leading key; for fixed-width lowercase
+    # hex ids the 15-hex-char integer lane sorts identically to the string
+    toks = keep.select(
+        "image_id",
+        F.expr("cast(conv(substring(image_id, 1, 15), 16, 10) as bigint)").alias("idk"),
+        F.size(F.split("txt", " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        toks, "n_tokens", bin_tokens=64, order_cols=["idk", "image_id"]
+    )
+    return packed.select(
+        "image_id",
+        "n_tokens",
+        F.col("offset").alias("tok_offset"),
+        "bin_first",
+        "bin_last",
+        "n_bins",
+    )
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -3395,6 +3436,7 @@ QUERIES: dict[str, tuple] = {
     "daily_reconcile": (q_daily_reconcile, ORACLE_DAILY_RECONCILE),
     "profile_documents": (q_profile_documents, ORACLE_PROFILE_DOCUMENTS),
     "sample_k_per_lang": (q_sample_k_per_lang, ORACLE_SAMPLE_K_PER_LANG),
+    "crawl_to_corpus": (q_crawl_to_corpus, None),
 }
 
 
