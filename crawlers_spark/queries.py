@@ -3349,6 +3349,61 @@ def q_crawl_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_rarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-surprisal quality signal (the cheap perplexity proxy real
+    pipelines gate on before an LM scorer): per doc, mean -ln(df_w / N)
+    over word TOKENS — low = stopword soup / boilerplate, high = rare-
+    word-dense or gibberish. Corpus word df joins back to doc tokens on
+    the word (equi-join, never all-pairs); N is the doc count broadcast
+    as a one-row cross join kept plan-side. Cross-engine exact: df/N is
+    identical-int64 division, ln of identical doubles is identical, 6-dp
+    rounding absorbs summation-order ulps (char_entropy convention)."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = (
+        docs.filter(F.length(norm) > 0)
+        .select("doc_id", F.explode(F.split(norm, " ")).alias("word"))
+    )
+    wdf = (
+        words.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").alias("wdf"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_corpus"))
+    surprisal = -F.log(F.col("wdf").cast("double") / F.col("n_corpus"))
+    return (
+        words.join(wdf, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(surprisal) / F.count("*"), 6).alias("rarity_q6"),
+        )
+    )
+
+
+ORACLE_DOC_RARITY = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(string_split(txt, ' ')) AS word
+  FROM norm WHERE length(txt) > 0
+),
+wdf AS (
+  SELECT word, count(*) AS wdf FROM (SELECT DISTINCT doc_id, word FROM words)
+  GROUP BY 1
+),
+n AS (SELECT count(*) AS n_corpus FROM documents)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(-ln(CAST(wdf AS DOUBLE) / n_corpus)) / count(*), 6) AS rarity_q6
+FROM words JOIN wdf USING (word), n
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -3437,6 +3492,7 @@ QUERIES: dict[str, tuple] = {
     "profile_documents": (q_profile_documents, ORACLE_PROFILE_DOCUMENTS),
     "sample_k_per_lang": (q_sample_k_per_lang, ORACLE_SAMPLE_K_PER_LANG),
     "crawl_to_corpus": (q_crawl_to_corpus, None),
+    "doc_rarity": (q_doc_rarity, ORACLE_DOC_RARITY),
 }
 
 

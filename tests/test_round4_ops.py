@@ -319,3 +319,34 @@ def test_approx_percentile_scale_path_close_to_exact(spark):
         a50, a90 = approx[lang]
         assert abs(a50 - p50) <= max(3, 0.05 * p50), (lang, a50, p50)
         assert abs(a90 - p90) <= max(3, 0.05 * p90), (lang, a90, p90)
+
+
+# ---------------------------------------------------------------- SQL surface
+
+
+def test_sql_api_surface_matches_dataframe(spark):
+    """The engine is usable through plain spark.sql over registered
+    views — same results as the DataFrame implementations (same
+    Catalyst plans underneath; this pins the SQL front door works)."""
+    import pyspark.sql.functions as F
+    from crawlers_spark.queries import load_table, q_pricing_summary
+
+    sfd = "/root/testdata/sf0.01"
+    load_table(spark, sfd, "lineitem").createOrReplaceTempView("li_sql")
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_e2,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+                   count(*) AS n
+            FROM li_sql
+            WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+            """
+        ).collect()
+    }
+    want = {tuple(r) for r in q_pricing_summary(spark, sfd).collect()}
+    assert got == want and len(got) > 0
