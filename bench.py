@@ -258,6 +258,10 @@ def run_queries(sf_dir: str, cpus: int, reps: int = 2) -> dict[str, float]:
         fn, _sql = QUERIES[name]
         best = float("inf")
         for _ in range(reps):
+            # queries may persist intermediates (shingle tables); drop
+            # them between reps so each rep measures the full compute,
+            # not the previous rep's cache
+            spark.catalog.clearCache()
             t0 = time.monotonic()
             fn(spark, sf_dir).collect()
             best = min(best, time.monotonic() - t0)

@@ -608,6 +608,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import shingle_candidate_pairs
 
     docs = _docs_with_mutants(spark, sf)
+    # the shingle table feeds candidate generation AND verify (5 plan
+    # consumers); measured A/B (interleaved, cold cache): an explicit
+    # persist is a wash here — AQE's ReuseExchange already elides the
+    # duplicated distinct-shingle exchanges at runtime, and caching adds
+    # block-manager overhead. Keep the plan declarative.
     sh = word_shingles(docs, "text", "doc_id", k=3)
     pairs = shingle_candidate_pairs(sh, "doc_id", df_cap=NGRAM_DF_CAP)
     out = jaccard_verify(pairs, sh, "doc_id", threshold=0.5)
