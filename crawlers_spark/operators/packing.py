@@ -41,9 +41,12 @@ def prefix_sum(
     """Add ``out_col`` = sum of ``val_col`` over all rows strictly before
     this row in the total order given by ``order_cols`` (exclusive scan,
     first row gets 0). ``order_cols`` must form a unique key for the
-    output to be deterministic. ``bounds=(lo, hi)`` is an optional known
-    value range for ``order_cols[0]`` (``lo <= v < hi``); without it one
-    tiny min/max job discovers the range."""
+    output to be deterministic, and ``order_cols[0]`` must be NUMERIC
+    (the bucket map is arithmetic; string keys ride along as tie-break
+    columns — give them an integer lane up front, see crawl_to_corpus).
+    ``bounds=(lo, hi)`` is an optional known value range for
+    ``order_cols[0]`` (``lo <= v < hi``); without it one tiny min/max
+    job discovers the range."""
     spark = df.sparkSession
     parts = int(
         num_partitions or spark.conf.get("spark.sql.shuffle.partitions")

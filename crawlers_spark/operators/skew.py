@@ -12,7 +12,11 @@ large and skewed, keep the replicated side the smaller of the two).
 
 The salt must be deterministic but uncorrelated with the join key —
 here ``pmod(xxhash64(all non-key columns), n_salt)`` — so re-runs and
-resumes produce identical partitioning. The same technique (auto-salt
+resumes produce identical partitioning. (A key-only left side has no
+payload to hash; the fallback salts by ``monotonically_increasing_id``,
+which keeps the OUTPUT identical but makes the physical row placement
+layout-dependent — indistinguishable rows have no deterministic
+identity to salt by.) The same technique (auto-salt
 on mega-hosts) lives inside the crawl scheduler
 (operators/fused_schedule.py); this is the standalone relational form.
 """

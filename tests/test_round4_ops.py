@@ -390,3 +390,36 @@ def test_word_ngrams_udtf_matches_declarative(spark):
         .collect()
     }
     assert got == want and (1, 0, "the quick brown") in got
+
+
+# -------------------------------------------------- prefix_sum property test
+
+
+def test_prefix_sum_property(spark):
+    """Property: for random (key, value) multisets at random parallelism
+    and random loose bounds, the distributed scan equals the serial
+    fold. Deterministic seeds (no Hypothesis Spark-session interplay:
+    each example would pay a full Spark job, so we enumerate a fixed
+    diverse set instead)."""
+    import random
+
+    from crawlers_spark.operators.packing import prefix_sum
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = rng.randint(1, 150)
+        rows = [
+            (rng.randint(-50, 50), i, rng.randint(-5, 9)) for i in range(n)
+        ]
+        parts = rng.choice([1, 3, 16])
+        lo = rng.randint(-200, -51)
+        hi = rng.randint(51, 300)
+        df = spark.createDataFrame(rows, "k long, tie long, v long").repartition(parts)
+        bounds = rng.choice([None, (lo, hi)])
+        out = prefix_sum(df, ["k", "tie"], "v", "offset", bounds=bounds)
+        got = {(r["k"], r["tie"]): r["offset"] for r in out.collect()}
+        acc, want = 0, {}
+        for k, tie, v in sorted(rows):
+            want[(k, tie)] = acc
+            acc += v
+        assert got == want, (seed, parts, bounds)
