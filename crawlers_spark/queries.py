@@ -3409,6 +3409,83 @@ GROUP BY 1
 """
 
 
+def q_top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 orders by revenue among orders placed
+    before a cutoff whose lineitems ship after it (the placed-but-not-
+    yet-shipped backlog). Two fact joins + one hash-agg + bounded top-k
+    (ordered limit, never a global sort of the agg output at scale —
+    TakeOrderedAndProject keeps k rows per partition)."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
+    )
+    rev = j.groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate")).agg(
+        _e(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue_e4")
+    )
+    return rev.orderBy(F.desc("revenue_e4"), F.asc("l_orderkey")).limit(10)
+
+
+ORACLE_TOP_UNSHIPPED = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_returned_revenue_by_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items ('R' flag) per
+    customer over one quarter, top 20 — customer dim joins AFTER the
+    fact-side agg (agg first, join the 20-row result to the dim, not
+    every lineitem to the dim: the join input shrinks from O(lineitems)
+    to O(customers))."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    c = load_table(spark, sf, "customer")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .groupBy("o_custkey")
+        .agg(
+            _e(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("lost_e4"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("lost_e4"), F.asc("o_custkey"))
+        .limit(20)
+    )
+    return rev.join(c, rev.o_custkey == c.c_custkey).select(
+        F.col("o_custkey").alias("custkey"), "c_name", "lost_e4", "n_items"
+    )
+
+
+ORACLE_RETURNED_REVENUE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+              AS BIGINT) AS lost_e4,
+         count(*) AS n_items
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+  ORDER BY lost_e4 DESC, o_custkey ASC LIMIT 20
+)
+SELECT o_custkey AS custkey, c_name, lost_e4, n_items
+FROM rev JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -3498,6 +3575,8 @@ QUERIES: dict[str, tuple] = {
     "sample_k_per_lang": (q_sample_k_per_lang, ORACLE_SAMPLE_K_PER_LANG),
     "crawl_to_corpus": (q_crawl_to_corpus, None),
     "doc_rarity": (q_doc_rarity, ORACLE_DOC_RARITY),
+    "top_unshipped_orders": (q_top_unshipped_orders, ORACLE_TOP_UNSHIPPED),
+    "returned_revenue_by_customer": (q_returned_revenue_by_customer, ORACLE_RETURNED_REVENUE),
 }
 
 
