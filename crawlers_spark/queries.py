@@ -3486,6 +3486,46 @@ FROM rev JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingestion dedup — the shape every recurring crawl
+    runs: an INCOMING batch (odd doc_ids) is admitted only if its
+    normalized-text fingerprint is absent from the EXISTING corpus
+    (even doc_ids). Existing side reduces to distinct fingerprints
+    BEFORE the anti-join (the join input is O(distinct corpus texts),
+    and at 10^10 docs that side is exactly what the Bloom seen-set
+    prefilters in the crawl engine — this is the relational form of the
+    same operator). Also de-dups within the incoming batch (keep min
+    doc_id) so admission is idempotent."""
+    from .operators.dedup import normalize_text
+
+    d = load_table(spark, sf, "documents")
+    fp = F.md5(normalize_text(F.col("text"))).alias("fp")
+    existing = d.filter(F.col("doc_id") % 2 == 0).select(fp).distinct()
+    incoming = d.filter(F.col("doc_id") % 2 == 1).select(fp, "doc_id", "lang")
+    fresh = incoming.join(existing, "fp", "left_anti")
+    return (
+        fresh.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "lang")).alias("m"))
+        .select(F.col("m.doc_id").alias("doc_id"), F.col("m.lang").alias("lang"))
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = """
+WITH fps AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+existing AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+fresh AS (
+  SELECT f.* FROM fps f
+  WHERE f.doc_id % 2 = 1 AND f.fp NOT IN (SELECT fp FROM existing)
+)
+SELECT min_by(doc_id, doc_id) AS doc_id, min_by(lang, doc_id) AS lang
+FROM fresh GROUP BY fp
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -3577,6 +3617,7 @@ QUERIES: dict[str, tuple] = {
     "doc_rarity": (q_doc_rarity, ORACLE_DOC_RARITY),
     "top_unshipped_orders": (q_top_unshipped_orders, ORACLE_TOP_UNSHIPPED),
     "returned_revenue_by_customer": (q_returned_revenue_by_customer, ORACLE_RETURNED_REVENUE),
+    "incremental_dedup": (q_incremental_dedup, ORACLE_INCREMENTAL_DEDUP),
 }
 
 

@@ -270,3 +270,15 @@ def test_regional_revenue_star_join_shape(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "o_orderdate" in plan.split("PushedFilters:")[1] if "PushedFilters:" in plan else True
+
+
+def test_topk_queries_use_take_ordered(spark):
+    """Q3/Q10 shapes must plan bounded top-k (TakeOrderedAndProject),
+    never a global sort of the agg output."""
+    from crawlers_spark.queries import (
+        q_returned_revenue_by_customer,
+        q_top_unshipped_orders,
+    )
+
+    assert "TakeOrderedAndProject" in _plan(q_top_unshipped_orders(spark, SF))
+    assert "TakeOrderedAndProject" in _plan(q_returned_revenue_by_customer(spark, SF))
