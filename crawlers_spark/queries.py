@@ -3526,6 +3526,79 @@ FROM fresh GROUP BY fp
 """
 
 
+def q_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree distribution of the customer↔supplier trade graph — the
+    canonical two-level aggregation (per-node degree, then nodes per
+    degree). Output is O(max degree) rows regardless of graph size; both
+    aggs are hash-aggs with map-side combine. The shape data engineers
+    run before choosing a partitioning for any graph workload."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    nodes = pairs.selectExpr("a as node").unionAll(pairs.selectExpr("b as node"))
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+ORACLE_DEGREE_DISTRIBUTION = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs),
+deg AS (SELECT node, count(*) AS degree FROM nodes GROUP BY 1)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1
+"""
+
+
+def q_daily_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Outlier days by event volume: flag days whose count deviates from
+    the all-days mean by more than 2 sigma — with mean and variance
+    compared in CROSS-MULTIPLIED INTEGER form ((B·n_d − S)² > 4·(B·Q −
+    S²), S=Σn, Q=Σn², B=#days), so the flag is engine-exact with no
+    float epsilon. Daily counts are one hash-agg; the three scalar
+    moments broadcast back as a one-row frame. At petabyte scale Q
+    needs a wider lane (Σn² of billion-row days overflows int64 around
+    n_d~3e9·√B) — switch the moments to DecimalType(38) there; the
+    comparison shape is unchanged."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    mom = daily.agg(
+        F.count("*").alias("b"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    j = daily.crossJoin(F.broadcast(mom))
+    dev = F.col("b") * F.col("n") - F.col("s")
+    var4 = F.lit(4) * (F.col("b") * F.col("q") - F.col("s") * F.col("s"))
+    return j.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        (dev * dev > var4).alias("is_anomaly"),
+    )
+
+
+ORACLE_DAILY_ANOMALIES = """
+WITH daily AS (
+  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(*) AS n
+  FROM events GROUP BY 1
+),
+mom AS (SELECT count(*) AS b, sum(n) AS s, sum(n * n) AS q FROM daily)
+SELECT day, CAST(n AS BIGINT) AS n,
+       (b * n - s) * (b * n - s) > 4 * (b * q - s * s) AS is_anomaly
+FROM daily, mom
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -3618,6 +3691,8 @@ QUERIES: dict[str, tuple] = {
     "top_unshipped_orders": (q_top_unshipped_orders, ORACLE_TOP_UNSHIPPED),
     "returned_revenue_by_customer": (q_returned_revenue_by_customer, ORACLE_RETURNED_REVENUE),
     "incremental_dedup": (q_incremental_dedup, ORACLE_INCREMENTAL_DEDUP),
+    "degree_distribution": (q_degree_distribution, ORACLE_DEGREE_DISTRIBUTION),
+    "daily_anomalies": (q_daily_anomalies, ORACLE_DAILY_ANOMALIES),
 }
 
 
