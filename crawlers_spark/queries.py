@@ -3599,6 +3599,116 @@ FROM daily, mom
 """
 
 
+def q_session_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionize (30-min gap, the event_sessions rule) then score each
+    session: per user, how many sessions and how many contained a
+    purchase — the composition analytics teams actually run on top of
+    sessionization. One window pass builds session ids (lag + running
+    sum), one hash-agg per (user, session), one per user."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"), 1
+    ).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "event_type",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("has_purchase")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("has_purchase").cast("long").alias("n_converting"),
+    )
+
+
+ORACLE_SESSION_CONVERSION = """
+WITH g AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800.0 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+),
+ps AS (
+  SELECT user_id, sid,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(has_purchase) AS BIGINT) AS n_converting
+FROM ps GROUP BY 1
+"""
+
+
+def q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth curve. COUNT
+    (DISTINCT) OVER a running window is quadratic and unsupported;
+    the linear form is first-seen day per user (one agg) then a
+    cumulative sum of new-user counts over the day series (window over
+    O(days) rows — tiny regardless of corpus size)."""
+    e = load_table(spark, sf, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_format(F.to_date("ts"), "yyyy-MM-dd")).alias("day")
+    )
+    new_per_day = first_seen.groupBy("day").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return new_per_day.select(
+        "day",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    )
+
+
+ORACLE_CUMULATIVE_USERS = """
+WITH fs AS (
+  SELECT user_id, min(strftime(ts::DATE, '%Y-%m-%d')) AS day FROM events GROUP BY 1
+),
+npd AS (SELECT day, count(*) AS n_new FROM fs GROUP BY 1)
+SELECT day, CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_new) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM npd
+"""
+
+
+def q_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket support counting (the first pass of any frequent-
+    itemset miner): part pairs co-occurring in an order, support >= 3.
+    Pair blowup is bounded by basket size squared (baskets are small by
+    nature — the same structural bound word_cooccurrence gets from its
+    df cap), and the self-join shuffles once on the basket key."""
+    li = load_table(spark, sf, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+
+
+ORACLE_BASKET_PAIRS = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -3693,6 +3803,9 @@ QUERIES: dict[str, tuple] = {
     "incremental_dedup": (q_incremental_dedup, ORACLE_INCREMENTAL_DEDUP),
     "degree_distribution": (q_degree_distribution, ORACLE_DEGREE_DISTRIBUTION),
     "daily_anomalies": (q_daily_anomalies, ORACLE_DAILY_ANOMALIES),
+    "session_conversion": (q_session_conversion, ORACLE_SESSION_CONVERSION),
+    "cumulative_users": (q_cumulative_users, ORACLE_CUMULATIVE_USERS),
+    "basket_pairs": (q_basket_pairs, ORACLE_BASKET_PAIRS),
 }
 
 
