@@ -3709,6 +3709,56 @@ GROUP BY 1, 2 HAVING count(*) >= 3
 """
 
 
+def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids — element-wise mean over vector
+    columns (the building block of IVF training, k-means, and class
+    prototypes), exposed as a query: posexplode to (label, pos, val),
+    one hash-agg per (label, pos), re-assemble ordered by position.
+    Centroid components ride the e6 integer lane joined into one string
+    (no array column crosses the driver hash; no float formatting
+    divergence between engines)."""
+    emb = load_table(spark, sf, "embeddings")
+    x = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    a = x.groupBy("label", "pos").agg(
+        F.round(F.avg("val") * 1_000_000).cast("long").alias("v_e6")
+    )
+    nv = emb.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    cent = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v_e6"))),
+            lambda s: s["v_e6"].cast("string"),
+        ),
+        ",",
+    )
+    return (
+        a.groupBy("label")
+        .agg(cent.alias("centroid_e6"))
+        .join(nv, "label")
+        .select("label", "n_vectors", "centroid_e6")
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH x AS (
+  SELECT label, r.i::INTEGER - 1 AS pos, embedding[r.i::INTEGER] AS val
+  FROM embeddings, range(1, 100000) r(i)
+  WHERE r.i::INTEGER <= len(embedding)
+),
+a AS (
+  SELECT label, pos,
+         CAST(round(avg(CAST(val AS DOUBLE)) * 1000000) AS BIGINT) AS v_e6
+  FROM x GROUP BY 1, 2
+),
+nv AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY 1)
+SELECT a.label, max(nv.n_vectors) AS n_vectors,
+       string_agg(v_e6, ',' ORDER BY pos) AS centroid_e6
+FROM a JOIN nv ON a.label = nv.label
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -3806,6 +3856,7 @@ QUERIES: dict[str, tuple] = {
     "session_conversion": (q_session_conversion, ORACLE_SESSION_CONVERSION),
     "cumulative_users": (q_cumulative_users, ORACLE_CUMULATIVE_USERS),
     "basket_pairs": (q_basket_pairs, ORACLE_BASKET_PAIRS),
+    "label_centroids": (q_label_centroids, ORACLE_LABEL_CENTROIDS),
 }
 
 
