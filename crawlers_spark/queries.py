@@ -3759,6 +3759,31 @@ GROUP BY 1
 """
 
 
+def q_cluster_size_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """The duplication report every dedup run emits before anyone trusts
+    it: distribution of near-dup cluster sizes — how many clusters of
+    each size, how many docs they hold, how many dedup would retire
+    (size − 1 per cluster). Composes the oracle-proven cluster closure
+    (q_dedup_clusters) with one distinct + one hash-agg; output is
+    O(max cluster size) rows."""
+    out = q_dedup_clusters(spark, sf)
+    per_cluster = out.select("cluster", "cluster_size").distinct()
+    return per_cluster.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.count("*") * F.first("cluster_size")).cast("long").alias("n_docs"),
+        (F.count("*") * (F.first("cluster_size") - 1)).cast("long").alias("n_retired"),
+    )
+
+
+ORACLE_CLUSTER_SIZES = f"""
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+       CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_retired
+FROM (SELECT DISTINCT cluster, cluster_size FROM ({ORACLE_DEDUP_CLUSTERS}) q)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -3857,6 +3882,7 @@ QUERIES: dict[str, tuple] = {
     "cumulative_users": (q_cumulative_users, ORACLE_CUMULATIVE_USERS),
     "basket_pairs": (q_basket_pairs, ORACLE_BASKET_PAIRS),
     "label_centroids": (q_label_centroids, ORACLE_LABEL_CENTROIDS),
+    "cluster_size_distribution": (q_cluster_size_distribution, ORACLE_CLUSTER_SIZES),
 }
 
 
