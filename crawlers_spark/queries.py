@@ -3784,6 +3784,50 @@ GROUP BY 1
 """
 
 
+def q_length_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini concentration of document length per source — the corpus-
+    concentration report (is one source contributing all the bytes?).
+    Gini = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over ascending (x, doc_id)
+    ranks; Σx and Σ(rank·x) are exact int64 moments (one window pass +
+    one hash-agg), the final expression is a division of identical
+    integers in both engines, 6-dp rounded."""
+    d = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source", "n_chars", F.row_number().over(w).cast("long").alias("rk")
+    )
+    agg = r.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("rk") * F.col("n_chars")).alias("s2"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("s2") / (F.col("n") * F.col("s1"))
+        - (F.col("n") + 1).cast("double") / F.col("n")
+    )
+    return agg.select(
+        "source", F.col("n").cast("long").alias("n"), "s1", "s2",
+        F.round(gini, 6).alias("gini_q6"),
+    )
+
+
+ORACLE_LENGTH_GINI = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+  FROM documents
+),
+a AS (
+  SELECT source, count(*) AS n, sum(n_chars) AS s1, sum(rk * n_chars) AS s2
+  FROM r GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(s1 AS BIGINT) AS s1,
+       CAST(s2 AS BIGINT) AS s2,
+       round(2.0 * s2 / (n * s1) - CAST(n + 1 AS DOUBLE) / n, 6) AS gini_q6
+FROM a
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -3883,6 +3927,7 @@ QUERIES: dict[str, tuple] = {
     "basket_pairs": (q_basket_pairs, ORACLE_BASKET_PAIRS),
     "label_centroids": (q_label_centroids, ORACLE_LABEL_CENTROIDS),
     "cluster_size_distribution": (q_cluster_size_distribution, ORACLE_CLUSTER_SIZES),
+    "length_gini": (q_length_gini, ORACLE_LENGTH_GINI),
 }
 
 

@@ -423,3 +423,42 @@ def test_prefix_sum_property(spark):
             want[(k, tie)] = acc
             acc += v
         assert got == want, (seed, parts, bounds)
+
+
+# ------------------------------------------------- grouped-agg pandas UDAF
+
+
+def test_grouped_agg_pandas_udaf_matches_sql_gini(spark):
+    """UDAF surface: a GROUPED_AGG pandas_udf computing Gini equals the
+    pure-SQL window/moment form (q_length_gini). Completes the U*F
+    family alongside scalar Arrow UDFs, grouped/cogrouped kernels, and
+    the UDTF; the SQL form stays the documented hot path."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from crawlers_spark.queries import load_table, q_length_gini
+
+    sfd = "/root/testdata/sf0.01"
+
+    # explicit functionType: this module uses `from __future__ import
+    # annotations`, which turns the (pd.Series) -> float hints into
+    # strings pandas_udf can't resolve here (see NOTES.md watch-outs)
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gini_udaf(x):
+        v = np.sort(x.to_numpy(np.float64))
+        n = len(v)
+        rk = np.arange(1, n + 1, dtype=np.float64)
+        return round(2.0 * float((rk * v).sum()) / (n * float(v.sum()))
+                     - (n + 1.0) / n, 6)
+
+    got = {
+        r["source"]: r["g"]
+        for r in load_table(spark, sfd, "documents")
+        .groupBy("source")
+        .agg(gini_udaf("n_chars").alias("g"))
+        .collect()
+    }
+    want = {r["source"]: r["gini_q6"] for r in q_length_gini(spark, sfd).collect()}
+    assert set(got) == set(want)
+    for s in want:
+        assert abs(got[s] - want[s]) < 1e-9, s
