@@ -3828,6 +3828,35 @@ FROM a
 """
 
 
+def q_activity_heatmap(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour × day-of-week activity grid (the ops heatmap): one hash-agg,
+    output bounded at 168 rows. Day-of-week is computed as
+    ``(epoch_days + 4) % 7`` (0 = Sunday; 1970-01-01 was a Thursday)
+    rather than each engine's dayofweek() — Spark counts Sunday as 1,
+    DuckDB as 0, and integer arithmetic sidesteps the whole convention
+    family (plus any locale/WEEK_START session dependence)."""
+    e = load_table(spark, sf, "events")
+    dow = (F.expr("datediff(to_date(ts), DATE '1970-01-01')") + 4) % 7
+    hr = F.date_format("ts", "HH").cast("int")
+    return (
+        e.select(dow.cast("int").alias("dow"), hr.alias("hour"), "value")
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            _e(F.col("value"), 2).alias("sum_value_e2"),
+        )
+    )
+
+
+ORACLE_ACTIVITY_HEATMAP = """
+SELECT CAST(((ts::DATE - DATE '1970-01-01') + 4) % 7 AS INT) AS dow,
+       CAST(strftime(ts, '%H') AS INT) AS hour,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
+FROM events GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -3928,6 +3957,7 @@ QUERIES: dict[str, tuple] = {
     "label_centroids": (q_label_centroids, ORACLE_LABEL_CENTROIDS),
     "cluster_size_distribution": (q_cluster_size_distribution, ORACLE_CLUSTER_SIZES),
     "length_gini": (q_length_gini, ORACLE_LENGTH_GINI),
+    "activity_heatmap": (q_activity_heatmap, ORACLE_ACTIVITY_HEATMAP),
 }
 
 
