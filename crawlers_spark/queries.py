@@ -3857,6 +3857,51 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-row corpus health dashboard — the numbers a data lead asks
+    for before any training run: volume (docs / langs / sources /
+    chars), exact-duplicate pressure (docs minus distinct fingerprints),
+    and the quality-gate pass count (same quality_x10 expression the
+    gate uses). ONE aggregation pass; every metric an exact integer."""
+    from .operators.dedup import normalize_text
+
+    d = load_table(spark, sf, "documents")
+    fp = F.md5(normalize_text(F.col("text")))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.count("*") - F.count_distinct(fp)).cast("long").alias("n_exact_dups"),
+        F.sum((_quality_x10_col() >= 7).cast("long")).alias("n_quality_ge7"),
+    )
+
+
+ORACLE_CORPUS_REPORT = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END
+           AS ws,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         {_oracle_marker_sum('en')} AS stop_hits
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+       CAST(sum(CASE WHEN
+              CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 4 ELSE 0 END
+            + CASE WHEN n_punct * 5 < length(text) THEN 3 ELSE 0 END
+            + CASE WHEN stop_hits * 100 > ws THEN 3 ELSE 0 END >= 7
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ge7
+FROM t
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -3958,6 +4003,7 @@ QUERIES: dict[str, tuple] = {
     "cluster_size_distribution": (q_cluster_size_distribution, ORACLE_CLUSTER_SIZES),
     "length_gini": (q_length_gini, ORACLE_LENGTH_GINI),
     "activity_heatmap": (q_activity_heatmap, ORACLE_ACTIVITY_HEATMAP),
+    "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
 }
 
 
