@@ -48,6 +48,100 @@ def _lane(col: str) -> str:
     return f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)"
 
 
+# --- Count-min sketch (Cormode & Muthukrishnan, J.Alg 2005) ----------------
+#
+# Mergeable point-frequency sketch: D independent hash lanes, each a
+# W-bucket counter row; estimate(key) = min over lanes of its bucket.
+# State is a FIXED D*W int64 grid regardless of corpus size (the reference
+# counts frequencies in unbounded Python dicts, e.g. the per-key tallies
+# in its crawler stats; at 10^10 keys only a fixed-size mergeable grid
+# works). Bit-exact across engines: the D lanes are four disjoint 32-bit
+# slices of ONE md5 evaluation, bucket = lane mod W, and every count is
+# int64 — no floats anywhere.
+
+CMS_D = 4  # depth: md5's 128 bits give exactly four independent 32-bit lanes
+CMS_W = 1024  # width: eps ~ 2/W of total mass per point query
+
+
+def cms_buckets(col: str, k: int, width: int = CMS_W) -> str:
+    """SQL fragment: bucket index of lane ``k`` (0-based) for a string
+    column — the k-th 8-hex-char slice of md5, mod width. Non-negative,
+    so ``%`` and ``pmod`` agree across engines."""
+    return (
+        f"cast(conv(substring(md5({col}), {1 + 8 * k}, 8), 16, 10) as bigint)"
+        f" % {width}"
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    out_col: str = "n_cms",
+    depth: int = CMS_D,
+    width: int = CMS_W,
+) -> DataFrame:
+    """Count-min estimates for every key in ``df`` (one row per key,
+    ``weight_col`` its exact weight — callers pre-combine with a
+    groupBy, the distributed analog of map-side combine; feeding raw
+    occurrences gives the identical grid since CMS is linear in its
+    input). Returns ``df``'s columns plus ``out_col``.
+
+    Shape at scale: the grid is depth*width rows TOTAL (broadcast back
+    for the lookup join), so sketch state never grows with the corpus —
+    the one big shuffle is the caller's key combine."""
+    lanes = df.select(
+        key_col,
+        F.col(weight_col).alias("__w"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("lane"),
+                    F.expr(cms_buckets(key_col, k, width)).alias("bucket"),
+                )
+                for k in range(depth)
+            ])
+        ).alias("__lb"),
+    ).select(key_col, "__w", F.col("__lb.lane").alias("__lane"), F.col("__lb.bucket").alias("__bucket"))
+    grid = lanes.groupBy("__lane", "__bucket").agg(F.sum("__w").alias("__bn"))
+    est = (
+        lanes.join(F.broadcast(grid), ["__lane", "__bucket"])
+        .groupBy(key_col)
+        .agg(F.min("__bn").cast("long").alias(out_col))
+    )
+    return df.join(est, key_col)
+
+
+def cms_oracle_sql(
+    wc_cte: str,
+    key_col: str,
+    weight_col: str,
+    out_col: str = "n_cms",
+    depth: int = CMS_D,
+    width: int = CMS_W,
+) -> str:
+    """DuckDB fragment computing the identical grid + estimate over a
+    CTE named ``wc_cte`` holding (key, exact weight) rows. Returns a
+    SELECT yielding (key, out_col)."""
+    lane = (
+        f"(('0x' || substring(md5({key_col}), 1 + 8 * i.k, 8))::BIGINT) % {width}"
+    )
+    ks = ", ".join(f"({k})" for k in range(depth))
+    return f"""
+SELECT {key_col}, CAST(min(bn) AS BIGINT) AS {out_col}
+FROM (
+  SELECT {key_col}, i.k AS lane, {lane} AS bucket
+  FROM {wc_cte}, (VALUES {ks}) AS i(k)
+) lk
+JOIN (
+  SELECT i.k AS lane, {lane} AS bucket, sum({weight_col}) AS bn
+  FROM {wc_cte}, (VALUES {ks}) AS i(k)
+  GROUP BY 1, 2
+) grid USING (lane, bucket)
+GROUP BY 1
+"""
+
+
 def hll_distinct(
     df: DataFrame, group_cols: list[str], value_col: str, out_col: str = "n_hll"
 ) -> DataFrame:

@@ -2310,6 +2310,100 @@ JOIN ({est}) est USING (event_type)
 
 ORACLE_HLL_DISTINCT = _hll_oracle()
 
+
+def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy hitters with a count-min frequency sketch: top-20 words of
+    the documents corpus (tokenizer identical to inverted_index) with
+    the exact count next to the CMS point estimate. The sketch is a
+    fixed 4x1024 int64 grid built from four 32-bit md5 lanes
+    (operators/sketches.py cms_estimate) — pure integer math, so the
+    estimate is oracle-checkable bit-for-bit, and n_cms >= n_exact by
+    construction (collisions only add). At scale the grid stays 4096
+    rows no matter the corpus; the only corpus-sized shuffle is the
+    word-count combine."""
+    from .operators.sketches import cms_estimate
+
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = (
+        d.filter(F.length(norm) > 0)
+        .select(F.explode(F.split(norm, " ")).alias("word"))
+    )
+    wc = words.groupBy("word").agg(F.count("*").alias("n_exact"))
+    est = cms_estimate(wc, "word", "n_exact")
+    return (
+        est.orderBy(F.desc("n_exact"), "word")
+        .limit(20)
+        .select("word", "n_exact", "n_cms")
+    )
+
+
+def _cms_oracle() -> str:
+    from .operators.sketches import cms_oracle_sql
+
+    est = cms_oracle_sql("wc", "word", "n_exact")
+    return f"""
+WITH norm AS (
+  SELECT trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt FROM documents
+),
+words AS (
+  SELECT unnest(string_split(txt, ' ')) AS word FROM norm WHERE length(txt) > 0
+),
+wc AS (SELECT word, count(*) AS n_exact FROM words GROUP BY 1)
+SELECT word, n_exact, n_cms
+FROM (SELECT word, n_exact FROM wc ORDER BY n_exact DESC, word LIMIT 20) top
+JOIN ({est}) est USING (word)
+"""
+
+
+ORACLE_CMS_HEAVY_HITTERS = _cms_oracle()
+
+
+def q_embedding_qc(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector ingest QC per label — the validation pass a pipeline runs
+    before ANN indexing: row count, dim min/max (constant-dim check),
+    exact-zero element count (dead-dimension signal), and the summed
+    squared L2 norm in the repo's e6-int lane (per-row fold is
+    identically ordered in both engines; the e6 round happens per row so
+    the cross-row sum is exact int64). All built-in HOFs, one shuffle."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    per = emb.select(
+        "label",
+        F.size("v").alias("dim"),
+        F.expr("size(filter(v, x -> x = 0.0d))").alias("zeros"),
+        F.expr(
+            "cast(round(aggregate(v, 0.0d, (acc, x) -> acc + x * x) * 1000000) as bigint)"
+        ).alias("norm2_e6"),
+    )
+    return per.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.sum("zeros").cast("long").alias("zero_elems"),
+        F.sum("norm2_e6").alias("sum_norm2_e6"),
+    )
+
+
+ORACLE_EMBEDDING_QC = """
+WITH ex AS (
+  SELECT vec_id, label, len(embedding) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+per AS (
+  SELECT vec_id, label, any_value(dim) AS dim,
+         sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS zeros,
+         CAST(round(sum(x * x) * 1000000) AS BIGINT) AS norm2_e6
+  FROM ex GROUP BY 1, 2
+)
+SELECT label, count(*) AS n_vecs, min(dim) AS dim_min, max(dim) AS dim_max,
+       CAST(sum(zeros) AS BIGINT) AS zero_elems,
+       CAST(sum(norm2_e6) AS BIGINT) AS sum_norm2_e6
+FROM per GROUP BY 1
+"""
+
 VALUE_BANDS = [
     ("tiny", 0, 1), ("low", 1, 5), ("mid", 5, 20),
     ("high", 20, 100), ("extreme", 100, 1000),
@@ -3967,6 +4061,8 @@ QUERIES: dict[str, tuple] = {
     "orders_last_event": (q_orders_last_event, ORACLE_ORDERS_LAST_EVENT),
     "pagerank": (q_pagerank, ORACLE_PAGERANK),
     "hll_distinct": (q_hll_distinct, ORACLE_HLL_DISTINCT),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, ORACLE_CMS_HEAVY_HITTERS),
+    "embedding_qc": (q_embedding_qc, ORACLE_EMBEDDING_QC),
     "value_band_join": (q_value_band_join, ORACLE_VALUE_BAND_JOIN),
     "sliding_window": (q_sliding_window, ORACLE_SLIDING_WINDOW),
     "inverted_index": (q_inverted_index, ORACLE_INVERTED_INDEX),

@@ -133,6 +133,56 @@ def test_hll_is_mergeable_and_deterministic(spark):
     assert e1 == e2
 
 
+# ---------------------------------------------------------------------- cms
+
+
+def test_cms_never_underestimates_and_eps_bound(spark):
+    from crawlers_spark.operators.sketches import CMS_W, cms_estimate
+
+    # zipf-ish weights: key k appears ~ N/k times
+    import itertools
+
+    rows = list(
+        itertools.chain.from_iterable(
+            [(f"key{k}",)] * (2000 // k) for k in range(1, 200)
+        )
+    )
+    df = spark.createDataFrame(rows, "word string")
+    wc = df.groupBy("word").agg(F.count("*").alias("n"))
+    total = len(rows)
+    out = cms_estimate(wc, "word", "n").collect()
+    assert len(out) == 199
+    for r in out:
+        assert r["n_cms"] >= r["n"]  # CMS can only overestimate
+        # Markov bound per lane: overshoot < 2*total/W w.p. 1/2, min over
+        # 4 independent lanes → allow the 2e/W classical bound with slack
+        assert r["n_cms"] - r["n"] <= 6 * total / CMS_W + 1
+
+
+def test_cms_linear_in_input(spark):
+    # feeding raw occurrences vs pre-combined (word, n) weights must build
+    # the identical grid, hence identical estimates (CMS is linear)
+    from crawlers_spark.operators.sketches import cms_estimate
+
+    raw = spark.createDataFrame(
+        [(f"w{i % 7}",) for i in range(500)], "word string"
+    ).select("word", F.lit(1).alias("n1"))
+    wc = raw.groupBy("word").agg(F.sum("n1").alias("n"))
+    a = {
+        r["word"]: r["n_cms"]
+        for r in cms_estimate(wc, "word", "n").collect()
+    }
+    per_occurrence = (
+        cms_estimate(raw, "word", "n1")
+        .groupBy("word")
+        .agg(F.max("n_cms").alias("n_cms"))
+    )
+    b = {r["word"]: r["n_cms"] for r in per_occurrence.collect()}
+    # per-occurrence rows each look up the same grid of summed weights,
+    # so every occurrence of a word reports the word's full estimate
+    assert a == b
+
+
 # ------------------------------------------------- global_rank bounds path
 
 
