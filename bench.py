@@ -131,8 +131,15 @@ def _get_spark(cpus: int, shuffle: int, extra_conf: dict | None = None):
     )
 
 
-def run_crawl_bench(cpus: int, reps: int | None = None) -> dict:
-    """Frontier mega-generation → throughput dict (fresh process per call)."""
+def run_crawl_bench(
+    cpus: int, reps: int | None = None, n_candidates: int | None = None
+) -> dict:
+    """Frontier mega-generation → throughput dict (fresh process per call).
+
+    ``n_candidates`` overrides the candidate volume (data-size linearity
+    evidence: same parallelism, 4x the input, seen-set/robots state held
+    fixed — exactly the per-generation cost model, where state is
+    long-lived and only the candidate side moves)."""
     from pyspark.sql import functions as F
 
     from crawlers_spark.operators.fused_schedule import (
@@ -150,7 +157,9 @@ def run_crawl_bench(cpus: int, reps: int | None = None) -> dict:
         robots_pdf,
     )
 
-    p = CRAWL_BENCH
+    p = dict(CRAWL_BENCH)
+    if n_candidates:
+        p["n_candidates"] = n_candidates
     reps = reps or p["reps"]
     _use_tmpfs_local_dir()
     spark = _get_spark(cpus, shuffle=p["n_host_buckets"], extra_conf=CRAWL_BENCH_CONF)
@@ -642,10 +651,13 @@ def main() -> None:
     ap.add_argument("--crawl", action="store_true", help="crawl bench only (one level)")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--reps", type=int, default=None)
+    ap.add_argument("--candidates", type=int, default=None,
+                    help="override candidate volume (data-size linearity probe)")
     args = ap.parse_args()
 
     if args.crawl:
-        print(json.dumps(run_crawl_bench(args.cpus, reps=args.reps)))
+        print(json.dumps(run_crawl_bench(
+            args.cpus, reps=args.reps, n_candidates=args.candidates)))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1927,6 +1927,65 @@ def q_image_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_phash_recompression_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash robustness report: decode each crawled image,
+    re-quantize it at increasing lossy steps (the repo's simulated
+    recompression), re-hash, and aggregate hamming drift + PSNR per
+    (fmt, step). Step 1 is the identity lane (proves the plumbing:
+    drift must be 0).
+
+    The finding this report exists to surface: on sparse-spectrum
+    payloads (this synthetic corpus concentrates DCT energy in a few
+    coefficients) the classic median-threshold pHash flips ~14/63 bits
+    under even ±1-px recompression, because most coefficients sit at
+    noise level where the median cut is a coin flip — while PSNR stays
+    ≥40 dB ("visually identical"). A 100-TB near-dup pipeline must
+    therefore treat recompressed copies as their own lane (byte-exact
+    md5 after canonical re-encode) or widen the banded hamming radius
+    (pigeonhole: 8 bands of 8 bits covers radius 7) when the corpus
+    spectrum is sparse; hamming<=3 banding alone only catches
+    bit-stable variants. Decode is per-image by nature; the per-step
+    quantize/hash/psnr is numpy per image, aggregation JVM-side."""
+    import pandas as pd
+
+    from .functions.images import decode_image, phash64, psnr, quantize
+
+    res = _small_crawl(spark)
+    steps = [1, 8, 64]
+    mask = (1 << 64) - 1
+
+    def drift(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"fmt": [], "step": [], "dist": [], "psnr_e2": []}
+            for b, f, ph in zip(pdf["bytes"], pdf["fmt"], pdf["phash"]):
+                px = decode_image(b, f)
+                h0 = int(ph) & mask
+                for s in steps:
+                    q = quantize(px, s)
+                    d = bin((phash64(q) & mask) ^ h0).count("1")
+                    p = psnr(px, q)
+                    out["fmt"].append(f)
+                    out["step"].append(s)
+                    out["dist"].append(d)
+                    out["psnr_e2"].append(
+                        int(round(min(p, 99.0) * 100))  # inf-safe cap
+                    )
+            yield pd.DataFrame(out)
+
+    d = res.pages.select("bytes", "fmt", "phash").mapInPandas(
+        drift, schema="fmt string, step int, dist int, psnr_e2 long"
+    )
+    return d.groupBy("fmt", "step").agg(
+        F.count("*").alias("n_images"),
+        F.sum("dist").alias("sum_hamming"),
+        F.max("dist").alias("max_hamming"),
+        F.sum((F.col("dist") <= 3).cast("long")).alias("n_within_3"),
+        F.min("psnr_e2").alias("min_psnr_e2"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 def q_event_durations(spark: SparkSession, sf: str) -> DataFrame:
@@ -4053,6 +4112,7 @@ QUERIES: dict[str, tuple] = {
     "crawl_schedule": (q_crawl_schedule, None),
     "crawl_backfill": (q_crawl_backfill, None),
     "image_decode_stats": (q_image_decode_stats, None),
+    "phash_recompression_drift": (q_phash_recompression_drift, None),
     "video_frame_sample": (q_video_frame_sample, None),
     "audio_features": (q_audio_features, None),
     "phash_near_dups": (q_phash_near_dups, None),

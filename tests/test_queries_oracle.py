@@ -87,6 +87,24 @@ def test_rows_only_query_runs(spark, name):
         assert len(rows) > 0, f"{name}: expected rows"
 
 
+def test_phash_drift_report_invariants(spark):
+    """The recompression-drift report's structural invariants: the step-1
+    identity lane has zero drift (stored phash == rehash of decoded
+    bytes), drift is monotone in quantization step, and mild steps stay
+    visually identical (PSNR >= 35 dB) even where hash bits move."""
+    fn, _ = QUERIES["phash_recompression_drift"]
+    rows = {(r["fmt"], r["step"]): r for r in fn(spark, SF_DIR).collect()}
+    assert rows, "expected per-(fmt, step) rows"
+    fmts = {f for f, _ in rows}
+    for f in fmts:
+        assert rows[(f, 1)]["sum_hamming"] == 0, "identity lane must not drift"
+        assert rows[(f, 1)]["max_hamming"] == 0
+        assert rows[(f, 8)]["sum_hamming"] <= rows[(f, 64)]["sum_hamming"]
+        assert rows[(f, 8)]["min_psnr_e2"] >= 3500
+        n = rows[(f, 8)]["n_images"]
+        assert rows[(f, 1)]["n_within_3"] == n
+
+
 def test_entry_contract(spark):
     df = entry_mod.entry(spark)
     assert len(df.collect()) > 0
