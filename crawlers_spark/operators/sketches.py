@@ -89,7 +89,10 @@ def cms_estimate(
 
     Shape at scale: the grid is depth*width rows TOTAL (broadcast back
     for the lookup join), so sketch state never grows with the corpus —
-    the one big shuffle is the caller's key combine."""
+    the one big shuffle is the caller's key combine. Persist ``df`` if
+    it is expensive: the grid branch and the lookup branch each compile
+    their own copy of its plan (Catalyst does not reuse the exchange
+    across them)."""
     lanes = df.select(
         key_col,
         F.col(weight_col).alias("__w"),

@@ -2388,7 +2388,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         d.filter(F.length(norm) > 0)
         .select(F.explode(F.split(norm, " ")).alias("word"))
     )
-    wc = words.groupBy("word").agg(F.count("*").alias("n_exact"))
+    # persist the combine: grid build, lane lookup, and top-k selection
+    # all consume it, and Catalyst compiles each branch its own exchange
+    # (verified: without this the word-count agg runs 3x in one plan) —
+    # same intermediate-persist pattern as the shingle tables
+    wc = words.groupBy("word").agg(F.count("*").alias("n_exact")).persist()
     est = cms_estimate(wc, "word", "n_exact")
     return (
         est.orderBy(F.desc("n_exact"), "word")
@@ -2443,6 +2447,130 @@ def q_embedding_qc(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("zeros").cast("long").alias("zero_elems"),
         F.sum("norm2_e6").alias("sum_norm2_e6"),
     )
+
+
+_KMV_K = 64
+
+
+def q_kmv_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source content-overlap matrix via bottom-k (KMV) sketches
+    (Beyer et al., SIGMOD 2007): per source keep the k=64 smallest
+    60-bit md5-lane hashes of its distinct word-4-grams, then for each
+    source pair estimate Jaccard as |shared among the k smallest of the
+    union| / k. Unlike HLL, bottom-k sketches support set INTERSECTION,
+    which is what a corpus-dedup dashboard needs ("how much of src A is
+    also in src B"). Everything is integer: hashes are int64 lanes,
+    n_inter/k_used is one exact division of small ints — bit-identical
+    cross-engine.
+
+    Scale shape: the corpus-sized stages are the shingle distinct (one
+    shuffle) and a TWO-PHASE bottom-k (rank within (source, salt=h%16)
+    buckets first, then within source over <=16k survivors — never a
+    single-partition sort of a whole source). The pairwise stage runs
+    on S*k sketch rows (S sources), fine for dashboard-scale S; at huge
+    S, band pairs by sketch overlap first."""
+    from .operators.dedup import normalize_text
+
+    d = load_table(spark, sf, "documents")
+    t = d.select("source", F.split(normalize_text(F.col("text")), " ").alias("w"))
+    grams = (
+        t.filter(F.size("w") >= 4)
+        .select(
+            "source",
+            F.explode(F.expr(
+                "transform(sequence(0, size(w) - 4),"
+                " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3]))"
+            )).alias("s"),
+        )
+    )
+    sh = grams.select(
+        "source",
+        F.expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)").alias("h"),
+    ).distinct()
+    p1 = (
+        sh.withColumn("salt", F.pmod("h", F.lit(16)))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("source", "salt").orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn", "salt")
+    )
+    sk = (
+        p1.withColumn("rn", F.row_number().over(
+            Window.partitionBy("source").orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    srcs = sk.select("source").distinct()
+    prs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    r = F.broadcast(prs).join(
+        sk, (F.col("source") == F.col("source_a")) | (F.col("source") == F.col("source_b"))
+    )
+    m = r.groupBy("source_a", "source_b", "h").agg(
+        F.max((F.col("source") == F.col("source_a")).cast("int")).alias("in_a"),
+        F.max((F.col("source") == F.col("source_b")).cast("int")).alias("in_b"),
+    )
+    top = m.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("source_a", "source_b").orderBy("h"))
+    ).filter(F.col("rn") <= _KMV_K)
+    return (
+        top.groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.expr("in_a * in_b")).cast("long").alias("n_inter"),
+            F.count("*").alias("k_used"),
+        )
+        .withColumn(
+            "jaccard_e6",
+            F.expr("cast(round(1000000.0 * n_inter / k_used) as bigint)"),
+        )
+    )
+
+
+ORACLE_KMV_SOURCE_OVERLAP = f"""
+WITH t AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+  FROM t WHERE len(w) >= 4
+),
+sh AS (SELECT DISTINCT source, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM grams),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh
+  ) WHERE rn <= {_KMV_K}
+),
+prs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+),
+m AS (
+  SELECT source_a, source_b, h,
+         max(CASE WHEN sk.source = source_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN sk.source = source_b THEN 1 ELSE 0 END) AS in_b
+  FROM prs JOIN sk ON sk.source IN (source_a, source_b)
+  GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn FROM m
+  ) WHERE rn <= {_KMV_K}
+)
+SELECT source_a, source_b,
+       CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
+       count(*) AS k_used,
+       CAST(round(1000000.0 * sum(in_a * in_b) / count(*)) AS BIGINT) AS jaccard_e6
+FROM top GROUP BY 1, 2
+"""
 
 
 ORACLE_EMBEDDING_QC = """
@@ -4123,6 +4251,7 @@ QUERIES: dict[str, tuple] = {
     "hll_distinct": (q_hll_distinct, ORACLE_HLL_DISTINCT),
     "cms_heavy_hitters": (q_cms_heavy_hitters, ORACLE_CMS_HEAVY_HITTERS),
     "embedding_qc": (q_embedding_qc, ORACLE_EMBEDDING_QC),
+    "kmv_source_overlap": (q_kmv_source_overlap, ORACLE_KMV_SOURCE_OVERLAP),
     "value_band_join": (q_value_band_join, ORACLE_VALUE_BAND_JOIN),
     "sliding_window": (q_sliding_window, ORACLE_SLIDING_WINDOW),
     "inverted_index": (q_inverted_index, ORACLE_INVERTED_INDEX),

@@ -183,6 +183,38 @@ def test_cms_linear_in_input(spark):
     assert a == b
 
 
+# ---------------------------------------------------------------------- kmv
+
+
+def test_kmv_two_phase_bottom_k_is_exact(spark):
+    """The query's two-phase bottom-k (rank within (source, h%16) salt
+    buckets, then within source) must select exactly the k globally
+    smallest hashes per source: phase 1 keeps each bucket's k smallest,
+    and any hash among a source's global k smallest is necessarily among
+    its own bucket's k smallest — a superset, so phase 2's rank is exact."""
+    from pyspark.sql import Window
+
+    k = 8
+    df = spark.createDataFrame(
+        [("s", int(h)) for h in range(997, 0, -7)], "source string, h long"
+    )
+    p1 = (
+        df.withColumn("salt", F.pmod("h", F.lit(16)))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("source", "salt").orderBy("h")))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    two = (
+        p1.withColumn("rn", F.row_number().over(
+            Window.partitionBy("source").orderBy("h")))
+        .filter(F.col("rn") <= k)
+    )
+    got = sorted(r["h"] for r in two.collect())
+    want = sorted(r["h"] for r in df.orderBy("h").limit(k).collect())
+    assert got == want
+
+
 # ------------------------------------------------- global_rank bounds path
 
 
