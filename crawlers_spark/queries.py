@@ -2449,6 +2449,44 @@ def q_embedding_qc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006 A-ES, hash-derandomized): doc i gets key ln(u_i)/w_i
+    with u_i = (md5lane(doc_id)+1)/2^60 and weight w_i = n_chars; the
+    top-k keys are a weighted sample — longer docs proportionally more
+    likely, yet the draw is a pure function of doc_id (resumable,
+    subset-stable, no RNG state — the same derandomization as
+    sample_mixture's hash-Bernoulli, upgraded to weighted-without-
+    replacement). Global top-k compiles to TakeOrderedAndProject
+    (per-partition k then merge — never a single-partition sort). ln is
+    the one non-rational step; both engines' libm agree to 1 ulp and
+    doc_id breaks exact ties, so the rank is cross-engine stable
+    (same exactness rule as the HLL linear-counting branch)."""
+    d = load_table(spark, sf, "documents")
+    lane = "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+    key = F.expr(
+        f"ln((cast({lane} as double) + 1.0d) / cast({1 << 60} as double))"
+        " / cast(n_chars as double)"
+    )
+    return (
+        d.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_chars")
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED = f"""
+SELECT doc_id, n_chars
+FROM (
+  SELECT doc_id, n_chars,
+         ln((CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS DOUBLE) + 1.0)
+            / CAST({1 << 60} AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+) ORDER BY k DESC, doc_id LIMIT 20
+"""
+
+
 _KMV_K = 64
 
 
@@ -4252,6 +4290,7 @@ QUERIES: dict[str, tuple] = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, ORACLE_CMS_HEAVY_HITTERS),
     "embedding_qc": (q_embedding_qc, ORACLE_EMBEDDING_QC),
     "kmv_source_overlap": (q_kmv_source_overlap, ORACLE_KMV_SOURCE_OVERLAP),
+    "sample_weighted": (q_sample_weighted, ORACLE_SAMPLE_WEIGHTED),
     "value_band_join": (q_value_band_join, ORACLE_VALUE_BAND_JOIN),
     "sliding_window": (q_sliding_window, ORACLE_SLIDING_WINDOW),
     "inverted_index": (q_inverted_index, ORACLE_INVERTED_INDEX),

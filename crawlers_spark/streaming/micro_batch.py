@@ -367,3 +367,72 @@ def stream_dedup_exact(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming count-min sketch: maintain the 4x1024 int64 CMS grid
+    (operators/sketches.py) over a document stream, state keyed by
+    (lane, bucket) cell.
+
+    This is the FIXED-SIZE-state streaming shape — the grid never grows
+    past depth*width rows no matter how many distinct words arrive
+    (contrast stream_dedup_exact, whose state is one row per distinct
+    key because exact dedup inherently costs that). Per-batch update
+    cost is O(min(batch cells, grid)); each batch emits the updated
+    cells, so the reader reconstructs the current grid as max(count)
+    per cell (counts are monotone) and answers point-frequency queries
+    with the same min-over-lanes lookup as the batch sketch. Restarts
+    resume from checkpointed state — counts continue, never reset.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sketches import CMS_D, CMS_W, cms_buckets
+
+    src = spark.readStream.schema("doc_id long, text string").parquet(docs_dir)
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = src.filter(F.length(norm) > 0).select(
+        F.explode(F.split(norm, " ")).alias("word")
+    )
+    cells = words.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("lane"),
+                    F.expr(cms_buckets("word", k, CMS_W)).alias("bucket"),
+                )
+                for k in range(CMS_D)
+            ])
+        ).alias("lb")
+    ).select(F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
+
+    def add(key, pdfs, state: GroupState):
+        n = sum(len(p) for p in pdfs)
+        if n == 0:
+            return
+        prev = state.get[0] if state.exists else 0
+        total = prev + n
+        state.update((total,))
+        yield pd.DataFrame(
+            {"lane": [key[0]], "bucket": [key[1]], "count": [total]}
+        )
+
+    out = cells.groupBy("lane", "bucket").applyInPandasWithState(
+        add,
+        outputStructType="lane int, bucket bigint, count bigint",
+        stateStructType="count bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

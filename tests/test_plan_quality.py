@@ -282,3 +282,28 @@ def test_topk_queries_use_take_ordered(spark):
 
     assert "TakeOrderedAndProject" in _plan(q_top_unshipped_orders(spark, SF))
     assert "TakeOrderedAndProject" in _plan(q_returned_revenue_by_customer(spark, SF))
+
+
+def test_cms_grid_broadcast_and_combine_cached(spark):
+    """cms_heavy_hitters: the 4096-row grid must come back as a
+    broadcast (never a shuffle keyed on grid cells), and the word-count
+    combine must be a cached InMemoryTableScan so its shuffle runs once
+    across the grid/lookup/top-k branches."""
+    from crawlers_spark.queries import q_cms_heavy_hitters
+
+    df = q_cms_heavy_hitters(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_kmv_bottom_k_no_global_sort(spark):
+    """kmv_source_overlap: the corpus-sized stage must never globally
+    sort — bottom-k runs as windowed rank inside (source, salt) then
+    (source) partitions; a global Sort+Exchange(SinglePartition) would
+    be the wrong shape at 100 TB."""
+    from crawlers_spark.queries import q_kmv_source_overlap
+
+    df = q_kmv_source_overlap(spark, SF)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan

@@ -544,3 +544,44 @@ def test_grouped_agg_pandas_udaf_matches_sql_gini(spark):
     assert set(got) == set(want)
     for s in want:
         assert abs(got[s] - want[s]) < 1e-9, s
+
+
+# ------------------------------------------------------------ weighted draw
+
+
+def test_weighted_sample_favors_heavy_weights_and_is_stable(spark):
+    """A-ES hash-derandomized weighted sampling: the top-k by
+    ln(u)/w must (a) over-select heavy weights roughly in proportion,
+    (b) be a pure function of the ids — removing unselected rows must
+    not change the selected set (subset stability, the property that
+    makes the draw resumable over a growing corpus)."""
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10 + 1).alias("w")
+    )
+    lane = "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+    key = F.expr(
+        f"ln((cast({lane} as double) + 1.0d) / cast({1 << 60} as double))"
+        " / cast(w as double)"
+    )
+    keyed = df.select("doc_id", "w", key.alias("k"))
+    top = keyed.orderBy(F.desc("k"), "doc_id").limit(200)
+    rows = top.collect()
+    mean_sel = sum(r["w"] for r in rows) / len(rows)
+    mean_all = sum(range(1, 11)) / 10  # 5.5
+    # weighted-inclusion pushes the selected mean toward
+    # sum(w^2)/sum(w) = 7.0; without-replacement at a 10% draw dampens
+    # it, so require a clear but not full shift above the uniform 5.5
+    assert mean_sel > 1.1 * mean_all, f"selected mean weight {mean_sel}"
+    n_heavy = sum(1 for r in rows if r["w"] == 10)
+    n_light = sum(1 for r in rows if r["w"] == 1)
+    assert n_heavy > 3 * max(n_light, 1), (n_heavy, n_light)
+
+    sel_ids = {r["doc_id"] for r in rows}
+    # subset stability: restrict the population to the selected ids plus
+    # an arbitrary slice of the rest; the selected set must be unchanged
+    subset = keyed.filter(
+        F.col("doc_id").isin(*list(sel_ids)[:200]) | (F.col("doc_id") % 3 == 0)
+    )
+    rows2 = subset.orderBy(F.desc("k"), "doc_id").limit(200).collect()
+    assert {r["doc_id"] for r in rows2} == sel_ids

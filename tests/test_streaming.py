@@ -295,3 +295,68 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_heavy_hitters_grid_matches_batch(spark, tmp_path):
+    """Streaming CMS: the reconstructed grid (max count per cell across
+    emitted updates) equals the batch-built grid over the union of all
+    micro-batches, counts survive a restart, and state stays bounded by
+    the fixed grid size."""
+    from pyspark.sql import functions as F
+
+    from crawlers_spark.operators.sketches import CMS_D, CMS_W, cms_buckets
+    from crawlers_spark.streaming.micro_batch import stream_heavy_hitters
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["apple banana apple", "cherry banana"]}
+    ).to_parquet(os.path.join(docs_dir, "b1.parquet"))
+    q = stream_heavy_hitters(spark, docs_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    pd.DataFrame(
+        {"doc_id": [3], "text": ["apple date date"]}
+    ).to_parquet(os.path.join(docs_dir, "b2.parquet"))
+    q2 = stream_heavy_hitters(spark, docs_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        (r["lane"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(out_dir)
+        .groupBy("lane", "bucket")
+        .agg(F.max("count").alias("cnt"))
+        .collect()
+    }
+    # batch reference: same cells over the full corpus
+    words = (
+        spark.read.parquet(docs_dir)
+        .select(F.explode(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("word"))
+    )
+    want = {
+        (r["lane"], r["bucket"]): r["cnt"]
+        for r in words.select(
+            F.explode(F.array(*[
+                F.struct(F.lit(k).alias("lane"),
+                         F.expr(cms_buckets("word", k, CMS_W)).alias("bucket"))
+                for k in range(CMS_D)
+            ])).alias("lb")
+        )
+        .select("lb.lane", "lb.bucket")
+        .groupBy("lane", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+    # fixed-size state: never more rows than the grid has cells; batch 2
+    # touches only its own cells (3 distinct words x 4 lanes max)
+    prog = q2.lastProgress
+    ops = prog["stateOperators"] if isinstance(prog, dict) else prog.stateOperators
+    op = ops[0]
+    updated = op["numRowsUpdated"] if isinstance(op, dict) else op.numRowsUpdated
+    total = op["numRowsTotal"] if isinstance(op, dict) else op.numRowsTotal
+    assert total <= CMS_D * CMS_W
+    assert updated <= 3 * CMS_D
