@@ -220,3 +220,39 @@ def pagerank_int(
             )
         )
     return ranks
+
+
+def kcore_prune(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """``rounds`` iterations of k-core pruning over an undirected edge
+    list (one row per u<v pair): each round drops every vertex whose
+    degree in the SURVIVING subgraph is < k, then re-filters the edges
+    to surviving endpoints. Returns (node, degree) on the subgraph left
+    after the final round — a fixed-round prefix of the k-core
+    fixed-point, the classic "strip the periphery" graph-curation pass
+    (run with rounds >= graph diameter to reach the true core).
+
+    Each round is one hash-agg + two semi-joins on the shrinking edge
+    set; like pagerank_int the fixed ``rounds`` keeps the whole thing a
+    single declarative plan (cross-engine checkable). For a
+    convergence-probed variant at scale, cut lineage per round with
+    localCheckpoint exactly as connected_components does."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    for _ in range(rounds):
+        deg = sym.groupBy("a").agg(F.count("*").alias("n"))
+        keep = deg.filter(F.col("n") >= k).select("a")
+        sym = (
+            sym.join(keep, "a")
+            .join(keep.select(F.col("a").alias("b")), "b")
+            .select("a", "b")
+        )
+    return sym.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("degree")
+    )

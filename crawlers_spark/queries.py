@@ -3345,6 +3345,67 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """3 rounds of k=3 core pruning over the same user co-occurrence
+    graph as triangle_count: iteratively strip vertices with degree < 3,
+    re-filtering edges to survivors each round (operators/graph.py
+    kcore_prune — one hash-agg + two semi-joins per round on a
+    shrinking edge set). The periphery-stripping pass a link-graph
+    curation pipeline runs before expensive per-node work; fixed rounds
+    keep it one declarative cross-engine-checkable plan, and the
+    convergence-probed variant at scale follows connected_components'
+    per-round localCheckpoint pattern."""
+    from .operators.graph import kcore_prune
+
+    e = (
+        load_table(spark, sf, "events")
+        .filter(F.col("user_id") < 60)
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    edges = (
+        a.join(b, ["event_type", "day"])
+        .filter(F.col("a.user_id") < F.col("b.user_id"))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    return kcore_prune(edges, k=3, rounds=3)
+
+
+def _kcore_oracle() -> str:
+    # unroll the 3 pruning rounds as a WITH chain (same fixed-round
+    # pattern as the pagerank oracle)
+    rounds = []
+    prev = "sym"
+    for i in range(1, 4):
+        rounds.append(
+            f"d{i} AS (SELECT a, count(*) AS n FROM {prev} GROUP BY 1),\n"
+            f"k{i} AS (SELECT a FROM d{i} WHERE n >= 3),\n"
+            f"s{i} AS (SELECT s.a, s.b FROM {prev} s\n"
+            f"         JOIN k{i} x ON s.a = x.a JOIN k{i} y ON s.b = y.a)"
+        )
+        prev = f"s{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH e AS (
+  SELECT DISTINCT event_type, ts::DATE AS day, user_id
+  FROM events WHERE user_id < 60
+),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM e a JOIN e b ON a.event_type = b.event_type AND a.day = b.day
+  WHERE a.user_id < b.user_id
+),
+sym AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+{chain}
+SELECT a AS node, count(*) AS degree FROM {prev} GROUP BY 1
+"""
+
+
+ORACLE_KCORE = _kcore_oracle()
+
+
 ORACLE_TRIANGLE_COUNT = """
 WITH e AS (
   SELECT DISTINCT event_type, ts::DATE AS day, user_id
@@ -4306,6 +4367,7 @@ QUERIES: dict[str, tuple] = {
     "locf_daily": (q_locf_daily, ORACLE_LOCF_DAILY),
     "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL_REVENUE),
     "triangle_count": (q_triangle_count, ORACLE_TRIANGLE_COUNT),
+    "kcore": (q_kcore, ORACLE_KCORE),
     "weekly_retention": (q_weekly_retention, ORACLE_WEEKLY_RETENTION),
     "lineitem_unpivot": (q_lineitem_unpivot, ORACLE_LINEITEM_UNPIVOT),
     "moving_sum_7d": (q_moving_sum_7d, ORACLE_MOVING_SUM_7D),

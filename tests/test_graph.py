@@ -111,3 +111,27 @@ def test_cluster_best_keeps_highest_quality(spark):
         7: (7, 1), 8: (7, 0),
         99: (99, 1),
     }
+
+
+def test_kcore_prunes_cascade(spark):
+    """k-core pruning must cascade across rounds: a vertex that only
+    falls below k AFTER its weak neighbor is removed goes in a later
+    round, never the first."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from crawlers_spark.operators.graph import kcore_prune
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    # 5 hangs off the clique with degree 3 (1, 2, 6); 6 is degree-1
+    edges = clique + [(1, 5), (2, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+
+    r1 = {r["node"] for r in kcore_prune(df, k=3, rounds=1).collect()}
+    assert r1 == {1, 2, 3, 4, 5}  # 6 drops; 5 still has degree 3
+
+    r2 = {r["node"]: r["degree"] for r in kcore_prune(df, k=3, rounds=2).collect()}
+    assert set(r2) == {1, 2, 3, 4}  # 5 fell to degree 2 once 6 left
+    assert all(d == 3 for d in r2.values())
+
+    r3 = {r["node"] for r in kcore_prune(df, k=3, rounds=3).collect()}
+    assert r3 == {1, 2, 3, 4}  # fixed point: the 3-core is the clique
