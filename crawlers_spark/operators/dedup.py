@@ -301,3 +301,66 @@ def shingle_candidate_pairs(
         )
         .distinct()
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking at word granularity: (id, chunk_id,
+    chunk_text, n_words) with boundaries decided by each word's own
+    hash, not its position.
+
+    A word is the LAST word of its chunk when its 60-bit md5 lane is
+    ``0 mod divisor`` — so chunk boundaries depend only on local
+    content (expected chunk length = ``divisor`` words). That is the
+    property fixed-stride shingles lack: prepending one word to a
+    document shifts EVERY k-gram, but here all chunks after the first
+    surviving boundary re-synchronize and hash identically, which is
+    what lets chunk-level dedup catch documents that share a long tail
+    after divergent headers (the FastCDC/rsync boundary idea applied to
+    tokens; boundary hash = the repo's cross-engine md5 lane so the
+    whole pass is oracle-checkable).
+
+    Shape at scale: posexplode is per-row local; the only shuffle is
+    the per-document window that turns boundary flags into chunk ids
+    (partitioned by document — bounded by max doc length, never corpus
+    size), then one hash-agg rebuilds chunk text. Reference analog: the
+    reference dedups fetched pages byte-exact per URL
+    (/root/reference/utils/call_mysql.py's keyed upserts); chunk-level
+    dedup is the corpus-curation generalization.
+    """
+    from pyspark.sql import Window
+
+    lane = "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+                "pos", "w"
+            ),
+        )
+        .filter(F.col("w") != "")
+        .withColumn("cut", (F.expr(lane) % divisor == 0).cast("long"))
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn("chunk_id", F.coalesce(F.sum("cut").over(win), F.lit(0)))
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count("*").alias("n_words"),
+        )
+    )

@@ -256,3 +256,55 @@ def kcore_prune(
     return sym.groupBy(F.col("a").alias("node")).agg(
         F.count("*").alias("degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """``rounds`` synchronous label-propagation steps (Raghavan et al.
+    2007, public) over an undirected edge list (one row per u<v pair):
+    every node starts labeled with its own id; each round every node
+    adopts the most frequent label among its NEIGHBORS, ties broken by
+    the smallest label. Returns (node, community) after the final
+    round — the cheap community detector a link-graph curation pass
+    runs to group hosts/pages before per-community work (unlike
+    connected_components it splits dense regions joined by thin
+    bridges, not just disconnected ones).
+
+    Sync updates + a total tie order (count desc, label asc) make each
+    round a pure function of the previous labeling — deterministic at
+    any parallelism and cross-engine checkable by unrolling the rounds
+    as a WITH chain (same fixed-round pattern as pagerank_int/
+    kcore_prune). Each round: one join (labels onto the adjacency),
+    one hash-agg for (node, label) frequencies, one per-node window
+    top-1 — all keyed shuffles on the node id, nothing driver-side.
+    At scale, cut lineage per round with localCheckpoint exactly as
+    connected_components does; sync LPA can oscillate on bipartite
+    structures, which fixed rounds keep deterministic (documented
+    LPA behavior, not an implementation artifact)."""
+    from pyspark.sql import Window
+
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(rounds):
+        freq = (
+            sym.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            freq.withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -4282,6 +4282,241 @@ FROM t
 """
 
 
+def q_cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined-chunk duplicate pressure per document
+    (operators/dedup.cdc_chunks): chunk boundaries fall where a word's
+    own md5 lane is 0 mod 8, so an edited header shifts NOTHING after
+    the next boundary — the partial-overlap dedup lane that fixed
+    5-gram spans (span_dup_fraction) cannot provide cheaply. Chunk
+    texts hash to the 60-bit lane, chunk document-frequency is one
+    hash-agg, and each doc reports how much of it is made of chunks
+    seen in other documents. Scale: the only per-doc window is bounded
+    by doc length; everything else is hash-agg + one equi-join on the
+    chunk lane."""
+    from .operators.dedup import cdc_chunks
+
+    docs = load_table(spark, sf, "documents")
+    ch = cdc_chunks(docs, divisor=8).withColumn(
+        "lane",
+        F.expr("cast(conv(substring(md5(chunk_text), 1, 15), 16, 10) as bigint)"),
+    )
+    cdf = ch.groupBy("lane").agg(F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        ch.join(cdf, "lane")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared_chunks"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.col("n_words")).otherwise(F.lit(0))
+            ).cast("long").alias("n_shared_words"),
+        )
+        .select(
+            "doc_id", "n_chunks", "n_words", "n_shared_chunks", "n_shared_words",
+            F.round(
+                F.col("n_shared_words").cast("double") / F.col("n_words"), 6
+            ).alias("shared_frac_q6"),
+        )
+    )
+
+
+ORACLE_CDC_CHUNK_DEDUP = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(w) AS w, unnest(range(1, len(w) + 1)) AS pos
+  FROM t
+),
+flg AS (
+  SELECT doc_id, pos, w,
+         CAST(('0x' || substring(md5(w), 1, 15))::BIGINT % 8 = 0 AS BIGINT) AS cut
+  FROM tok WHERE w != ''
+),
+chk AS (
+  SELECT doc_id, pos, w,
+         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM flg
+),
+ch AS (
+  SELECT doc_id, chunk_id,
+         string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+         count(*) AS n_words
+  FROM chk GROUP BY 1, 2
+),
+lanes AS (
+  SELECT doc_id, chunk_id, n_words,
+         ('0x' || substring(md5(chunk_text), 1, 15))::BIGINT AS lane
+  FROM ch
+),
+cdf AS (SELECT lane, count(DISTINCT doc_id) AS n_docs FROM lanes GROUP BY 1)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(CAST(n_docs >= 2 AS BIGINT)) AS BIGINT) AS n_shared_chunks,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN n_words ELSE 0 END) AS BIGINT)
+         AS n_shared_words,
+       round(CAST(sum(CASE WHEN n_docs >= 2 THEN n_words ELSE 0 END) AS DOUBLE)
+             / sum(n_words), 6) AS shared_frac_q6
+FROM lanes JOIN cdf USING (lane)
+GROUP BY 1
+"""
+
+
+_BM25_TERMS = ("spark", "stream", "vector")
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75)
+    for a fixed 3-term query over the documents table — the ranking
+    pass that turns inverted_index from a data structure into a search
+    engine. Corpus stats (N, avgdl) are one tiny aggregate cross-joined
+    onto the term rows; per-term document frequencies are a 3-row
+    broadcast; the per-(doc,term) score is a pure expression of int64
+    counts so both engines produce bit-identical doubles, and the ≤3
+    contributions per doc are summed then rounded at 6 dp (the same
+    summation-order-noise convention as char_entropy). Top 20 by
+    (score, doc_id) lands as TakeOrderedAndProject — no global sort."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = (
+        d.filter(F.length(norm) > 0)
+        .select("doc_id", F.explode(F.split(norm, " ")).alias("word"))
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        words.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "word")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "ln(1.0 + (cast(n_docs - df as double) + 0.5)"
+                " / (cast(df as double) + 0.5))"
+                " * ((cast(tf as double) * 2.2)"
+                " / (cast(tf as double)"
+                "    + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl))))"
+            ).alias("part"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum("part"), 6).alias("score_q6"),
+        )
+        .orderBy(F.col("score_q6").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+ORACLE_BM25_SEARCH = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words
+       WHERE word IN {str(tuple(_BM25_TERMS))} GROUP BY 1, 2),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5))
+         * ((CAST(tf AS DOUBLE) * 2.2)
+            / (CAST(tf AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS part
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats JOIN dfreq USING (word)
+)
+SELECT doc_id, count(*) AS n_terms, round(sum(part), 6) AS score_q6
+FROM contrib GROUP BY 1
+ORDER BY score_q6 DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """3 synchronous label-propagation rounds over the same user
+    co-occurrence graph as triangle_count/kcore (operators/graph.py
+    label_propagation): each node adopts its neighbors' most frequent
+    label, ties to the smallest — the cheap community detector that
+    groups pages/hosts before per-community curation work, splitting
+    dense regions that connected components would merge across one
+    thin bridge. Output: node, community, community size. Fixed rounds
+    = one declarative plan, unrolled round-by-round in the oracle
+    (same pattern as pagerank/kcore)."""
+    from .operators.graph import label_propagation
+
+    e = (
+        load_table(spark, sf, "events")
+        .filter(F.col("user_id") < 60)
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    edges = (
+        a.join(b, ["event_type", "day"])
+        .filter(F.col("a.user_id") < F.col("b.user_id"))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    lp = label_propagation(edges, rounds=3)
+    sizes = lp.groupBy("community").agg(F.count("*").alias("community_size"))
+    return lp.join(sizes, "community").select("node", "community", "community_size")
+
+
+def _label_propagation_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, 4):
+        rounds.append(
+            f"n{i} AS (SELECT s.b AS node, l.lbl, count(*) AS c\n"
+            f"         FROM sym s JOIN {prev} l ON s.a = l.node GROUP BY 1, 2),\n"
+            f"r{i} AS (SELECT node, lbl, row_number() OVER\n"
+            f"           (PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM n{i}),\n"
+            f"l{i} AS (SELECT node, lbl FROM r{i} WHERE rn = 1)"
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH e AS (
+  SELECT DISTINCT event_type, ts::DATE AS day, user_id
+  FROM events WHERE user_id < 60
+),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM e a JOIN e b ON a.event_type = b.event_type AND a.day = b.day
+  WHERE a.user_id < b.user_id
+),
+sym AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym),
+{chain},
+sizes AS (SELECT lbl, count(*) AS community_size FROM {prev} GROUP BY 1)
+SELECT node, lbl AS community, community_size
+FROM {prev} JOIN sizes USING (lbl)
+"""
+
+
+ORACLE_LABEL_PROPAGATION = _label_propagation_oracle()
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -4390,6 +4625,9 @@ QUERIES: dict[str, tuple] = {
     "length_gini": (q_length_gini, ORACLE_LENGTH_GINI),
     "activity_heatmap": (q_activity_heatmap, ORACLE_ACTIVITY_HEATMAP),
     "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
+    "cdc_chunk_dedup": (q_cdc_chunk_dedup, ORACLE_CDC_CHUNK_DEDUP),
+    "bm25_search": (q_bm25_search, ORACLE_BM25_SEARCH),
+    "label_propagation": (q_label_propagation, ORACLE_LABEL_PROPAGATION),
 }
 
 

@@ -135,3 +135,37 @@ def test_kcore_prunes_cascade(spark):
 
     r3 = {r["node"] for r in kcore_prune(df, k=3, rounds=3).collect()}
     assert r3 == {1, 2, 3, 4}  # fixed point: the 3-core is the clique
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two 4-cliques joined by ONE bridge edge: connected components
+    merges them (one component), label propagation must NOT — inside a
+    clique the majority of every node's neighbors carry the clique's
+    min label after round 1, so the thin bridge cannot flip either
+    side. This is exactly the distinction the query docstring claims."""
+    from crawlers_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    df = spark.createDataFrame(c1 + c2 + [(4, 11)], "u long, v long")
+
+    lp = {r["node"]: r["community"] for r in
+          label_propagation(df, rounds=3).collect()}
+    left = {lp[n] for n in (1, 2, 3)}
+    right = {lp[n] for n in (12, 13, 14)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right  # the bridge did not merge the communities
+
+    cc = _comp_map(connected_components(df.selectExpr(
+        "u as id_a", "v as id_b")))
+    assert len({cc[n] for n in (1, 2, 3, 12, 13, 14)}) == 1  # CC merges
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from crawlers_spark.operators.graph import label_propagation
+
+    edges = [(a, b) for a in range(1, 9) for b in range(a + 1, 9) if (a + b) % 3]
+    df = spark.createDataFrame(edges, "u long, v long")
+    r1 = sorted(label_propagation(df.repartition(1), rounds=3).collect())
+    r13 = sorted(label_propagation(df.repartition(13), rounds=3).collect())
+    assert r1 == r13

@@ -585,3 +585,69 @@ def test_weighted_sample_favors_heavy_weights_and_is_stable(spark):
     )
     rows2 = subset.orderBy(F.desc("k"), "doc_id").limit(200).collect()
     assert {r["doc_id"] for r in rows2} == sel_ids
+
+
+# ------------------------------------------------- content-defined chunking
+
+
+def _chunk_texts(spark, docs):
+    from crawlers_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = cdc_chunks(df, divisor=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    return {d: [t for _i, t in sorted(v)] for d, v in by_doc.items()}
+
+
+def test_cdc_chunks_resync_after_prepended_header(spark):
+    """The load-bearing CDC property: prepending a header re-chunks at
+    most the prefix up to the first boundary — every later chunk hashes
+    identically, because boundaries depend only on each word's own
+    hash. Fixed-stride chunking (every 8 words by position) shifts
+    every chunk by construction, so the shared-tail signal is lost."""
+    import hashlib
+
+    words = [f"w{hashlib.md5(str(i).encode()).hexdigest()[:6]}" for i in range(80)]
+    base = " ".join(words)
+    mutant = "totally different header " + base
+    chunks = _chunk_texts(spark, [(1, base), (2, mutant)])
+
+    b, m = chunks[1], chunks[2]
+    # all base chunks after the first are bit-identical in the mutant
+    assert len(b) > 4
+    assert set(b[1:]) <= set(m)
+    # ...and the divergence is confined to the head
+    shared = set(b) & set(m)
+    assert len(shared) >= len(b) - 1
+
+    # contrast: positional 8-word chunks share NOTHING after a 4-word
+    # prepend (4 % 8 != 0 shifts every stride window)
+    fixed_b = {" ".join(words[i:i + 8]) for i in range(0, 80, 8)}
+    mwords = mutant.split(" ")
+    fixed_m = {" ".join(mwords[i:i + 8]) for i in range(0, len(mwords), 8)}
+    assert not (fixed_b & fixed_m)
+
+
+def test_cdc_chunks_reconstruct_and_boundary_invariant(spark):
+    """Chunks concatenated in chunk_id order reproduce the normalized
+    text, and every non-final chunk ends with a boundary word
+    (lane % 8 == 0) — no words lost, no boundary misplaced."""
+    from crawlers_spark.operators.dedup import cdc_chunks
+
+    text = "The quick BROWN fox   jumps over the lazy dog " * 12
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = sorted(cdc_chunks(df, divisor=8).collect(),
+                  key=lambda r: r["chunk_id"])
+    joined = " ".join(r["chunk_text"] for r in rows)
+    norm = " ".join(text.lower().split())
+    assert joined == norm
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+
+    lane_df = spark.createDataFrame(
+        [(r["chunk_text"].split(" ")[-1],) for r in rows[:-1]], "w string"
+    ).selectExpr(
+        "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % 8 as m"
+    )
+    assert all(r["m"] == 0 for r in lane_df.collect())
