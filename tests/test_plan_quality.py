@@ -307,3 +307,38 @@ def test_kmv_bottom_k_no_global_sort(spark):
     df = q_kmv_source_overlap(spark, SF)
     plan = _plan(df)
     assert "Exchange SinglePartition" not in plan
+
+
+def test_bm25_dims_broadcast_and_topk_bounded(spark):
+    """bm25_search: the 3-row df table and the 1-row corpus stats must
+    ride broadcast joins (never shuffle the term rows by word), and the
+    final top-20 must plan as TakeOrderedAndProject, not a global
+    sort."""
+    from crawlers_spark.queries import q_bm25_search
+
+    plan = _plan(q_bm25_search(spark, SF))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cdc_chunk_window_partitioned_by_doc(spark):
+    """cdc_chunk_dedup: the boundary-flag scan is the ONLY window in
+    the plan and it is partitioned by doc_id — a SinglePartition
+    exchange here would serialize the whole corpus through one task."""
+    from crawlers_spark.queries import q_cdc_chunk_dedup
+
+    plan = _plan(q_cdc_chunk_dedup(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan and "doc_id" in plan
+
+
+def test_label_propagation_no_single_partition(spark):
+    """label_propagation: per-round top-1 windows partition by node;
+    nothing in the fixed-round plan may collapse to one partition."""
+    from crawlers_spark.queries import q_label_propagation
+
+    plan = _plan(q_label_propagation(spark, SF))
+    assert "Exchange SinglePartition" not in plan
