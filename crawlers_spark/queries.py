@@ -4517,6 +4517,119 @@ FROM {prev} JOIN sizes USING (lbl)
 ORACLE_LABEL_PROPAGATION = _label_propagation_oracle()
 
 
+def q_host_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Proportional-fair division of one global fetch budget (B=1000)
+    across hosts by pending demand — the allocation step a frontier
+    scheduler runs each cycle before politeness pacing. Hamilton's
+    largest-remainder method in exact integer arithmetic: base share =
+    B*d DIV D, then the B - Σbase leftover units go to the largest
+    remainders (host id breaks ties) — allocations always sum to
+    EXACTLY B, something floating shares can't promise. The remainder
+    rank uses operators/ranking.global_rank, so no single-partition
+    window even with 10^8 hosts; scalars (total demand, leftover) ride
+    broadcast cross joins, never a collect. Demand here = events per
+    user standing in for pending URLs per host."""
+    from .operators.ranking import global_rank
+
+    B = 1000
+    d = (
+        load_table(spark, sf, "events")
+        .groupBy(F.col("user_id").alias("host_id"))
+        .agg(F.count("*").alias("demand"))
+    )
+    tot = d.agg(F.sum("demand").alias("dd"))
+    j = d.join(F.broadcast(tot)).select(
+        "host_id",
+        "demand",
+        F.expr(f"({B} * demand) DIV dd").alias("base"),
+        F.expr(f"({B} * demand) % dd").alias("rem"),
+    )
+    left = j.agg((F.lit(B) - F.sum("base")).cast("long").alias("leftover"))
+    ranked = global_rank(
+        j.withColumn("neg_rem", -F.col("rem")).join(F.broadcast(left)),
+        order_cols=["neg_rem", "host_id"],
+        out_col="rk",
+    )
+    return ranked.select(
+        "host_id",
+        "demand",
+        (F.col("base") + (F.col("rk") < F.col("leftover")).cast("long"))
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+ORACLE_HOST_BUDGET = """
+WITH d AS (SELECT user_id AS host_id, count(*) AS demand FROM events GROUP BY 1),
+t AS (SELECT sum(demand) AS dd FROM d),
+j AS (SELECT host_id, demand,
+             (1000 * demand) // dd AS base,
+             (1000 * demand) % dd AS rem
+      FROM d CROSS JOIN t),
+s AS (SELECT 1000 - sum(base) AS leftover FROM j),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host_id) - 1 AS rk FROM j)
+SELECT host_id, demand,
+       CAST(base + CASE WHEN rk < leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r CROSS JOIN s
+"""
+
+
+def q_recrawl_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Freshness-driven re-crawl ranking (Cho & Garcia-Molina, "Effective
+    page refresh policies", TODS 2003, public): estimate each page's
+    change rate from its fetch history, then prioritize by estimated
+    staleness = change rate × time since last visit. Events stand in
+    for the fetch log (one page per user_id; value > 50 marks a fetch
+    that observed a change). All integer-exact: λ in e6 micro-units by
+    integer division, age in whole days off the corpus' own max
+    timestamp (no wall clock — deterministic and NTZ-safe), priority =
+    λ_e6 × (age+1). One hash-agg over the log + a broadcast scalar;
+    top 20 lands as TakeOrderedAndProject."""
+    e = load_table(spark, sf, "events")
+    h = e.groupBy(F.col("user_id").alias("host_id")).agg(
+        F.count("*").alias("n_checks"),
+        F.sum((F.col("value") > 50.0).cast("long")).alias("n_changes"),
+        F.max("ts").alias("last_ts"),
+    )
+    ref = e.agg(F.max("ts").alias("ref_ts"))
+    return (
+        h.join(F.broadcast(ref))
+        .select(
+            "host_id",
+            "n_checks",
+            "n_changes",
+            F.datediff(F.to_date("ref_ts"), F.to_date("last_ts")).cast("long").alias("age_days"),
+            F.expr("(1000000 * n_changes) DIV n_checks").alias("lambda_e6"),
+        )
+        .withColumn(
+            "priority_e6",
+            (F.col("lambda_e6") * (F.col("age_days") + 1)).cast("long"),
+        )
+        .orderBy(F.col("priority_e6").desc(), F.col("host_id"))
+        .limit(20)
+    )
+
+
+ORACLE_RECRAWL_PRIORITY = """
+WITH h AS (
+  SELECT user_id AS host_id, count(*) AS n_checks,
+         CAST(sum(CAST(value > 50.0 AS BIGINT)) AS BIGINT) AS n_changes,
+         max(ts) AS last_ts
+  FROM events GROUP BY 1
+),
+r AS (SELECT max(ts) AS ref_ts FROM events)
+SELECT host_id, n_checks, n_changes,
+       CAST(date_diff('day', last_ts::DATE, ref_ts::DATE) AS BIGINT) AS age_days,
+       (1000000 * n_changes) // n_checks AS lambda_e6,
+       CAST(((1000000 * n_changes) // n_checks)
+            * (date_diff('day', last_ts::DATE, ref_ts::DATE) + 1) AS BIGINT)
+         AS priority_e6
+FROM h CROSS JOIN r
+ORDER BY priority_e6 DESC, host_id
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -4628,6 +4741,8 @@ QUERIES: dict[str, tuple] = {
     "cdc_chunk_dedup": (q_cdc_chunk_dedup, ORACLE_CDC_CHUNK_DEDUP),
     "bm25_search": (q_bm25_search, ORACLE_BM25_SEARCH),
     "label_propagation": (q_label_propagation, ORACLE_LABEL_PROPAGATION),
+    "host_budget_allocation": (q_host_budget_allocation, ORACLE_HOST_BUDGET),
+    "recrawl_priority": (q_recrawl_priority, ORACLE_RECRAWL_PRIORITY),
 }
 
 

@@ -342,3 +342,19 @@ def test_label_propagation_no_single_partition(spark):
 
     plan = _plan(q_label_propagation(spark, SF))
     assert "Exchange SinglePartition" not in plan
+
+
+def test_host_budget_no_single_partition(spark):
+    """host_budget_allocation: the remainder rank rides global_rank —
+    the plan must never collapse to a SinglePartition exchange."""
+    from crawlers_spark.queries import q_host_budget_allocation
+
+    plan = _plan(q_host_budget_allocation(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_recrawl_priority_take_ordered(spark):
+    from crawlers_spark.queries import q_recrawl_priority
+
+    plan = _plan(q_recrawl_priority(spark, SF))
+    assert "TakeOrderedAndProject" in plan

@@ -651,3 +651,52 @@ def test_cdc_chunks_reconstruct_and_boundary_invariant(spark):
         "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % 8 as m"
     )
     assert all(r["m"] == 0 for r in lane_df.collect())
+
+
+# --------------------------------------------- frontier budget / freshness
+
+
+def test_host_budget_allocation_sums_exactly(spark):
+    """Largest-remainder allocation must hand out EXACTLY the global
+    budget — the invariant floating-point proportional shares cannot
+    give — and each host gets base or base+1, never more."""
+    import pyspark.sql.functions as F
+
+    from crawlers_spark.queries import q_host_budget_allocation
+
+    out = q_host_budget_allocation(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert sum(r["alloc"] for r in rows) == 1000
+    tot = sum(r["demand"] for r in rows)
+    for r in rows:
+        base = (1000 * r["demand"]) // tot
+        assert r["alloc"] in (base, base + 1)
+
+
+def test_host_budget_allocation_hand_case(spark):
+    """Known Hamilton-method result: B=10 over demands 3/3/1 gives
+    quotas 4.286/4.286/1.429 → bases 4/4/1, one leftover unit to the
+    largest remainder (hosts 1 and 2 tie at 2/7 > host 3's 3/7?  no:
+    remainders are 30%7=2, 30%7=2, 10%7=3 → host 3 wins the unit)."""
+    import pyspark.sql.functions as F
+
+    from crawlers_spark.operators.ranking import global_rank
+
+    d = spark.createDataFrame([(1, 3), (2, 3), (3, 1)], "host_id long, demand long")
+    B, D = 10, 7
+    j = d.select(
+        "host_id", "demand",
+        F.expr(f"({B} * demand) DIV {D}").alias("base"),
+        F.expr(f"({B} * demand) % {D}").alias("rem"),
+    )
+    leftover = B - sum(r["base"] for r in j.collect())
+    ranked = global_rank(
+        j.withColumn("neg_rem", -F.col("rem")),
+        order_cols=["neg_rem", "host_id"], out_col="rk",
+    )
+    alloc = {
+        r["host_id"]: r["base"] + (1 if r["rk"] < leftover else 0)
+        for r in ranked.collect()
+    }
+    assert alloc == {1: 4, 2: 4, 3: 2}
+    assert sum(alloc.values()) == B
