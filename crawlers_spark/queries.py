@@ -4630,6 +4630,124 @@ LIMIT 20
 """
 
 
+def q_politeness_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """The first 100 fetches of a politeness-paced multi-host crawl,
+    as a deterministic timeline: each host's queue (events per user,
+    arrival order (ts, event_id)) is paced at that host's crawl delay
+    (500 + 250·(host%5) ms — a deterministic stand-in for
+    robots.txt Crawl-delay), fetch k of a host fires at k·delay, and
+    the global trace interleaves hosts by fire time. This is the
+    observable behavior the crawl engine's scheduler budgets produce
+    (operators/scheduler.py caps per (host, generation)); expressing
+    it declaratively makes the pacing law itself oracle-checkable.
+    Shape: one per-host window (row_number, bounded by queue length)
+    + a bounded global top-k (TakeOrderedAndProject) — no full sort."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("host_id").orderBy("ts", "event_id")
+    q = e.select(
+        F.col("user_id").alias("host_id"),
+        "event_id",
+        "ts",
+        (F.lit(500) + (F.col("user_id") % 5) * 250).alias("delay_ms"),
+    ).withColumn("slot", F.row_number().over(w) - 1)
+    return (
+        q.select(
+            "host_id",
+            "event_id",
+            "delay_ms",
+            (F.col("slot") * F.col("delay_ms")).cast("long").alias("sched_ms"),
+        )
+        .orderBy("sched_ms", "host_id", "event_id")
+        .limit(100)
+    )
+
+
+ORACLE_POLITENESS_SCHEDULE = """
+WITH q AS (
+  SELECT user_id AS host_id, event_id,
+         500 + (user_id % 5) * 250 AS delay_ms,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS slot
+  FROM events
+)
+SELECT host_id, event_id, CAST(delay_ms AS BIGINT) AS delay_ms,
+       CAST(slot * delay_ms AS BIGINT) AS sched_ms
+FROM q
+ORDER BY sched_ms, host_id, event_id
+LIMIT 100
+"""
+
+
+def q_crawl_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot delta between two crawls of the same corpus — the
+    incremental re-crawl planner's input: which pages are NEW (this
+    crawl only), GONE (previous crawl only), CHANGED (both, content
+    fingerprint differs), UNCHANGED. Snapshots derive deterministically
+    from the documents table (old = doc_id % 3 != 0, new = doc_id % 5
+    != 0, with docs at doc_id % 7 == 0 mutated in the new crawl), so
+    the classification is oracle-exact. Shape: full-outer join on the
+    page key comparing md5 fingerprints — at 100 TB this is the
+    bucketed-by-url_hash join the checkpointed seen-set already
+    provides for free; neither side ever sorts or collects."""
+    from .operators.dedup import normalize_text
+
+    d = load_table(spark, sf, "documents")
+    fp = F.md5(normalize_text(F.col("text")))
+    old = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", fp.alias("fp_old")
+    )
+    new = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            normalize_text(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" updated-content")),
+                ).otherwise(F.col("text"))
+            )
+        ).alias("fp_new"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("new"))
+        .when(F.col("fp_new").isNull(), F.lit("gone"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n_pages"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+ORACLE_CRAWL_DELTA = """
+WITH old AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_old
+  FROM documents WHERE doc_id % 3 != 0
+),
+new AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(
+           CASE WHEN doc_id % 7 = 0 THEN text || ' updated-content'
+                ELSE text END), '\\s+', ' ', 'g'))) AS fp_new
+  FROM documents WHERE doc_id % 5 != 0
+),
+j AS (
+  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+         CASE WHEN fp_old IS NULL THEN 'new'
+              WHEN fp_new IS NULL THEN 'gone'
+              WHEN fp_old != fp_new THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+)
+SELECT status, count(*) AS n_pages,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM j GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -4743,6 +4861,8 @@ QUERIES: dict[str, tuple] = {
     "label_propagation": (q_label_propagation, ORACLE_LABEL_PROPAGATION),
     "host_budget_allocation": (q_host_budget_allocation, ORACLE_HOST_BUDGET),
     "recrawl_priority": (q_recrawl_priority, ORACLE_RECRAWL_PRIORITY),
+    "politeness_schedule": (q_politeness_schedule, ORACLE_POLITENESS_SCHEDULE),
+    "crawl_delta": (q_crawl_delta, ORACLE_CRAWL_DELTA),
 }
 
 

@@ -358,3 +358,12 @@ def test_recrawl_priority_take_ordered(spark):
 
     plan = _plan(q_recrawl_priority(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_politeness_schedule_bounded_topk(spark):
+    """politeness_schedule: per-host pacing windows partition by host;
+    the global first-100 trace must plan as TakeOrderedAndProject."""
+    from crawlers_spark.queries import q_politeness_schedule
+
+    plan = _plan(q_politeness_schedule(spark, SF))
+    assert "TakeOrderedAndProject" in plan
