@@ -332,8 +332,6 @@ def cdc_chunks(
     (/root/reference/utils/call_mysql.py's keyed upserts); chunk-level
     dedup is the corpus-curation generalization.
     """
-    from pyspark.sql import Window
-
     lane = "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"
     toks = (
         df.select(

@@ -4290,9 +4290,12 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     5-gram spans (span_dup_fraction) cannot provide cheaply. Chunk
     texts hash to the 60-bit lane, chunk document-frequency is one
     hash-agg, and each doc reports how much of it is made of chunks
-    seen in other documents. Scale: the only per-doc window is bounded
-    by doc length; everything else is hash-agg + one equi-join on the
-    chunk lane."""
+    seen in other documents. Scale: the per-doc boundary window is
+    bounded by doc length, and the chunk document-frequency comes from
+    a collect_set window over the lane partition — the chunking
+    subplan is evaluated ONCE and shuffled once by lane (a cdf
+    aggregate + join-back would re-run posexplode + window + rebuild a
+    second time; Catalyst does not dedup common subplans)."""
     from .operators.dedup import cdc_chunks
 
     docs = load_table(spark, sf, "documents")
@@ -4300,10 +4303,12 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "lane",
         F.expr("cast(conv(substring(md5(chunk_text), 1, 15), 16, 10) as bigint)"),
     )
-    cdf = ch.groupBy("lane").agg(F.count_distinct("doc_id").alias("n_docs"))
+    ch = ch.withColumn(
+        "n_docs",
+        F.size(F.collect_set("doc_id").over(Window.partitionBy("lane"))),
+    )
     return (
-        ch.join(cdf, "lane")
-        .groupBy("doc_id")
+        ch.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),
             F.sum("n_words").cast("long").alias("n_words"),
@@ -4524,11 +4529,15 @@ def q_host_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
     largest-remainder method in exact integer arithmetic: base share =
     B*d DIV D, then the B - Σbase leftover units go to the largest
     remainders (host id breaks ties) — allocations always sum to
-    EXACTLY B, something floating shares can't promise. The remainder
-    rank uses operators/ranking.global_rank, so no single-partition
-    window even with 10^8 hosts; scalars (total demand, leftover) ride
-    broadcast cross joins, never a collect. Demand here = events per
-    user standing in for pending URLs per host."""
+    EXACTLY B, something floating shares can't promise. The effective
+    budget is min(B, total demand) — with B < D every base share
+    floor(B·d/D) is strictly below d, so no host is ever allocated
+    more fetches than it has pending; with demand short of budget
+    every host simply gets its full queue. The remainder rank uses
+    operators/ranking.global_rank, so no single-partition window even
+    with 10^8 hosts; scalars (total demand, leftover) ride broadcast
+    cross joins, never a collect. Demand here = events per user
+    standing in for pending URLs per host."""
     from .operators.ranking import global_rank
 
     B = 1000
@@ -4537,14 +4546,17 @@ def q_host_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("user_id").alias("host_id"))
         .agg(F.count("*").alias("demand"))
     )
-    tot = d.agg(F.sum("demand").alias("dd"))
+    tot = d.agg(F.sum("demand").alias("dd")).select(
+        "dd", F.expr(f"least(cast({B} as bigint), dd)").alias("beff")
+    )
     j = d.join(F.broadcast(tot)).select(
         "host_id",
         "demand",
-        F.expr(f"({B} * demand) DIV dd").alias("base"),
-        F.expr(f"({B} * demand) % dd").alias("rem"),
+        F.expr("(beff * demand) DIV dd").alias("base"),
+        F.expr("(beff * demand) % dd").alias("rem"),
+        "beff",
     )
-    left = j.agg((F.lit(B) - F.sum("base")).cast("long").alias("leftover"))
+    left = j.agg((F.max("beff") - F.sum("base")).cast("long").alias("leftover"))
     ranked = global_rank(
         j.withColumn("neg_rem", -F.col("rem")).join(F.broadcast(left)),
         order_cols=["neg_rem", "host_id"],
@@ -4561,12 +4573,14 @@ def q_host_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_HOST_BUDGET = """
 WITH d AS (SELECT user_id AS host_id, count(*) AS demand FROM events GROUP BY 1),
-t AS (SELECT sum(demand) AS dd FROM d),
+t AS (SELECT dd, least(1000::BIGINT, dd) AS beff
+      FROM (SELECT sum(demand) AS dd FROM d)),
 j AS (SELECT host_id, demand,
-             (1000 * demand) // dd AS base,
-             (1000 * demand) % dd AS rem
+             (beff * demand) // dd AS base,
+             (beff * demand) % dd AS rem,
+             beff
       FROM d CROSS JOIN t),
-s AS (SELECT 1000 - sum(base) AS leftover FROM j),
+s AS (SELECT max(beff) - sum(base) AS leftover FROM j),
 r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host_id) - 1 AS rk FROM j)
 SELECT host_id, demand,
        CAST(base + CASE WHEN rk < leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
@@ -4692,9 +4706,12 @@ def q_crawl_delta(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import normalize_text
 
     d = load_table(spark, sf, "documents")
-    fp = F.md5(normalize_text(F.col("text")))
+    # coalesce text to '' BEFORE fingerprinting: a NULL-text page must
+    # still fingerprint (md5(NULL) is NULL, and a NULL fp on both sides
+    # would misclassify a page present in both crawls as 'new')
+    txt = F.coalesce(F.col("text"), F.lit(""))
     old = d.filter(F.col("doc_id") % 3 != 0).select(
-        "doc_id", fp.alias("fp_old")
+        "doc_id", F.md5(normalize_text(txt)).alias("fp_old")
     )
     new = d.filter(F.col("doc_id") % 5 != 0).select(
         "doc_id",
@@ -4702,8 +4719,8 @@ def q_crawl_delta(spark: SparkSession, sf: str) -> DataFrame:
             normalize_text(
                 F.when(
                     F.col("doc_id") % 7 == 0,
-                    F.concat(F.col("text"), F.lit(" updated-content")),
-                ).otherwise(F.col("text"))
+                    F.concat(txt, F.lit(" updated-content")),
+                ).otherwise(txt)
             )
         ).alias("fp_new"),
     )
@@ -4724,14 +4741,15 @@ def q_crawl_delta(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_CRAWL_DELTA = """
 WITH old AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_old
+         md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')))
+           AS fp_old
   FROM documents WHERE doc_id % 3 != 0
 ),
 new AS (
   SELECT doc_id,
          md5(trim(regexp_replace(lower(
-           CASE WHEN doc_id % 7 = 0 THEN text || ' updated-content'
-                ELSE text END), '\\s+', ' ', 'g'))) AS fp_new
+           CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' updated-content'
+                ELSE coalesce(text, '') END), '\\s+', ' ', 'g'))) AS fp_new
   FROM documents WHERE doc_id % 5 != 0
 ),
 j AS (

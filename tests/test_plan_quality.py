@@ -325,14 +325,21 @@ def test_bm25_dims_broadcast_and_topk_bounded(spark):
 
 
 def test_cdc_chunk_window_partitioned_by_doc(spark):
-    """cdc_chunk_dedup: the boundary-flag scan is the ONLY window in
-    the plan and it is partitioned by doc_id — a SinglePartition
-    exchange here would serialize the whole corpus through one task."""
+    """cdc_chunk_dedup: both windows must carry a real PARTITION BY
+    (boundary flags by doc_id, chunk document-frequency by lane) — an
+    unpartitioned windowspecdefinition would serialize the whole
+    corpus through one task. Asserted on the windowspec itself, not
+    on column names appearing anywhere in the plan."""
+    import re
+
     from crawlers_spark.queries import q_cdc_chunk_dedup
 
     plan = _plan(q_cdc_chunk_dedup(spark, SF))
     assert "Exchange SinglePartition" not in plan
-    assert "Window" in plan and "doc_id" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert len(specs) == 2
+    assert any(s.startswith("doc_id") for s in specs)
+    assert any(s.startswith("lane") for s in specs)
 
 
 def test_label_propagation_no_single_partition(spark):

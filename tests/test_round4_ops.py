@@ -657,46 +657,62 @@ def test_cdc_chunks_reconstruct_and_boundary_invariant(spark):
 
 
 def test_host_budget_allocation_sums_exactly(spark):
-    """Largest-remainder allocation must hand out EXACTLY the global
-    budget — the invariant floating-point proportional shares cannot
-    give — and each host gets base or base+1, never more."""
-    import pyspark.sql.functions as F
-
+    """Largest-remainder allocation must hand out EXACTLY the effective
+    budget min(B, total demand) — the invariant floating-point
+    proportional shares cannot give — and no host is ever allocated
+    more than its own pending demand."""
     from crawlers_spark.queries import q_host_budget_allocation
 
     out = q_host_budget_allocation(spark, "/root/testdata/sf0.001")
     rows = out.collect()
-    assert sum(r["alloc"] for r in rows) == 1000
     tot = sum(r["demand"] for r in rows)
+    beff = min(1000, tot)
+    assert sum(r["alloc"] for r in rows) == beff
     for r in rows:
-        base = (1000 * r["demand"]) // tot
+        base = (beff * r["demand"]) // tot
         assert r["alloc"] in (base, base + 1)
+        assert r["alloc"] <= r["demand"]
 
 
-def test_host_budget_allocation_hand_case(spark):
-    """Known Hamilton-method result: B=10 over demands 3/3/1 gives
-    quotas 4.286/4.286/1.429 → bases 4/4/1, one leftover unit to the
-    largest remainder (hosts 1 and 2 tie at 2/7 > host 3's 3/7?  no:
-    remainders are 30%7=2, 30%7=2, 10%7=3 → host 3 wins the unit)."""
+def _hamilton(spark, demands, B):
     import pyspark.sql.functions as F
 
     from crawlers_spark.operators.ranking import global_rank
 
-    d = spark.createDataFrame([(1, 3), (2, 3), (3, 1)], "host_id long, demand long")
-    B, D = 10, 7
+    d = spark.createDataFrame(
+        [(i + 1, dem) for i, dem in enumerate(demands)],
+        "host_id long, demand long",
+    )
+    D = sum(demands)
+    beff = min(B, D)
     j = d.select(
         "host_id", "demand",
-        F.expr(f"({B} * demand) DIV {D}").alias("base"),
-        F.expr(f"({B} * demand) % {D}").alias("rem"),
+        F.expr(f"({beff} * demand) DIV {D}").alias("base"),
+        F.expr(f"({beff} * demand) % {D}").alias("rem"),
     )
-    leftover = B - sum(r["base"] for r in j.collect())
+    leftover = beff - sum(r["base"] for r in j.collect())
     ranked = global_rank(
         j.withColumn("neg_rem", -F.col("rem")),
         order_cols=["neg_rem", "host_id"], out_col="rk",
     )
-    alloc = {
+    return {
         r["host_id"]: r["base"] + (1 if r["rk"] < leftover else 0)
         for r in ranked.collect()
     }
-    assert alloc == {1: 4, 2: 4, 3: 2}
-    assert sum(alloc.values()) == B
+
+
+def test_host_budget_allocation_hand_case(spark):
+    """Known Hamilton-method result: B=5 over demands 3/3/1 gives
+    quotas 15/7, 15/7, 5/7 → bases 2/2/0, remainders 1/1/5 — the one
+    leftover unit goes to host 3 (largest remainder)."""
+    alloc = _hamilton(spark, [3, 3, 1], B=5)
+    assert alloc == {1: 2, 2: 2, 3: 1}
+    assert sum(alloc.values()) == 5
+
+
+def test_host_budget_allocation_caps_at_demand(spark):
+    """Budget above total demand must NOT mint phantom fetches: with
+    3 hosts of demand 1 and B=1000, every host gets exactly its queue
+    (effective budget = total demand)."""
+    alloc = _hamilton(spark, [1, 1, 1], B=1000)
+    assert alloc == {1: 1, 2: 1, 3: 1}
