@@ -4766,6 +4766,141 @@ FROM j GROUP BY 1
 """
 
 
+def q_worker_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding of hosts onto 8
+    frontier workers (Thaler & Ravishankar 1998, public): each host
+    goes to the worker with the max md5 lane of (host, worker) — the
+    assignment law that gives a distributed crawler stable politeness
+    ownership (adding worker 9 later moves only ~1/9 of hosts, unlike
+    mod-N which reshuffles nearly everything). Per-worker load report:
+    hosts owned and total pending demand. Shape: hosts × 8 candidate
+    rows (a plan-side explode, no data read twice), per-host argmax as
+    a window top-1 partitioned by host — never a driver loop; the
+    whole assignment is a pure function of ids, so any executor can
+    recompute ownership without coordination."""
+    hosts = (
+        load_table(spark, sf, "events")
+        .groupBy(F.col("user_id").alias("host_id"))
+        .agg(F.count("*").alias("demand"))
+    )
+    cand = hosts.select(
+        "host_id",
+        "demand",
+        F.explode(F.expr("sequence(0, 7)")).alias("worker"),
+    ).withColumn(
+        "score",
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(host_id as string), '|',"
+            " cast(worker as string))), 1, 15), 16, 10) as bigint)"
+        ),
+    )
+    w = Window.partitionBy("host_id").orderBy(
+        F.col("score").desc(), F.col("worker")
+    )
+    owned = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return owned.groupBy("worker").agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("demand").cast("long").alias("total_demand"),
+    )
+
+
+ORACLE_WORKER_ASSIGNMENT = """
+WITH hosts AS (
+  SELECT user_id AS host_id, count(*) AS demand FROM events GROUP BY 1
+),
+cand AS (
+  SELECT host_id, demand, w.worker,
+         ('0x' || substring(md5(host_id::VARCHAR || '|' || w.worker::VARCHAR),
+                            1, 15))::BIGINT AS score
+  FROM hosts CROSS JOIN (SELECT unnest(range(0, 8)) AS worker) w
+),
+owned AS (
+  SELECT host_id, demand, worker,
+         row_number() OVER (PARTITION BY host_id
+                            ORDER BY score DESC, worker) AS rn
+  FROM cand
+)
+SELECT worker, count(*) AS n_hosts, CAST(sum(demand) AS BIGINT) AS total_demand
+FROM owned WHERE rn = 1 GROUP BY 1
+"""
+
+
+def q_dedup_remove_shared_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """The ACTION end of cdc_chunk_dedup's report: rewrite each
+    document with its corpus-duplicated chunks removed (the C4 "drop
+    text duplicated across the corpus" rule at content-defined-chunk
+    granularity — boundaries resync after edits, so shared tails are
+    caught behind divergent headers). A chunk is dropped when its text
+    occurs in ≥2 distinct documents; survivors reassemble in position
+    order. Same single-evaluation shape as the report: one per-doc
+    boundary window, one collect_set window over the chunk lane, one
+    final per-doc rebuild — the corpus never feeds two subplans."""
+    from .operators.dedup import cdc_chunks
+
+    docs = load_table(spark, sf, "documents")
+    ch = cdc_chunks(docs, divisor=8).withColumn(
+        "lane",
+        F.expr("cast(conv(substring(md5(chunk_text), 1, 15), 16, 10) as bigint)"),
+    )
+    ch = ch.withColumn(
+        "n_docs",
+        F.size(F.collect_set("doc_id").over(Window.partitionBy("lane"))),
+    )
+    kept = ch.filter(F.col("n_docs") < 2)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("text_clean"),
+            F.sum("n_words").cast("long").alias("n_words_kept"),
+        )
+    )
+
+
+ORACLE_REMOVE_SHARED_CHUNKS = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(w) AS w, unnest(range(1, len(w) + 1)) AS pos FROM t
+),
+flg AS (
+  SELECT doc_id, pos, w,
+         CAST(('0x' || substring(md5(w), 1, 15))::BIGINT % 8 = 0 AS BIGINT) AS cut
+  FROM tok WHERE w != ''
+),
+chk AS (
+  SELECT doc_id, pos, w,
+         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM flg
+),
+ch AS (
+  SELECT doc_id, chunk_id,
+         string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+         count(*) AS n_words
+  FROM chk GROUP BY 1, 2
+),
+cdf AS (
+  SELECT chunk_text, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY 1
+),
+kept AS (
+  SELECT ch.* FROM ch JOIN cdf USING (chunk_text) WHERE cdf.n_docs < 2
+)
+SELECT doc_id,
+       string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text_clean,
+       CAST(sum(n_words) AS BIGINT) AS n_words_kept
+FROM kept GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -4881,6 +5016,11 @@ QUERIES: dict[str, tuple] = {
     "recrawl_priority": (q_recrawl_priority, ORACLE_RECRAWL_PRIORITY),
     "politeness_schedule": (q_politeness_schedule, ORACLE_POLITENESS_SCHEDULE),
     "crawl_delta": (q_crawl_delta, ORACLE_CRAWL_DELTA),
+    "worker_assignment": (q_worker_assignment, ORACLE_WORKER_ASSIGNMENT),
+    "dedup_remove_shared_chunks": (
+        q_dedup_remove_shared_chunks,
+        ORACLE_REMOVE_SHARED_CHUNKS,
+    ),
 }
 
 

@@ -374,3 +374,17 @@ def test_politeness_schedule_bounded_topk(spark):
 
     plan = _plan(q_politeness_schedule(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_worker_assignment_no_single_partition(spark):
+    """worker_assignment: the HRW argmax windows partition by host_id
+    and the candidate fan-out is a plan-side explode — nothing may
+    collapse to a SinglePartition exchange."""
+    import re
+
+    from crawlers_spark.queries import q_worker_assignment
+
+    plan = _plan(q_worker_assignment(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.startswith("host_id") for s in specs)
