@@ -4901,6 +4901,300 @@ FROM kept GROUP BY 1
 """
 
 
+def q_bloom_seen_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """The URL-seen Bloom-filter law itself, cross-engine checkable —
+    the declarative twin of the engine's partitioned seen-set
+    (operators/seen_set.py builds one filter per host bucket and
+    merges via treeAggregate; reference analog: the visited-set checks
+    in /root/reference crawl loops). Per host bucket a 1008-bit filter
+    (16 words x 63 bits — 63 keeps every mask positive in both
+    engines' signed int64), k=2 md5 lanes per URL. Seen set = even
+    event URLs; probe set = every-third event URLs, so probes mix
+    members and non-members. Output per bucket: probes, exact members,
+    Bloom hits, false positives — and false negatives, which the Bloom
+    law guarantees are ZERO (the invariant the oracle re-derives
+    bit-for-bit via the same bit_or word aggregation). Shape at scale:
+    filter build is one hash-agg over (bucket, word) — 16x16 rows
+    total regardless of corpus size — and the probe side is a
+    broadcast join against those words; nothing sorts or collects."""
+    e = load_table(spark, sf, "events")
+    url = F.concat(
+        F.lit("http://host"),
+        F.col("user_id").cast("string"),
+        F.lit(".test/p"),
+        F.col("event_id").cast("string"),
+    )
+    base = e.select(
+        F.col("event_id"),
+        (F.col("user_id") % 16).cast("long").alias("bucket"),
+        url.alias("url"),
+    )
+
+    def lanes(df):
+        out = df
+        for i in (1, 2):
+            out = out.withColumn(
+                f"pos{i}",
+                F.expr(
+                    f"cast(conv(substring(md5(concat('{i}|', url)), 1, 15),"
+                    " 16, 10) as bigint) % 1008"
+                ),
+            )
+        return out.select(
+            "*",
+            F.explode(F.array(F.col("pos1"), F.col("pos2"))).alias("pos"),
+        ).select(
+            "*",
+            (F.col("pos") / 63).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 63 as int))").alias("mask"),
+        )
+
+    seen = base.filter(F.col("event_id") % 2 == 0)
+    filt = (
+        lanes(seen)
+        .groupBy("bucket", "word")
+        .agg(F.bit_or("mask").alias("wval"))
+    )
+    probes = lanes(base.filter(F.col("event_id") % 3 == 0))
+    hit = (
+        probes.join(F.broadcast(filt), ["bucket", "word"], "left")
+        .groupBy("bucket", "url")
+        .agg(
+            F.bool_and(
+                F.col("wval").isNotNull()
+                & (F.col("wval").bitwiseAND(F.col("mask")) == F.col("mask"))
+            ).alias("bloom_hit")
+        )
+    )
+    member = (
+        hit.join(
+            seen.select("url", F.lit(1).alias("m")), "url", "left"
+        ).withColumn("is_member", F.col("m").isNotNull())
+    )
+    return member.groupBy("bucket").agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).cast("long").alias("n_members"),
+        F.sum(F.col("bloom_hit").cast("long")).cast("long").alias("n_bloom_hits"),
+        F.sum((F.col("bloom_hit") & ~F.col("is_member")).cast("long"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum((F.col("is_member") & ~F.col("bloom_hit")).cast("long"))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+
+
+ORACLE_BLOOM_SEEN_SQL = """
+WITH base AS (
+  SELECT event_id, user_id % 16 AS bucket,
+         'http://host' || user_id::VARCHAR || '.test/p' || event_id::VARCHAR
+           AS url
+  FROM events
+),
+lanes AS (
+  SELECT b.*, l.pos, l.pos // 63 AS word,
+         (1::BIGINT << (l.pos % 63)::INT) AS mask
+  FROM base b, LATERAL (
+    SELECT unnest(ARRAY[
+      ('0x' || substring(md5('1|' || url), 1, 15))::BIGINT % 1008,
+      ('0x' || substring(md5('2|' || url), 1, 15))::BIGINT % 1008
+    ]) AS pos
+  ) l
+),
+filt AS (
+  SELECT bucket, word, bit_or(mask) AS wval
+  FROM lanes WHERE event_id % 2 = 0 GROUP BY 1, 2
+),
+hit AS (
+  SELECT p.bucket, p.url,
+         bool_and(f.wval IS NOT NULL AND (f.wval & p.mask) = p.mask)
+           AS bloom_hit
+  FROM lanes p
+  LEFT JOIN filt f ON p.bucket = f.bucket AND p.word = f.word
+  WHERE p.event_id % 3 = 0
+  GROUP BY 1, 2
+),
+mem AS (
+  SELECT h.bucket, h.bloom_hit,
+         (s.url IS NOT NULL) AS is_member
+  FROM hit h
+  LEFT JOIN (SELECT DISTINCT url FROM base WHERE event_id % 2 = 0) s
+    ON h.url = s.url
+)
+SELECT bucket, count(*) AS n_probes,
+       CAST(sum(CAST(is_member AS BIGINT)) AS BIGINT) AS n_members,
+       CAST(sum(CAST(bloom_hit AS BIGINT)) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(CAST(bloom_hit AND NOT is_member AS BIGINT)) AS BIGINT)
+         AS n_false_pos,
+       CAST(sum(CAST(is_member AND NOT bloom_hit AS BIGINT)) AS BIGINT)
+         AS n_false_neg
+FROM mem GROUP BY 1
+"""
+
+
+def q_crawl_trap_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-trap detection by URL-template explosion (the
+    Mercator-style guard against calendar/session-id traps, public:
+    Heydon & Najork 1999): collapse each URL path to its template
+    (digit runs -> 'N') and flag hosts whose distinct-URL count
+    explodes relative to their distinct-template count — a host
+    serving 10,000 URLs from 3 templates is a trap; one serving 40
+    URLs from 35 templates is a real site. Paths derive
+    deterministically from events (hosts at user_id % 4 == 0 emit
+    untemplated paths, the rest embed event_id — so both verdicts
+    occur). The trap flag is integer cross-multiplied
+    (n_urls > 10 * n_templates), exact in both engines. Shape: one
+    hash-agg with two count-distincts (a single Expand pass), no
+    joins, no sort — per-host cardinality work that a 100-TB frontier
+    would run as approx_count_distinct with the same plan."""
+    e = load_table(spark, sf, "events")
+    path = F.when(
+        F.col("user_id") % 4 == 0, F.concat(F.lit("/"), F.col("event_type"))
+    ).otherwise(
+        F.concat(
+            F.lit("/"),
+            F.col("event_type"),
+            F.lit("/"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    d = e.select(
+        F.col("user_id").alias("host_id"),
+        path.alias("path"),
+    ).withColumn("template", F.regexp_replace("path", "[0-9]+", "N"))
+    return (
+        d.groupBy("host_id")
+        .agg(
+            F.countDistinct("path").alias("n_urls"),
+            F.countDistinct("template").alias("n_templates"),
+        )
+        .withColumn(
+            "trapped",
+            (F.col("n_urls") > 10 * F.col("n_templates")).cast("long"),
+        )
+    )
+
+
+ORACLE_CRAWL_TRAP = """
+WITH d AS (
+  SELECT user_id AS host_id,
+         CASE WHEN user_id % 4 = 0 THEN '/' || event_type
+              ELSE '/' || event_type || '/' || event_id::VARCHAR END AS path
+  FROM events
+)
+SELECT host_id,
+       count(DISTINCT path) AS n_urls,
+       count(DISTINCT regexp_replace(path, '[0-9]+', 'N', 'g')) AS n_templates,
+       CAST(count(DISTINCT path) >
+            10 * count(DISTINCT regexp_replace(path, '[0-9]+', 'N', 'g'))
+         AS BIGINT) AS trapped
+FROM d GROUP BY 1
+"""
+
+
+def q_politeness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-delay conformance audit over a fetch log — the inverse of
+    politeness_schedule: given fetches that already happened (events:
+    host = user_id, fetch instant = ts), count per host how many
+    violated that host's crawl delay (500 + 250*(host%5) ms, the same
+    deterministic robots.txt stand-in). Gaps are measured in
+    MICROSECONDS via NTZ-NTZ subtraction (exact at storage granularity
+    in both engines; millisecond boundary-crossing semantics differ
+    cross-engine — the r1 lesson applies). Shape: one per-host window
+    (lag over (ts, event_id)) + one hash-agg; partitions by host, so
+    no single-partition exchange at any scale."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("host_id").orderBy("ts", "event_id")
+    g = (
+        e.select(
+            F.col("user_id").alias("host_id"),
+            "event_id",
+            "ts",
+            ((F.lit(500) + (F.col("user_id") % 5) * 250) * 1000)
+            .cast("long")
+            .alias("delay_us"),
+        )
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "gap_us",
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").cast("long"),
+        )
+    )
+    return g.groupBy("host_id").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum((F.col("gap_us") < F.col("delay_us")).cast("long"))
+        .cast("long")
+        .alias("n_violations"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+    )
+
+
+ORACLE_POLITENESS_AUDIT = """
+WITH g AS (
+  SELECT user_id AS host_id, event_id,
+         (500 + (user_id % 5) * 250) * 1000 AS delay_us,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+)
+SELECT host_id, count(*) AS n_fetches,
+       CAST(coalesce(sum(CAST(gap_us < delay_us AS BIGINT)), 0) AS BIGINT)
+         AS n_violations,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us
+FROM g GROUP BY 1
+"""
+
+
+def q_jain_fairness(spark: SparkSession, sf: str) -> DataFrame:
+    """Jain's fairness index of per-host scheduler load within each
+    event class (Jain, Chiu & Hawe 1984, public): J = (sum x)^2 /
+    (n * sum x^2) over per-host fetch counts x — 1.0 means perfectly
+    even host allocation, 1/n means one host got everything. This is
+    the frontier-health metric a 100-TB crawl publishes per
+    generation to catch skew before it becomes a straggler. Both
+    moments are exact BIGINTs; the index itself is ONE per-row IEEE
+    division of identical integers (bit-identical cross-engine, per
+    the repo's exactness rules). Two hash-aggs, no window, no sort."""
+    e = load_table(spark, sf, "events")
+    x = e.groupBy("event_type", F.col("user_id").alias("host_id")).agg(
+        F.count("*").alias("x")
+    )
+    m = x.groupBy("event_type").agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+    )
+    return m.select(
+        "event_type",
+        "n_hosts",
+        "sum_x",
+        "sum_x2",
+        (
+            (F.col("sum_x") * F.col("sum_x")).cast("double")
+            / (F.col("n_hosts") * F.col("sum_x2")).cast("double")
+        ).alias("jain_index"),
+    )
+
+
+ORACLE_JAIN_FAIRNESS = """
+WITH x AS (
+  SELECT event_type, user_id AS host_id, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, count(*) AS n_hosts,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(x * x) AS BIGINT) AS sum_x2
+  FROM x GROUP BY 1
+)
+SELECT event_type, n_hosts, sum_x, sum_x2,
+       CAST(sum_x * sum_x AS DOUBLE) / CAST(n_hosts * sum_x2 AS DOUBLE)
+         AS jain_index
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -5021,6 +5315,10 @@ QUERIES: dict[str, tuple] = {
         q_dedup_remove_shared_chunks,
         ORACLE_REMOVE_SHARED_CHUNKS,
     ),
+    "bloom_seen_sql": (q_bloom_seen_sql, ORACLE_BLOOM_SEEN_SQL),
+    "crawl_trap_detection": (q_crawl_trap_detection, ORACLE_CRAWL_TRAP),
+    "politeness_audit": (q_politeness_audit, ORACLE_POLITENESS_AUDIT),
+    "jain_fairness": (q_jain_fairness, ORACLE_JAIN_FAIRNESS),
 }
 
 

@@ -388,3 +388,52 @@ def test_worker_assignment_no_single_partition(spark):
     assert "Exchange SinglePartition" not in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all(s.startswith("host_id") for s in specs)
+
+
+def test_bloom_seen_sql_broadcast_filter(spark):
+    """bloom_seen_sql: the per-bucket filter words (<=16x16 rows) must
+    reach the probe side as a broadcast join, and nothing in the plan
+    may collapse to a single partition."""
+    from crawlers_spark.queries import q_bloom_seen_sql
+
+    plan = _plan(q_bloom_seen_sql(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_politeness_audit_host_partitioned_window(spark):
+    """politeness_audit: the lag window partitions by host — a global
+    window would serialize the whole fetch log through one task."""
+    import re
+
+    from crawlers_spark.queries import q_politeness_audit
+
+    plan = _plan(q_politeness_audit(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.startswith("host_id") for s in specs)
+
+
+def test_crawl_trap_hash_agg_no_sort(spark):
+    """crawl_trap_detection: the two count-distincts run as one Expand
+    pass into hash aggregates — no sort aggregate, no single
+    partition."""
+    from crawlers_spark.queries import q_crawl_trap_detection
+
+    plan = _plan(q_crawl_trap_detection(spark, SF))
+    assert "Expand" in plan
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_jain_fairness_two_hash_aggs(spark):
+    """jain_fairness: two stacked hash-aggs, no window, no sort, no
+    single-partition exchange."""
+    from crawlers_spark.queries import q_jain_fairness
+
+    plan = _plan(q_jain_fairness(spark, SF))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
