@@ -5195,6 +5195,239 @@ FROM m
 """
 
 
+def q_bfs_layers(spark: SparkSession, sf: str) -> DataFrame:
+    """BFS layer assignment over the trade graph — the declarative
+    statement of the crawl-frontier law that generation k fetches
+    exactly the pages first reachable in k hops from the seeds (the
+    ordering invariant CrawlPlan's golden tests pin procedurally;
+    reference analog: the level-by-level visited-set loops in
+    /root/reference crawlers). Seeds are customer nodes with key < 20;
+    3 fixed rounds of min-depth propagation (depth never decreases a
+    settled node, so fixed rounds = exact layers 0..3, rest
+    unreached). Output: the layer-size histogram with id bounds.
+    Shape at scale: per round ONE join edges-to-frontier + one
+    hash-agg min — the same shuffle-on-dst pattern as pagerank_int;
+    rounds unroll into a single declarative plan, no driver loop
+    state."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    d = nodes.withColumn(
+        "depth",
+        F.when((F.col("node") % 2 == 0) & (F.col("node") < 40), F.lit(0)).cast(
+            "long"
+        ),
+    )
+    for _ in range(3):
+        msg = (
+            d.filter(F.col("depth").isNotNull())
+            .join(edges, d.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("depth") + 1).alias("cand"))
+        )
+        d = (
+            d.join(msg, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("depth").isNotNull()
+                    & (F.col("cand").isNull() | (F.col("depth") <= F.col("cand"))),
+                    F.col("depth"),
+                )
+                .otherwise(F.col("cand"))
+                .alias("depth"),
+            )
+        )
+    return d.groupBy("depth").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+def _bfs_layers_oracle(rounds: int = 3) -> str:
+    """Unrolled fixed-round BFS as a WITH chain, generated from one
+    loop so the round bodies are byte-identical (pagerank's trick)."""
+    sql = """WITH pairs AS (
+  SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS (
+  SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s AS src, c AS dst FROM pairs
+), d0 AS (
+  SELECT src AS node,
+         CASE WHEN src % 2 = 0 AND src < 40 THEN 0 END AS depth
+  FROM (SELECT DISTINCT src FROM e)
+)"""
+    for i in range(1, rounds + 1):
+        sql += f""", m{i} AS (
+  SELECT e.dst AS node, min(d.depth) + 1 AS cand
+  FROM d{i - 1} d JOIN e ON d.node = e.src
+  WHERE d.depth IS NOT NULL GROUP BY 1
+), d{i} AS (
+  SELECT d.node,
+         CASE WHEN d.depth IS NOT NULL
+                   AND (m.cand IS NULL OR d.depth <= m.cand) THEN d.depth
+              ELSE m.cand END AS depth
+  FROM d{i - 1} d LEFT JOIN m{i} m ON d.node = m.node
+)"""
+    sql += f"""
+SELECT depth, count(*) AS n_nodes,
+       min(node) AS min_node, max(node) AS max_node
+FROM d{rounds} GROUP BY 1
+"""
+    return sql
+
+
+ORACLE_BFS_LAYERS = _bfs_layers_oracle()
+
+
+def q_robots_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt parse + URL classification, the allow/disallow law
+    made oracle-checkable (the engine applies it inside the fused
+    cogroup via a broadcast robots table — operators/scheduler.py;
+    reference analog: per-site allowlists in /root/reference configs).
+    Each host's robots text derives deterministically from its id
+    (every host disallows /admin; hosts %3==0 also disallow
+    /purchase), Disallow prefixes come out via regexp_extract_all,
+    and each URL is disallowed iff ANY prefix starts its path — an
+    EXISTS higher-order lambda over the per-host prefix array (a few
+    elements per row, the regime where interpreted HOFs are fine).
+    Shape: robots text is a projection of the host key — at scale the
+    engine broadcasts exactly this (host -> prefixes) dim; no join
+    here at all, one hash-agg."""
+    e = load_table(spark, sf, "events")
+    host = F.col("user_id")
+    robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /admin\n"),
+        F.when(host % 3 == 0, F.lit("Disallow: /purchase\n")).otherwise(F.lit("")),
+        F.when(host % 5 == 0, F.lit("Crawl-delay: 1\n")).otherwise(F.lit("")),
+    )
+    path = F.concat(
+        F.lit("/"),
+        F.col("event_type"),
+        F.lit("/"),
+        F.col("event_id").cast("string"),
+    )
+    d = e.select(
+        host.alias("host_id"),
+        path.alias("path"),
+        robots.alias("robots"),
+    ).select(
+        "host_id",
+        "path",
+        F.expr(r"regexp_extract_all(robots, 'Disallow: ([^\n]+)', 1)").alias(
+            "prefixes"
+        ),
+    ).withColumn(
+        "disallowed",
+        F.expr("exists(prefixes, p -> startswith(path, p))").cast("long"),
+    )
+    return d.groupBy("host_id").agg(
+        F.count("*").alias("n_urls"),
+        F.sum("disallowed").cast("long").alias("n_disallowed"),
+        (F.count("*") - F.sum("disallowed")).cast("long").alias("n_allowed"),
+        F.max(F.size("prefixes")).cast("long").alias("n_rules"),
+    )
+
+
+ORACLE_ROBOTS_PARSE = r"""
+WITH d AS (
+  SELECT user_id AS host_id,
+         '/' || event_type || '/' || event_id::VARCHAR AS path,
+         regexp_extract_all(
+           'User-agent: *' || chr(10) || 'Disallow: /admin' || chr(10) ||
+           CASE WHEN user_id % 3 = 0
+                THEN 'Disallow: /purchase' || chr(10) ELSE '' END ||
+           CASE WHEN user_id % 5 = 0
+                THEN 'Crawl-delay: 1' || chr(10) ELSE '' END,
+           'Disallow: ([^' || chr(10) || ']+)', 1) AS prefixes
+  FROM events
+),
+f AS (
+  SELECT host_id, prefixes,
+         CAST(len(list_filter(prefixes, p -> starts_with(path, p))) > 0
+           AS BIGINT) AS disallowed
+  FROM d
+)
+SELECT host_id, count(*) AS n_urls,
+       CAST(sum(disallowed) AS BIGINT) AS n_disallowed,
+       CAST(count(*) - sum(disallowed) AS BIGINT) AS n_allowed,
+       CAST(max(len(prefixes)) AS BIGINT) AS n_rules
+FROM f GROUP BY 1
+"""
+
+
+def q_retry_backoff(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponential-backoff requeue schedule for failed fetches — the
+    declarative statement of the retry law the crawl loop applies
+    procedurally (plans/crawl.py bounded requeue with retry_count;
+    reference analog: the retry loops around HTTP calls in
+    /root/reference crawlers). Failures = 'error' events per host in
+    arrival order; attempt k waits 500 * 2^min(k,6) ms (capped
+    doubling), and the cumulative delay is a running window sum.
+    Everything integer-exact; windows partition by host. Top 200 by
+    (host, attempt) keeps the output bounded."""
+    e = load_table(spark, sf, "events")
+    fails = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("host_id"), "event_id", "ts"
+    )
+    w = Window.partitionBy("host_id").orderBy("ts", "event_id")
+    d = (
+        fails.withColumn("retry_no", F.row_number().over(w) - 1)
+        .withColumn(
+            "backoff_ms",
+            F.expr("500 * shiftleft(1, cast(least(retry_no, 6) as int))").cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "cum_delay_ms",
+            F.sum("backoff_ms")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+    )
+    return (
+        d.select("host_id", "event_id", "retry_no", "backoff_ms", "cum_delay_ms")
+        .orderBy("host_id", "retry_no")
+        .limit(200)
+    )
+
+
+ORACLE_RETRY_BACKOFF = """
+WITH f AS (
+  SELECT user_id AS host_id, event_id, ts
+  FROM events WHERE event_type = 'error'
+),
+d AS (
+  SELECT host_id, event_id,
+         row_number() OVER (PARTITION BY host_id ORDER BY ts, event_id) - 1
+           AS retry_no
+  FROM f
+)
+SELECT host_id, event_id, retry_no,
+       CAST(500 * (1 << least(retry_no, 6)) AS BIGINT) AS backoff_ms,
+       CAST(sum(500 * (1 << least(retry_no, 6)))
+              OVER (PARTITION BY host_id ORDER BY retry_no
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_delay_ms
+FROM d
+ORDER BY host_id, retry_no
+LIMIT 200
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -5319,6 +5552,9 @@ QUERIES: dict[str, tuple] = {
     "crawl_trap_detection": (q_crawl_trap_detection, ORACLE_CRAWL_TRAP),
     "politeness_audit": (q_politeness_audit, ORACLE_POLITENESS_AUDIT),
     "jain_fairness": (q_jain_fairness, ORACLE_JAIN_FAIRNESS),
+    "bfs_layers": (q_bfs_layers, ORACLE_BFS_LAYERS),
+    "robots_parse": (q_robots_parse, ORACLE_ROBOTS_PARSE),
+    "retry_backoff": (q_retry_backoff, ORACLE_RETRY_BACKOFF),
 }
 
 

@@ -437,3 +437,36 @@ def test_jain_fairness_two_hash_aggs(spark):
     assert "SortAggregate" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "Window" not in plan
+
+
+def test_bfs_layers_no_single_partition(spark):
+    """bfs_layers: three unrolled min-propagation rounds — hash aggs +
+    shuffle-on-key joins only, nothing single-partition."""
+    from crawlers_spark.queries import q_bfs_layers
+
+    plan = _plan(q_bfs_layers(spark, SF))
+    assert "HashAggregate" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_robots_parse_no_join(spark):
+    """robots_parse: robots text is a pure projection of the host key —
+    the classification must not introduce any join."""
+    from crawlers_spark.queries import q_robots_parse
+
+    plan = _plan(q_robots_parse(spark, SF))
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_retry_backoff_bounded_topk(spark):
+    """retry_backoff: windows partition by host and the bounded output
+    lands as TakeOrderedAndProject, never a global sort."""
+    import re
+
+    from crawlers_spark.queries import q_retry_backoff
+
+    plan = _plan(q_retry_backoff(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.startswith("host_id") for s in specs)
