@@ -5428,6 +5428,91 @@ LIMIT 200
 """
 
 
+def q_image_caption_qc(spark: SparkSession, sf: str) -> DataFrame:
+    """LAION-style multimodal pair filtering — the admission law for
+    image+caption training pairs (Schuhmann et al. 2021, public; the
+    input_hint table shape (image_id, w, h, fmt, caption)). Image
+    metadata derives deterministically from doc_id (the same
+    synthesize-don't-import trick as the crawl queries); the caption
+    is the document text. Rules in fixed precedence, first failure
+    names the drop reason: too_small (min dim < 256), bad_aspect
+    (>3:1 either way, integer cross-multiplied), fmt_unsupported
+    (gif), caption_short (<5 ws tokens), caption_long (>128). Output:
+    per-reason counts with id bounds ('kept' rows carry reason
+    'kept'). Shape: pure projection + one hash-agg — at 100 TB this
+    runs as the scan-side filter in front of every downstream stage,
+    no shuffle beyond the count."""
+    d = load_table(spark, sf, "documents")
+    w = (64 + (F.col("doc_id") * 37) % 1024).cast("long")
+    h = (64 + (F.col("doc_id") * 53) % 1024).cast("long")
+    fmt = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("png"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("jpeg"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("ppm"))
+        .otherwise(F.lit("gif"))
+    )
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    toks = F.when(F.length(norm) == 0, 0).otherwise(F.size(F.split(norm, " ")))
+    # caption = the first (doc_id % 160) + 1 words of the text, so the
+    # short/long caption rules actually fire on this corpus
+    cap_toks = F.least(toks, (F.col("doc_id") % 160 + 1).cast("int"))
+    m = d.select(
+        "doc_id",
+        w.alias("w"),
+        h.alias("h"),
+        fmt.alias("fmt"),
+        cap_toks.alias("n_tokens"),
+    )
+    reason = (
+        F.when(F.least("w", "h") < 256, F.lit("too_small"))
+        .when((F.col("w") > 3 * F.col("h")) | (F.col("h") > 3 * F.col("w")), F.lit("bad_aspect"))
+        .when(F.col("fmt") == "gif", F.lit("fmt_unsupported"))
+        .when(F.col("n_tokens") < 5, F.lit("caption_short"))
+        .when(F.col("n_tokens") > 128, F.lit("caption_long"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        m.withColumn("reason", reason)
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+ORACLE_IMAGE_CAPTION_QC = """
+WITH m AS (
+  SELECT doc_id,
+         64 + (doc_id * 37) % 1024 AS w,
+         64 + (doc_id * 53) % 1024 AS h,
+         CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                         WHEN 2 THEN 'ppm' ELSE 'gif' END AS fmt,
+         least(
+           CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+                THEN 0
+                ELSE len(string_split(
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END,
+           doc_id % 160 + 1) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN least(w, h) < 256 THEN 'too_small'
+              WHEN w > 3 * h OR h > 3 * w THEN 'bad_aspect'
+              WHEN fmt = 'gif' THEN 'fmt_unsupported'
+              WHEN n_tokens < 5 THEN 'caption_short'
+              WHEN n_tokens > 128 THEN 'caption_long'
+              ELSE 'kept' END AS reason
+  FROM m
+)
+SELECT reason, count(*) AS n_pairs,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM r GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -5555,6 +5640,7 @@ QUERIES: dict[str, tuple] = {
     "bfs_layers": (q_bfs_layers, ORACLE_BFS_LAYERS),
     "robots_parse": (q_robots_parse, ORACLE_ROBOTS_PARSE),
     "retry_backoff": (q_retry_backoff, ORACLE_RETRY_BACKOFF),
+    "image_caption_qc": (q_image_caption_qc, ORACLE_IMAGE_CAPTION_QC),
 }
 
 

@@ -470,3 +470,15 @@ def test_retry_backoff_bounded_topk(spark):
     assert "TakeOrderedAndProject" in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all(s.startswith("host_id") for s in specs)
+
+
+def test_image_caption_qc_projection_only(spark):
+    """image_caption_qc: the admission law is a scan-side projection +
+    one hash-agg — no join, no window, no single partition."""
+    from crawlers_spark.queries import q_image_caption_qc
+
+    plan = _plan(q_image_caption_qc(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "HashAggregate" in plan
