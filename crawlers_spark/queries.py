@@ -5513,6 +5513,56 @@ FROM r GROUP BY 1
 """
 
 
+def q_canon_urls_law(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL canon_urls Arrow kernel, driver-hash-checked byte for
+    byte — §2.9's core scalar (functions/urls.py; reference analogs:
+    the quote/split/rewrite calls cited in its module docstring),
+    previously evidenced only by pytest. Messy URLs are synthesized
+    from events ids exercising nine canonicalization laws (scheme
+    case, host case, www. strip, default-port strip, fragment drop,
+    utm_* drop, query-param sort, trailing-slash trim, %XX unreserved
+    decode); the oracle does NOT parse — it independently CONSTRUCTS
+    the expected canonical string from the same integers, so any
+    kernel deviation on any row is a hash mismatch. The Spark side is
+    the same vectorized pandas_udf the crawl loop runs (Arrow batch
+    in, Arrow batch out; no per-row Python)."""
+    from .plans.crawl import canon_udf
+
+    e = load_table(spark, sf, "events")
+    h = F.col("user_id").cast("string")
+    p = F.col("event_id").cast("string")
+    messy = F.concat(
+        F.when(F.col("user_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Host"),
+        h,
+        F.lit(".Test"),
+        F.when(F.col("user_id") % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/dir%7Ex/"),
+        p,
+        F.when(F.col("event_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("event_id") % 3 == 0, F.lit("?b=2&a=1"))
+        .when(F.col("event_id") % 3 == 1, F.lit("?utm_source=x&a=1"))
+        .otherwise(F.lit("")),
+        F.when(F.col("event_id") % 5 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return e.select(
+        "event_id",
+        canon_udf(messy).alias("url_canon"),
+    )
+
+
+ORACLE_CANON_URLS_LAW = """
+SELECT event_id,
+       'http://host' || user_id::VARCHAR || '.test/dir~x/' || event_id::VARCHAR
+       || CASE WHEN event_id % 3 = 0 THEN '?a=1&b=2'
+               WHEN event_id % 3 = 1 THEN '?a=1'
+               ELSE '' END AS url_canon
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -5641,6 +5691,7 @@ QUERIES: dict[str, tuple] = {
     "robots_parse": (q_robots_parse, ORACLE_ROBOTS_PARSE),
     "retry_backoff": (q_retry_backoff, ORACLE_RETRY_BACKOFF),
     "image_caption_qc": (q_image_caption_qc, ORACLE_IMAGE_CAPTION_QC),
+    "canon_urls_law": (q_canon_urls_law, ORACLE_CANON_URLS_LAW),
 }
 
 
