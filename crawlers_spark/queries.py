@@ -5563,6 +5563,168 @@ FROM events
 """
 
 
+def q_feed_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap/RSS ingestion law — the oracle lane for the feed-source
+    family (SURVEY §2 S5; reference analog: the RSS/listing fetch+parse
+    stages in /root/reference crawlers, e.g. medium/get_medium1.0.py).
+    Each host publishes a 4-entry sitemap (XML synthesized from its
+    id); <loc> URLs come out via regexp_extract_all, explode, and each
+    is classified KNOWN (an event with that (host, page) exists — the
+    seen-set join every feed ingest runs) or NEW. Output per host:
+    feed size, known, new. Shape: the feed is a projection of the host
+    key; the classification is one equi-join on (host, page) against
+    the distinct event set — shuffle on the join key only."""
+    e = load_table(spark, sf, "events")
+    hosts = e.select(F.col("user_id").alias("host_id")).distinct()
+    xml = F.concat(
+        F.lit("<urlset>"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.concat(
+                    F.lit("<url><loc>http://host"),
+                    F.col("host_id").cast("string"),
+                    F.lit(".test/p"),
+                    (F.col("host_id") * 4 + i).cast("string"),
+                    F.lit("</loc></url>"),
+                ),
+            ),
+        ),
+        F.lit("</urlset>"),
+    )
+    locs = (
+        hosts.select("host_id", xml.alias("xml"))
+        .select(
+            "host_id",
+            F.explode(
+                F.expr("regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)")
+            ).alias("loc"),
+        )
+        .withColumn(
+            "page_id",
+            F.regexp_extract("loc", r"/p(\d+)$", 1).cast("long"),
+        )
+    )
+    known = e.select(
+        F.col("user_id").alias("host_id"),
+        F.col("event_id").alias("page_id"),
+        F.lit(1).alias("k"),
+    ).distinct()
+    j = locs.join(known, ["host_id", "page_id"], "left")
+    return j.groupBy("host_id").agg(
+        F.count("*").alias("n_feed_urls"),
+        F.sum(F.col("k").isNotNull().cast("long")).cast("long").alias("n_known"),
+        F.sum(F.col("k").isNull().cast("long")).cast("long").alias("n_new"),
+    )
+
+
+ORACLE_FEED_EXTRACT = """
+WITH hosts AS (SELECT DISTINCT user_id AS host_id FROM events),
+xml AS (
+  SELECT host_id,
+         '<urlset>' || string_agg(
+           '<url><loc>http://host' || host_id::VARCHAR || '.test/p'
+           || (host_id * 4 + i)::VARCHAR || '</loc></url>', '' ORDER BY i)
+         || '</urlset>' AS xml
+  FROM hosts CROSS JOIN (SELECT unnest(range(0, 4)) AS i) s
+  GROUP BY 1
+),
+locs AS (
+  SELECT host_id,
+         CAST(regexp_extract(loc, '/p(\\d+)$', 1) AS BIGINT) AS page_id
+  FROM xml, LATERAL (
+    SELECT unnest(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)) AS loc
+  ) u
+),
+known AS (SELECT DISTINCT user_id AS host_id, event_id AS page_id FROM events)
+SELECT l.host_id, count(*) AS n_feed_urls,
+       CAST(sum(CASE WHEN k.page_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_known,
+       CAST(sum(CASE WHEN k.page_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new
+FROM locs l
+LEFT JOIN known k ON l.host_id = k.host_id AND l.page_id = k.page_id
+GROUP BY 1
+"""
+
+
+def q_cache_headers(spark: SparkSession, sf: str) -> DataFrame:
+    """HTTP cache-header revalidation law — when may a crawler reuse a
+    stored page instead of refetching (RFC 9111 max-age / no-store;
+    the freshness input to recrawl_priority). Response headers are
+    synthesized per event; max-age comes out via regexp_extract and
+    the revalidation instant is NTZ + seconds interval arithmetic
+    (instant-safe cross-engine, per the repo's NTZ rules), emitted as
+    a formatted string. no-store rows revalidate immediately (their
+    instant is the fetch ts itself). Bounded output: first 200 by
+    (host, event). Shape: pure projection + TakeOrderedAndProject."""
+    e = load_table(spark, sf, "events")
+    max_age = (60 * (1 + F.col("user_id") % 10)).cast("long")
+    no_store = (F.col("user_id") % 7 == 0).cast("long")
+    hdr = F.concat(
+        F.lit("HTTP/1.1 200 OK\nCache-Control: max-age="),
+        max_age.cast("string"),
+        F.when(no_store == 1, F.lit(", no-store")).otherwise(F.lit("")),
+        F.lit("\n"),
+    )
+    d = e.select(
+        F.col("user_id").alias("host_id"),
+        "event_id",
+        "ts",
+        hdr.alias("hdr"),
+    ).select(
+        "host_id",
+        "event_id",
+        F.regexp_extract("hdr", r"max-age=(\d+)", 1).cast("long").alias("max_age_s"),
+        F.when(F.col("hdr").contains("no-store"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("no_store"),
+        "ts",
+    )
+    reval = F.when(
+        F.col("no_store") == 1, F.col("ts")
+    ).otherwise(F.expr("ts + make_dt_interval(0, 0, 0, max_age_s)"))
+    return (
+        d.select(
+            "host_id",
+            "event_id",
+            "max_age_s",
+            "no_store",
+            F.date_format(reval, "yyyy-MM-dd HH:mm:ss").alias("revalidate_at"),
+        )
+        .orderBy("host_id", "event_id")
+        .limit(200)
+    )
+
+
+ORACLE_CACHE_HEADERS = """
+WITH d AS (
+  SELECT user_id AS host_id, event_id, ts,
+         'HTTP/1.1 200 OK' || chr(10) || 'Cache-Control: max-age='
+         || (60 * (1 + user_id % 10))::VARCHAR
+         || CASE WHEN user_id % 7 = 0 THEN ', no-store' ELSE '' END
+         || chr(10) AS hdr
+  FROM events
+),
+p AS (
+  SELECT host_id, event_id,
+         CAST(regexp_extract(hdr, 'max-age=(\\d+)', 1) AS BIGINT) AS max_age_s,
+         CAST(contains(hdr, 'no-store') AS BIGINT) AS no_store,
+         ts
+  FROM d
+)
+SELECT host_id, event_id, max_age_s, no_store,
+       strftime(CASE WHEN no_store = 1 THEN ts
+                     ELSE ts + to_seconds(max_age_s) END,
+                '%Y-%m-%d %H:%M:%S') AS revalidate_at
+FROM p
+ORDER BY host_id, event_id
+LIMIT 200
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -5692,6 +5854,8 @@ QUERIES: dict[str, tuple] = {
     "retry_backoff": (q_retry_backoff, ORACLE_RETRY_BACKOFF),
     "image_caption_qc": (q_image_caption_qc, ORACLE_IMAGE_CAPTION_QC),
     "canon_urls_law": (q_canon_urls_law, ORACLE_CANON_URLS_LAW),
+    "feed_extract": (q_feed_extract, ORACLE_FEED_EXTRACT),
+    "cache_headers": (q_cache_headers, ORACLE_CACHE_HEADERS),
 }
 
 

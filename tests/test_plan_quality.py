@@ -492,3 +492,23 @@ def test_canon_urls_law_single_arrow_pass(spark):
     plan = _plan(q_canon_urls_law(spark, SF))
     assert "ArrowEvalPython" in plan
     assert "Exchange" not in plan
+
+
+def test_feed_extract_single_key_join(spark):
+    """feed_extract: the feed is a projection of the host key; the only
+    shuffle is the (host, page) classification join."""
+    from crawlers_spark.queries import q_feed_extract
+
+    plan = _plan(q_feed_extract(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cache_headers_projection_topk(spark):
+    """cache_headers: pure projection + TakeOrderedAndProject — no
+    join, no window, no aggregate."""
+    from crawlers_spark.queries import q_cache_headers
+
+    plan = _plan(q_cache_headers(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
