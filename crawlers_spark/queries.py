@@ -5725,6 +5725,146 @@ LIMIT 200
 """
 
 
+def q_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML main-content extraction law — the boilerplate-removal gist
+    (title out of <head>, paragraph content out of <p>, nav/footer
+    chrome dropped) that sits in front of every text-curation stage
+    (SURVEY §2 S6; reference analog: the soup/regex scrape paths in
+    /root/reference, e.g. medium/get_medium1.0.py:58). Pages are
+    synthesized around each document's text (title, nav, two <p>
+    blocks, footer); extraction is regexp-only ([^<]* content — both
+    engines' regex dialects agree exactly), main text is the joined
+    <p> contents. Output: doc_id, title, paragraph count, main-text
+    length, and the first 40 chars (string-hash-checked). Shape: pure
+    projection, no shuffle at all."""
+    d = load_table(spark, sf, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><nav>site menu</nav><p>"),
+        txt,
+        F.lit("</p><p>appendix "),
+        F.col("doc_id").cast("string"),
+        F.lit("</p><footer>copyright</footer></body></html>"),
+    )
+    h = d.select("doc_id", html.alias("html"))
+    paras = F.expr("regexp_extract_all(html, '<p>([^<]*)</p>', 1)")
+    main = F.array_join(paras, " ")
+    return h.select(
+        "doc_id",
+        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+        F.size(paras).cast("long").alias("n_paragraphs"),
+        F.length(main).cast("long").alias("main_chars"),
+        F.substring(main, 1, 40).alias("main_head"),
+    )
+
+
+ORACLE_HTML_EXTRACT = """
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id::VARCHAR
+         || '</title></head><body><nav>site menu</nav><p>'
+         || coalesce(text, '') || '</p><p>appendix ' || doc_id::VARCHAR
+         || '</p><footer>copyright</footer></body></html>' AS html
+  FROM documents
+),
+x AS (
+  SELECT doc_id,
+         regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+         regexp_extract_all(html, '<p>([^<]*)</p>', 1) AS paras
+  FROM h
+)
+SELECT doc_id, title,
+       CAST(len(paras) AS BIGINT) AS n_paragraphs,
+       CAST(length(array_to_string(paras, ' ')) AS BIGINT) AS main_chars,
+       substring(array_to_string(paras, ' '), 1, 40) AS main_head
+FROM x
+"""
+
+
+def q_anchor_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text aggregation — the classic off-page relevance signal
+    (what OTHER pages' link text says about a page; the crawl-side
+    input to any ranking/retrieval stage, complementing bm25_search's
+    on-page lane). Each document carries three synthesized <a> links
+    (target = (doc_id*7 + i*13) % 997, anchor varies with the linking
+    doc); full <a> matches come out via regexp_extract_all, each
+    exploded match re-parses into (target, anchor). Per target: inlink
+    count, distinct-anchor count, lexicographic first anchor (a
+    deterministic sample). Shape: projection + explode + ONE hash-agg
+    on target — the same shuffle a 100-TB anchor join would make, with
+    the two count-distinct-free aggs staying partial-aggregatable."""
+    d = load_table(spark, sf, "documents")
+    links = F.expr(
+        "transform(sequence(0, 2), i -> concat("
+        "'<a href=\"/d/', cast((doc_id * 7 + i * 13) % 997 as string), '\">',"
+        "'see ', cast((doc_id * 7 + i * 13) % 997 as string),"
+        "' ref ', cast(doc_id % 5 as string), '</a>'))"
+    )
+    html = F.concat(F.lit("<body>"), F.concat_ws("", links), F.lit("</body>"))
+    h = d.select("doc_id", html.alias("html"))
+    m = h.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(html, '<a href=\"[^\"]*\">[^<]*</a>', 0)")
+        ).alias("a"),
+    ).select(
+        F.regexp_extract("a", '<a href="/d/([0-9]+)">', 1).cast("long").alias(
+            "target_doc"
+        ),
+        # anchors for one target differ only in their numeric ref
+        # suffix — aggregating the ref lane (long) keeps every agg
+        # buffer fixed-width, so the whole thing stays HashAggregate
+        # (min over a string buffer would force SortAggregate)
+        F.regexp_extract("a", "ref ([0-9]+)<", 1).cast("long").alias("ref"),
+    )
+    agg = m.groupBy("target_doc").agg(
+        F.count("*").alias("n_inlinks"),
+        F.countDistinct("ref").alias("n_distinct_anchors"),
+        F.min("ref").alias("min_ref"),
+    )
+    return agg.select(
+        "target_doc",
+        "n_inlinks",
+        "n_distinct_anchors",
+        F.concat(
+            F.lit("see "),
+            F.col("target_doc").cast("string"),
+            F.lit(" ref "),
+            F.col("min_ref").cast("string"),
+        ).alias("first_anchor"),
+    )
+
+
+ORACLE_ANCHOR_TEXT = """
+WITH h AS (
+  SELECT doc_id,
+         '<body>' || string_agg(
+           '<a href="/d/' || ((doc_id * 7 + i * 13) % 997)::VARCHAR || '">'
+           || 'see ' || ((doc_id * 7 + i * 13) % 997)::VARCHAR
+           || ' ref ' || (doc_id % 5)::VARCHAR || '</a>', '' ORDER BY i)
+         || '</body>' AS html
+  FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS i) s
+  GROUP BY doc_id
+),
+m AS (
+  SELECT CAST(regexp_extract(a, '<a href="/d/([0-9]+)">', 1) AS BIGINT)
+           AS target_doc,
+         CAST(regexp_extract(a, 'ref ([0-9]+)<', 1) AS BIGINT) AS ref
+  FROM h, LATERAL (
+    SELECT unnest(regexp_extract_all(html,
+                  '<a href="[^"]*">[^<]*</a>', 0)) AS a
+  ) u
+)
+SELECT target_doc, count(*) AS n_inlinks,
+       count(DISTINCT ref) AS n_distinct_anchors,
+       'see ' || target_doc::VARCHAR || ' ref ' || min(ref)::VARCHAR
+         AS first_anchor
+FROM m GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -5856,6 +5996,8 @@ QUERIES: dict[str, tuple] = {
     "canon_urls_law": (q_canon_urls_law, ORACLE_CANON_URLS_LAW),
     "feed_extract": (q_feed_extract, ORACLE_FEED_EXTRACT),
     "cache_headers": (q_cache_headers, ORACLE_CACHE_HEADERS),
+    "html_extract": (q_html_extract, ORACLE_HTML_EXTRACT),
+    "anchor_text": (q_anchor_text, ORACLE_ANCHOR_TEXT),
 }
 
 

@@ -512,3 +512,24 @@ def test_cache_headers_projection_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_html_extract_pure_projection(spark):
+    """html_extract: regexp-only main-content extraction — zero
+    Exchange in the plan."""
+    from crawlers_spark.queries import q_html_extract
+
+    plan = _plan(q_html_extract(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_anchor_text_single_target_shuffle(spark):
+    """anchor_text: projection + explode + hash-agg on target — no
+    join, nothing single-partition."""
+    from crawlers_spark.queries import q_anchor_text
+
+    plan = _plan(q_anchor_text(spark, SF))
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
