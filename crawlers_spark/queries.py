@@ -5865,6 +5865,59 @@ FROM m GROUP BY 1
 """
 
 
+def q_image_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The image-dedup production lane that phash_recompression_drift's
+    finding points to: md5 AFTER canonical re-encode. Container/encoder
+    variants of the SAME pixels (here: each crawled page emitted in its
+    original format AND transcoded to the other one — PNG↔PPM) have
+    different raw bytes, so raw-md5 dedup misses them; decoding and
+    deterministically re-encoding every image to canonical PNG makes
+    byte-exact md5 catch exactly the pixel-identical set. Output per
+    fmt-pair: rows, raw-distinct (= rows: every container differs),
+    canon-distinct (= unique pixel images), dup pairs recovered.
+    Decode/encode is per-image by nature (numpy codecs inside
+    mapInPandas); hashing and aggregation stay JVM-side."""
+    import pandas as pd
+
+    from .functions.images import decode_image, encode_image
+
+    res = _small_crawl(spark)
+
+    def variants(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"image_id": [], "variant_fmt": [], "data": [], "canon": []}
+            for iid, raw, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = decode_image(raw, fmt)
+                other = "ppm" if fmt == "png" else "png"
+                canon = encode_image(px, "png")
+                for vf, vb in ((fmt, raw), (other, encode_image(px, other))):
+                    out["image_id"].append(iid)
+                    out["variant_fmt"].append(vf)
+                    out["data"].append(bytes(vb))
+                    out["canon"].append(bytes(canon))
+            yield pd.DataFrame(out)
+
+    v = res.pages.select("image_id", "bytes", "fmt").mapInPandas(
+        variants,
+        schema="image_id string, variant_fmt string, data binary, canon binary",
+    )
+    h = v.select(
+        "image_id",
+        F.md5("data").alias("raw_md5"),
+        F.md5("canon").alias("canon_md5"),
+    )
+    return h.agg(
+        F.count("*").alias("n_variant_rows"),
+        F.countDistinct("raw_md5").alias("n_raw_distinct"),
+        F.countDistinct("canon_md5").alias("n_canon_distinct"),
+        (F.count("*") - F.countDistinct("canon_md5"))
+        .cast("long")
+        .alias("n_dups_recovered"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -5998,6 +6051,7 @@ QUERIES: dict[str, tuple] = {
     "cache_headers": (q_cache_headers, ORACLE_CACHE_HEADERS),
     "html_extract": (q_html_extract, ORACLE_HTML_EXTRACT),
     "anchor_text": (q_anchor_text, ORACLE_ANCHOR_TEXT),
+    "image_canonical_dedup": (q_image_canonical_dedup, None),
 }
 
 

@@ -716,3 +716,60 @@ def test_host_budget_allocation_caps_at_demand(spark):
     (effective budget = total demand)."""
     alloc = _hamilton(spark, [1, 1, 1], B=1000)
     assert alloc == {1: 1, 2: 1, 3: 1}
+
+
+# ------------------------------------------------------- rendezvous sharding
+
+
+def test_hrw_resize_moves_only_new_owners_hosts(spark):
+    """THE property rendezvous hashing exists for: growing the worker
+    pool from W to W+1 reassigns exactly the hosts whose new argmax IS
+    the new worker (expected ~1/(W+1) of hosts); every other host keeps
+    its owner. Mod-N sharding would move ~W/(W+1) of them. Uses the
+    same md5-lane score law as the worker_assignment query."""
+
+    def owners(n_workers):
+        hosts = spark.range(0, 500).selectExpr("id AS host_id")
+        cand = hosts.selectExpr(
+            "host_id",
+            f"explode(sequence(0, {n_workers - 1})) AS worker",
+        ).selectExpr(
+            "host_id",
+            "worker",
+            "cast(conv(substring(md5(concat(cast(host_id as string), '|',"
+            " cast(worker as string))), 1, 15), 16, 10) as bigint) AS score",
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("host_id").orderBy(
+            F.col("score").desc(), F.col("worker")
+        )
+        rows = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("host_id", "worker")
+            .collect()
+        )
+        return {r.host_id: r.worker for r in rows}
+
+    o8, o9 = owners(8), owners(9)
+    moved = {h for h in o8 if o8[h] != o9[h]}
+    # every moved host moved TO the new worker, never between old ones
+    assert all(o9[h] == 8 for h in moved)
+    # and the moved fraction is ~1/9 (binomial bounds, p<1e-9 margins)
+    assert 20 <= len(moved) <= 110, len(moved)
+
+
+# ------------------------------------------------- image canonical dedup law
+
+
+def test_image_canonical_dedup_collapses_format_variants(spark):
+    """Every page emitted as two container variants: raw md5 must see
+    them all as distinct, canonical-re-encode md5 must collapse each
+    pair back to one pixel image."""
+    from crawlers_spark.queries import q_image_canonical_dedup
+
+    r = q_image_canonical_dedup(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_variant_rows == 2 * r.n_canon_distinct
+    assert r.n_raw_distinct == r.n_variant_rows
+    assert r.n_dups_recovered == r.n_canon_distinct
