@@ -5122,7 +5122,11 @@ def q_politeness_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
     return g.groupBy("host_id").agg(
         F.count("*").alias("n_fetches"),
-        F.sum((F.col("gap_us") < F.col("delay_us")).cast("long"))
+        # coalesce: a single-fetch host has only NULL gaps — its
+        # violation count is 0, not NULL (the oracle coalesces too)
+        F.coalesce(
+            F.sum((F.col("gap_us") < F.col("delay_us")).cast("long")), F.lit(0)
+        )
         .cast("long")
         .alias("n_violations"),
         F.min("gap_us").cast("long").alias("min_gap_us"),

@@ -146,3 +146,43 @@ def test_doc_repetition_short_docs_edge(spark, tmp_path):
             assert srows[d][c] == orows[d][c], (d, c, srows[d][c], orows[d][c])
     assert srows[1]["top_bigram"] is None  # no bigram in a 1-word doc
     assert srows[2]["dup_5gram_char_score"] == 0.0
+
+
+def test_politeness_audit_single_fetch_host_edge(spark, tmp_path):
+    """A host with exactly one fetch has only NULL gaps: its violation
+    count must be 0 (coalesced) in BOTH engines, and min_gap_us NULL —
+    a latent Spark-NULL vs oracle-0 divergence that the standard SF
+    corpora never trigger (every host there has >=2 events)."""
+    import datetime
+
+    import pandas as pd
+
+    from crawlers_spark.queries import QUERIES
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": [t0, t0 + datetime.timedelta(milliseconds=100), t0],
+        "user_id": [7, 7, 42],  # host 42: single fetch
+        "event_type": ["view", "view", "view"],
+        "value": [1.0, 1.0, 1.0],
+        "props": ["{}", "{}", "{}"],
+    })
+    df["ts"] = df["ts"].astype("datetime64[us]")  # Spark rejects NANOS parquet
+    df.to_parquet(str(tmp_path / "events.parquet"))
+
+    fn, sql = QUERIES["politeness_audit"]
+    srows = {r["host_id"]: r.asDict() for r in fn(spark, str(tmp_path)).collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    orows = {r[cols.index("host_id")]: dict(zip(cols, r)) for r in cur.fetchall()}
+    con.close()
+
+    assert set(srows) == {7, 42} and srows == orows
+    assert srows[42]["n_violations"] == 0
+    assert srows[42]["min_gap_us"] is None
+    # host 7: 100 ms gap < its 750 ms delay => one violation
+    assert srows[7]["n_violations"] == 1
