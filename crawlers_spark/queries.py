@@ -4888,11 +4888,18 @@ ch AS (
          count(*) AS n_words
   FROM chk GROUP BY 1, 2
 ),
+-- duplication decided on the SAME 60-bit md5 lane as the Spark side
+-- (grouping one engine by text and the other by its hash would diverge
+-- exactly at a lane collision)
+cl AS (
+  SELECT ch.*, ('0x' || substring(md5(chunk_text), 1, 15))::BIGINT AS lane
+  FROM ch
+),
 cdf AS (
-  SELECT chunk_text, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY 1
+  SELECT lane, count(DISTINCT doc_id) AS n_docs FROM cl GROUP BY 1
 ),
 kept AS (
-  SELECT ch.* FROM ch JOIN cdf USING (chunk_text) WHERE cdf.n_docs < 2
+  SELECT cl.* FROM cl JOIN cdf USING (lane) WHERE cdf.n_docs < 2
 )
 SELECT doc_id,
        string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text_clean,
@@ -4956,20 +4963,19 @@ def q_bloom_seen_sql(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.bit_or("mask").alias("wval"))
     )
     probes = lanes(base.filter(F.col("event_id") % 3 == 0))
-    hit = (
+    # URLs are injective in event_id, so exact membership is derivable
+    # on the probe row itself (event_id % 2 == 0) — no second corpus
+    # scan and no shuffle join against the seen set needed
+    member = (
         probes.join(F.broadcast(filt), ["bucket", "word"], "left")
         .groupBy("bucket", "url")
         .agg(
             F.bool_and(
                 F.col("wval").isNotNull()
                 & (F.col("wval").bitwiseAND(F.col("mask")) == F.col("mask"))
-            ).alias("bloom_hit")
+            ).alias("bloom_hit"),
+            F.first((F.col("event_id") % 2 == 0)).alias("is_member"),
         )
-    )
-    member = (
-        hit.join(
-            seen.select("url", F.lit(1).alias("m")), "url", "left"
-        ).withColumn("is_member", F.col("m").isNotNull())
     )
     return member.groupBy("bucket").agg(
         F.count("*").alias("n_probes"),
@@ -5005,21 +5011,15 @@ filt AS (
   SELECT bucket, word, bit_or(mask) AS wval
   FROM lanes WHERE event_id % 2 = 0 GROUP BY 1, 2
 ),
-hit AS (
+mem AS (
   SELECT p.bucket, p.url,
          bool_and(f.wval IS NOT NULL AND (f.wval & p.mask) = p.mask)
-           AS bloom_hit
+           AS bloom_hit,
+         bool_and(p.event_id % 2 = 0) AS is_member
   FROM lanes p
   LEFT JOIN filt f ON p.bucket = f.bucket AND p.word = f.word
   WHERE p.event_id % 3 = 0
   GROUP BY 1, 2
-),
-mem AS (
-  SELECT h.bucket, h.bloom_hit,
-         (s.url IS NOT NULL) AS is_member
-  FROM hit h
-  LEFT JOIN (SELECT DISTINCT url FROM base WHERE event_id % 2 = 0) s
-    ON h.url = s.url
 )
 SELECT bucket, count(*) AS n_probes,
        CAST(sum(CAST(is_member AS BIGINT)) AS BIGINT) AS n_members,
@@ -5896,7 +5896,10 @@ def q_image_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
                 px = decode_image(raw, fmt)
                 other = "ppm" if fmt == "png" else "png"
                 canon = encode_image(px, "png")
-                for vf, vb in ((fmt, raw), (other, encode_image(px, other))):
+                # ppm-origin images transcode to png == canon: reuse it
+                # rather than running the zlib encode twice
+                transcoded = canon if other == "png" else encode_image(px, other)
+                for vf, vb in ((fmt, raw), (other, transcoded)):
                     out["image_id"].append(iid)
                     out["variant_fmt"].append(vf)
                     out["data"].append(bytes(vb))

@@ -184,5 +184,5 @@ def test_politeness_audit_single_fetch_host_edge(spark, tmp_path):
     assert set(srows) == {7, 42} and srows == orows
     assert srows[42]["n_violations"] == 0
     assert srows[42]["min_gap_us"] is None
-    # host 7: 100 ms gap < its 750 ms delay => one violation
+    # host 7: 100 ms gap < its 1000 ms delay (500+250*(7%5)) => one violation
     assert srows[7]["n_violations"] == 1
