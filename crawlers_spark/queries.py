@@ -5925,6 +5925,178 @@ def q_image_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_redirect_chains(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded redirect-chain resolution — the HTTP 3xx law every
+    fetcher applies (follow Location up to a max-redirects cap; what
+    survives the cap is the page identity the seen-set should key on;
+    reference analog: requests' implicit redirect following in
+    /root/reference fetch paths). The redirect map derives from page
+    ids: p%8 in {1,2,3} hops down one (chains up to 3), and the pair
+    law p%101 in {55,56} builds genuine 2-cycles — so the cap is load-
+    bearing, not decorative. 4 unrolled follow rounds (join cur→map,
+    advance unless terminal); after the cap: direct (never redirected),
+    resolved (terminal within cap, hops counted), unresolved (loop or
+    over-long — a real crawler marks these failed). Output: histogram
+    by (status, hops). Shape: R bounded self-joins on the page key in
+    one declarative plan — no driver iteration state."""
+    e = load_table(spark, sf, "events")
+    pages = e.select(F.col("event_id").alias("page")).distinct()
+    nxt = (
+        F.when(F.col("src") % 101 == 55, F.col("src") + 1)
+        .when(F.col("src") % 101 == 56, F.col("src") - 1)
+        .when(F.col("src") % 8 == 1, F.col("src") - 1)
+        .when(F.col("src") % 8 == 2, F.col("src") - 1)
+        .when(F.col("src") % 8 == 3, F.col("src") - 1)
+    )
+    m = pages.select(F.col("page").alias("src")).select(
+        "src", nxt.alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    d = pages.select(
+        "page",
+        F.col("page").alias("cur"),
+        F.lit(0).cast("long").alias("hops"),
+    )
+    for _ in range(4):
+        d = (
+            d.join(m, d.cur == m.src, "left")
+            .select(
+                "page",
+                F.coalesce("nxt", "cur").alias("cur"),
+                (F.col("hops") + F.col("nxt").isNotNull().cast("long")).alias(
+                    "hops"
+                ),
+            )
+        )
+    # status needs one more membership check: is the final cur terminal?
+    fin = d.join(
+        m.select(F.col("src").alias("cur"), F.lit(1).alias("still")),
+        "cur",
+        "left",
+    ).select(
+        "page",
+        "hops",
+        F.when(F.col("still").isNotNull(), F.lit("unresolved"))
+        .when(F.col("hops") == 0, F.lit("direct"))
+        .otherwise(F.lit("resolved"))
+        .alias("status"),
+    )
+    return fin.groupBy("status", "hops").agg(
+        F.count("*").alias("n_pages"),
+        F.min("page").alias("min_page"),
+        F.max("page").alias("max_page"),
+    )
+
+
+def _redirect_oracle(rounds: int = 4) -> str:
+    """Unrolled follow rounds as a WITH chain (one loop generates the
+    round bodies — the pagerank/bfs trick)."""
+    sql = """WITH pages AS (SELECT DISTINCT event_id AS page FROM events),
+m AS (
+  SELECT src, CASE WHEN src % 101 = 55 THEN src + 1
+                   WHEN src % 101 = 56 THEN src - 1
+                   WHEN src % 8 IN (1, 2, 3) THEN src - 1 END AS nxt
+  FROM (SELECT page AS src FROM pages)
+  WHERE CASE WHEN src % 101 = 55 THEN src + 1
+             WHEN src % 101 = 56 THEN src - 1
+             WHEN src % 8 IN (1, 2, 3) THEN src - 1 END IS NOT NULL
+), d0 AS (
+  SELECT page, page AS cur, CAST(0 AS BIGINT) AS hops FROM pages
+)"""
+    for i in range(1, rounds + 1):
+        sql += f""", d{i} AS (
+  SELECT d.page, coalesce(m.nxt, d.cur) AS cur,
+         d.hops + CASE WHEN m.nxt IS NOT NULL THEN 1 ELSE 0 END AS hops
+  FROM d{i - 1} d LEFT JOIN m ON d.cur = m.src
+)"""
+    sql += f"""
+, fin AS (
+  SELECT d.page, d.hops,
+         CASE WHEN m.src IS NOT NULL THEN 'unresolved'
+              WHEN d.hops = 0 THEN 'direct'
+              ELSE 'resolved' END AS status
+  FROM d{rounds} d LEFT JOIN m ON d.cur = m.src
+)
+SELECT status, hops, count(*) AS n_pages,
+       min(page) AS min_page, max(page) AS max_page
+FROM fin GROUP BY 1, 2
+"""
+    return sql
+
+
+ORACLE_REDIRECT_CHAINS = _redirect_oracle()
+
+
+def q_mirror_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Mirror-site detection — host pairs serving near-identical
+    content sets (the classic crawler dedup ABOVE document level:
+    retire a whole host, not page by page; Cho, Shivakumar &
+    Garcia-Molina, 'Finding replicated web collections', SIGMOD 2000,
+    public). Per-host content fingerprints derive from events (fp =
+    event_id % 211); pair overlap comes from ONE equi-join on the
+    fingerprint (never host×host), sizes from one hash-agg, and the
+    Jaccard >= 1/3 mirror flag is integer cross-multiplied (3·|∩| >=
+    |A∪B|). Top 20 by (overlap, pair) as a bounded TakeOrdered. At
+    100 TB the fp equi-join is the df-cap point (drop fps shared by
+    >K hosts, exactly like dedup_ngram_jaccard's shingle cap)."""
+    e = load_table(spark, sf, "events")
+    fps = e.select(
+        F.col("user_id").alias("host_id"),
+        (F.col("event_id") % 211).alias("fp"),
+    ).distinct()
+    sizes = fps.groupBy("host_id").agg(F.count("*").alias("sz"))
+    a = fps.select(F.col("host_id").alias("host_a"), "fp")
+    b = fps.select(F.col("host_id").alias("host_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    j = (
+        inter.join(
+            sizes.select(F.col("host_id").alias("host_a"), F.col("sz").alias("sz_a")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host_id").alias("host_b"), F.col("sz").alias("sz_b")),
+            "host_b",
+        )
+        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+        .withColumn(
+            "is_mirror",
+            (3 * F.col("n_common") >= F.col("n_union")).cast("long"),
+        )
+    )
+    return (
+        j.select(
+            "host_a", "host_b", "n_common", "sz_a", "sz_b", "n_union", "is_mirror"
+        )
+        .orderBy(F.col("n_common").desc(), "host_a", "host_b")
+        .limit(20)
+    )
+
+
+ORACLE_MIRROR_DETECTION = """
+WITH fps AS (
+  SELECT DISTINCT user_id AS host_id, event_id % 211 AS fp FROM events
+),
+sizes AS (SELECT host_id, count(*) AS sz FROM fps GROUP BY 1),
+inter AS (
+  SELECT a.host_id AS host_a, b.host_id AS host_b, count(*) AS n_common
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.host_id < b.host_id
+  GROUP BY 1, 2
+)
+SELECT host_a, host_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+       CAST(sa.sz + sb.sz - n_common AS BIGINT) AS n_union,
+       CAST(3 * n_common >= sa.sz + sb.sz - n_common AS BIGINT) AS is_mirror
+FROM inter
+JOIN sizes sa ON sa.host_id = host_a
+JOIN sizes sb ON sb.host_id = host_b
+ORDER BY n_common DESC, host_a, host_b
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -6059,6 +6231,8 @@ QUERIES: dict[str, tuple] = {
     "html_extract": (q_html_extract, ORACLE_HTML_EXTRACT),
     "anchor_text": (q_anchor_text, ORACLE_ANCHOR_TEXT),
     "image_canonical_dedup": (q_image_canonical_dedup, None),
+    "redirect_chains": (q_redirect_chains, ORACLE_REDIRECT_CHAINS),
+    "mirror_detection": (q_mirror_detection, ORACLE_MIRROR_DETECTION),
 }
 
 

@@ -533,3 +533,24 @@ def test_anchor_text_single_target_shuffle(spark):
     assert "Exchange SinglePartition" not in plan
     assert "HashAggregate" in plan
     assert "SortAggregate" not in plan
+
+
+def test_redirect_chains_bounded_joins(spark):
+    """redirect_chains: 4 unrolled follow rounds = bounded key joins in
+    ONE declarative plan — no single-partition collapse."""
+    from crawlers_spark.queries import q_redirect_chains
+
+    plan = _plan(q_redirect_chains(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_mirror_detection_fp_equijoin_topk(spark):
+    """mirror_detection: pair overlap via the fingerprint equi-join
+    (never host x host cartesian) and a bounded TakeOrdered output."""
+    from crawlers_spark.queries import q_mirror_detection
+
+    plan = _plan(q_mirror_detection(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
