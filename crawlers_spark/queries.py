@@ -6097,6 +6097,135 @@ LIMIT 20
 """
 
 
+def q_doc_bigram_ce(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM cross-entropy quality filter — the KenLM-style gate
+    real pipelines run between the cheap heuristics and an expensive
+    LM scorer (one step up from doc_rarity's unigram surprisal: it
+    catches word-salad whose unigrams are all common). Add-one
+    smoothed P(w2|w1) = (c12+1)/(c1+V) from corpus bigram/first-word
+    counts; per doc, mean -ln P over its bigrams, 6-dp rounded
+    (transcendental: summation-order ulps absorbed, repo convention).
+    Shape: bigram explode is a zero-shuffle projection; counts are
+    hash-aggs joined back on their own keys; V is a broadcast scalar.
+    Docs with < 2 words have no bigram and drop out (both engines)."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    arr = docs.filter(F.length(norm) > 0).select(
+        "doc_id", F.split(norm, " ").alias("w")
+    )
+    bi = arr.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(element_at(w, i + 1) AS w1,"
+                "             element_at(w, i + 2) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        arr.select(F.explode("w").alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    p = (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast(
+        "double"
+    )
+    return (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(-F.log(p)) / F.count("*"), 6).alias("ce_q6"),
+        )
+    )
+
+
+ORACLE_DOC_BIGRAM_CE = """
+WITH a AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+  WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+),
+bi AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM a, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+  WHERE len(w) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT word) AS v
+  FROM (SELECT unnest(w) AS word FROM a)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(sum(-ln((c12.c12 + 1)::DOUBLE / (c1.c1 + v.v)::DOUBLE))
+             / count(*), 6) AS ce_q6
+FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY 1
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-prep vocabulary coverage: build the top-1000 corpus
+    vocabulary (by frequency, word tie-break) and report each
+    document's OOV token rate — the signal that decides whether a
+    tokenizer's vocab fits a corpus slice before training on it.
+    OOV rate is exact integer ppm (1e6·n_oov DIV n_tokens). Shape:
+    the vocab is a bounded TakeOrdered (never a global sort) and
+    joins back to the token stream as a broadcast; one hash-agg per
+    doc. At 100 TB the token stream never sorts and the vocab dim is
+    a few KB on every executor."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = docs.filter(F.length(norm) > 0).select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(1000)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    j = words.join(F.broadcast(vocab), "word", "left")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("in_vocab").isNull().cast("long")).cast("long").alias("n_oov"),
+        F.expr("(1000000 * sum(cast(in_vocab IS NULL as long))) DIV count(*)")
+        .cast("long")
+        .alias("oov_ppm"),
+    )
+
+
+ORACLE_VOCAB_COVERAGE = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(string_split(txt, ' ')) AS word
+  FROM norm WHERE length(txt) > 0
+),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS cnt FROM words GROUP BY 1
+  ) ORDER BY cnt DESC, word LIMIT 1000
+)
+SELECT w.doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       (1000000 * sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END))
+         // count(*) AS oov_ppm
+FROM words w LEFT JOIN vocab v ON w.word = v.word
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -6233,6 +6362,8 @@ QUERIES: dict[str, tuple] = {
     "image_canonical_dedup": (q_image_canonical_dedup, None),
     "redirect_chains": (q_redirect_chains, ORACLE_REDIRECT_CHAINS),
     "mirror_detection": (q_mirror_detection, ORACLE_MIRROR_DETECTION),
+    "doc_bigram_ce": (q_doc_bigram_ce, ORACLE_DOC_BIGRAM_CE),
+    "vocab_coverage": (q_vocab_coverage, ORACLE_VOCAB_COVERAGE),
 }
 
 

@@ -554,3 +554,27 @@ def test_mirror_detection_fp_equijoin_topk(spark):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_doc_bigram_ce_no_single_partition(spark):
+    """doc_bigram_ce: bigram explode is a projection; counts are
+    hash-aggs joined on their own keys; V broadcasts."""
+    from crawlers_spark.queries import q_doc_bigram_ce
+
+    plan = _plan(q_doc_bigram_ce(spark, SF))
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row V scalar
+    # the only single-partition exchange allowed is the 1-row V scalar
+    # aggregate; the token/bigram streams must shuffle on their keys
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "SortAggregate" not in plan
+
+
+def test_vocab_coverage_topk_broadcast(spark):
+    """vocab_coverage: the vocab is a bounded TakeOrdered broadcast to
+    the token stream — the stream itself never sorts."""
+    from crawlers_spark.queries import q_vocab_coverage
+
+    plan = _plan(q_vocab_coverage(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
