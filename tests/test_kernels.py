@@ -178,17 +178,19 @@ class TestHashBandPairs:
         rng = np.random.default_rng(7)
         base = rng.integers(-(2**63), 2**63 - 1, size=40, dtype=np.int64)
         rows = [(f"id{i:03d}", int(h)) for i, h in enumerate(base)]
-        # perturb: for each of 20 bases, add a mutant at hamming 1..3
-        # (random bit positions, possibly spread across all 4 bands)
+        # perturb: for each of 20 bases, add a mutant at hamming 1..7
+        # (random bit positions, possibly spread across every band) —
+        # radius 7 is the 8x8-bit banding lane the phash-recompression
+        # drift finding names as the wide-radius production fix
         for i in range(20):
-            bits = rng.choice(64, size=int(rng.integers(1, 4)), replace=False)
+            bits = rng.choice(64, size=int(rng.integers(1, 8)), replace=False)
             m = int(base[i])
             for b in bits:
                 m ^= 1 << int(b)
             rows.append((f"mut{i:03d}", np.int64(m).item()))
 
         df = spark.createDataFrame(rows, "image_id string, phash long")
-        for k in (1, 3):
+        for k in (1, 3, 7):
             got = {
                 (r["id_a"], r["id_b"])
                 for r in hash_band_pairs(df, "image_id", "phash", k).collect()
