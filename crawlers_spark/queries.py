@@ -6226,6 +6226,123 @@ GROUP BY 1
 """
 
 
+def q_revalidation_outcome(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional-GET outcome accounting — what If-Modified-Since
+    actually buys a re-crawl (RFC 9110 304 semantics): pages whose
+    content is unchanged since the stored snapshot answer 304 and cost
+    ~0 body bytes; changed pages answer 200 and ship their full body.
+    The change law is crawl_delta's (doc_id % 7 == 0 mutated), so the
+    outcome split is oracle-exact; body size is n_chars. Output: per
+    outcome, page count, body bytes shipped, bytes saved, and the
+    corpus-level savings in exact integer ppm — the number that
+    decides whether conditional requests are worth the extra header
+    round-trip at 100 TB. Shape: projection + one hash-agg."""
+    d = load_table(spark, sf, "documents")
+    changed = (F.col("doc_id") % 7 == 0).cast("long")
+    body = F.coalesce(F.col("n_chars"), F.lit(0))
+    m = d.select(
+        F.when(changed == 1, F.lit("200")).otherwise(F.lit("304")).alias(
+            "outcome"
+        ),
+        F.when(changed == 1, body).otherwise(F.lit(0)).cast("long").alias(
+            "bytes_shipped"
+        ),
+        F.when(changed == 0, body).otherwise(F.lit(0)).cast("long").alias(
+            "bytes_saved"
+        ),
+        body.cast("long").alias("body"),
+    )
+    return m.groupBy("outcome").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("bytes_shipped").cast("long").alias("bytes_shipped"),
+        F.sum("bytes_saved").cast("long").alias("bytes_saved"),
+        F.expr("(1000000 * sum(bytes_saved)) DIV greatest(sum(body), 1)")
+        .cast("long")
+        .alias("saved_ppm_of_outcome"),
+    )
+
+
+ORACLE_REVALIDATION_OUTCOME = """
+WITH m AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN '200' ELSE '304' END AS outcome,
+         CASE WHEN doc_id % 7 = 0 THEN coalesce(n_chars, 0) ELSE 0 END
+           AS bytes_shipped,
+         CASE WHEN doc_id % 7 != 0 THEN coalesce(n_chars, 0) ELSE 0 END
+           AS bytes_saved,
+         coalesce(n_chars, 0) AS body
+  FROM documents
+)
+SELECT outcome, count(*) AS n_pages,
+       CAST(sum(bytes_shipped) AS BIGINT) AS bytes_shipped,
+       CAST(sum(bytes_saved) AS BIGINT) AS bytes_saved,
+       (1000000 * sum(bytes_saved)) // greatest(sum(body), 1)
+         AS saved_ppm_of_outcome
+FROM m GROUP BY 1
+"""
+
+
+def q_error_circuit_breaker(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host error circuit breaker with lag-1 probation — the
+    fetcher-ops law that stops hammering a failing host (open on a bad
+    day, half-open probation the day after a bad day, closed
+    otherwise; 'bad' = error rate >= 0.5, integer cross-multiplied).
+    Day sequence is each host's OBSERVED days (lag over days with
+    traffic — a silent host carries no state, documented semantics).
+    Output: per (host, day) the counts and breaker state. Shape: one
+    hash-agg to (host, day), one host-partitioned lag window — the
+    same per-key daily rollup any 100-TB fetch-ops pipeline runs."""
+    e = load_table(spark, sf, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    g = (
+        e.select(
+            F.col("user_id").alias("host_id"),
+            day.alias("day"),
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+        .groupBy("host_id", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_err").cast("long").alias("n_errors"),
+        )
+        .withColumn("bad", (2 * F.col("n_errors") >= F.col("n_events")).cast("long"))
+    )
+    w = Window.partitionBy("host_id").orderBy("day")
+    return (
+        g.withColumn("prev_bad", F.lag("bad").over(w))
+        .select(
+            "host_id",
+            "day",
+            "n_events",
+            "n_errors",
+            F.when(F.col("bad") == 1, F.lit("open"))
+            .when(F.col("prev_bad") == 1, F.lit("half_open"))
+            .otherwise(F.lit("closed"))
+            .alias("state"),
+        )
+    )
+
+
+ORACLE_ERROR_CIRCUIT_BREAKER = """
+WITH g AS (
+  SELECT user_id AS host_id, strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS n_events,
+         CAST(sum(CAST(event_type = 'error' AS BIGINT)) AS BIGINT) AS n_errors
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT *, CAST(2 * n_errors >= n_events AS BIGINT) AS bad,
+         lag(CAST(2 * n_errors >= n_events AS BIGINT))
+           OVER (PARTITION BY host_id ORDER BY day) AS prev_bad
+  FROM g
+)
+SELECT host_id, day, n_events, n_errors,
+       CASE WHEN bad = 1 THEN 'open'
+            WHEN prev_bad = 1 THEN 'half_open'
+            ELSE 'closed' END AS state
+FROM b
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -6364,6 +6481,11 @@ QUERIES: dict[str, tuple] = {
     "mirror_detection": (q_mirror_detection, ORACLE_MIRROR_DETECTION),
     "doc_bigram_ce": (q_doc_bigram_ce, ORACLE_DOC_BIGRAM_CE),
     "vocab_coverage": (q_vocab_coverage, ORACLE_VOCAB_COVERAGE),
+    "revalidation_outcome": (q_revalidation_outcome, ORACLE_REVALIDATION_OUTCOME),
+    "error_circuit_breaker": (
+        q_error_circuit_breaker,
+        ORACLE_ERROR_CIRCUIT_BREAKER,
+    ),
 }
 
 

@@ -578,3 +578,25 @@ def test_vocab_coverage_topk_broadcast(spark):
     plan = _plan(q_vocab_coverage(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_revalidation_outcome_projection_agg(spark):
+    """revalidation_outcome: projection + one hash-agg, no join."""
+    from crawlers_spark.queries import q_revalidation_outcome
+
+    plan = _plan(q_revalidation_outcome(spark, SF))
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_error_circuit_breaker_host_window(spark):
+    """error_circuit_breaker: one (host, day) hash-agg + one
+    host-partitioned lag — nothing single-partition."""
+    import re
+
+    from crawlers_spark.queries import q_error_circuit_breaker
+
+    plan = _plan(q_error_circuit_breaker(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.startswith("host_id") for s in specs)
