@@ -436,3 +436,86 @@ def stream_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_circuit_breaker(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming per-host error circuit breaker — the stateful twin of
+    queries.q_error_circuit_breaker (open on a bad day, half-open
+    probation the day after, closed otherwise; bad = error rate >= 0.5,
+    integer cross-multiplied).
+
+    State per host is ONE int (yesterday's badness) — the minimal-state
+    streaming shape (contrast stream_dedup_exact's inherently growing
+    key set): O(1) state per host forever, O(batch) update cost.
+    Batches are expected to arrive in day order with whole days per
+    batch (the fetch-ops rollup cadence); days inside a batch are
+    processed in sorted order, so feeding the same whole-day batches
+    reproduces the batch query's states exactly (equivalence-tested),
+    and a restart resumes probation from checkpointed state — a bad day
+    before the crash still forces half-open after it.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).parquet(events_dir)
+    )
+    d = src.select(
+        F.col("user_id").alias("host_id"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (F.col("event_type") == "error").cast("long").alias("is_err"),
+    )
+
+    def step(key, pdfs, state: GroupState):
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        prev_bad = int(state.get[0]) if state.exists else 0
+        g = (
+            pdf.groupby("day", sort=True)
+            .agg(n_events=("is_err", "size"), n_errors=("is_err", "sum"))
+            .reset_index()
+        )
+        states = []
+        for _, r in g.iterrows():
+            bad = int(2 * int(r.n_errors) >= int(r.n_events))
+            states.append(
+                "open" if bad else ("half_open" if prev_bad else "closed")
+            )
+            prev_bad = bad
+        state.update((prev_bad,))
+        yield pd.DataFrame(
+            {
+                "host_id": key[0],
+                "day": g["day"],
+                "n_events": g["n_events"].astype("int64"),
+                "n_errors": g["n_errors"].astype("int64"),
+                "state": states,
+            }
+        )
+
+    out = d.groupBy("host_id").applyInPandasWithState(
+        step,
+        outputStructType=(
+            "host_id long, day string, n_events bigint,"
+            " n_errors bigint, state string"
+        ),
+        stateStructType="prev_bad int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

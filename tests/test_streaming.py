@@ -360,3 +360,68 @@ def test_stream_heavy_hitters_grid_matches_batch(spark, tmp_path):
     total = op["numRowsTotal"] if isinstance(op, dict) else op.numRowsTotal
     assert total <= CMS_D * CMS_W
     assert updated <= 3 * CMS_D
+
+
+def test_stream_circuit_breaker_matches_batch_across_restart(spark, tmp_path):
+    """Streaming breaker == batch breaker when fed whole-day batches,
+    with the probation state (yesterday's badness) surviving a restart:
+    day 2 is bad and arrives BEFORE the restart, so day 3's half_open
+    must come from checkpointed state."""
+    import pandas as pd
+
+    from crawlers_spark.queries import q_error_circuit_breaker
+    from crawlers_spark.streaming.micro_batch import stream_circuit_breaker
+
+    events_dir = str(tmp_path / "events.parquet")
+    os.makedirs(events_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def day(d, host, types):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, d, 12, 0, 0)
+        df = pd.DataFrame(
+            {
+                "event_id": [d * 100 + host * 10 + i for i in range(len(types))],
+                "ts": [t0 + datetime.timedelta(minutes=i) for i in range(len(types))],
+                "user_id": [host] * len(types),
+                "event_type": types,
+                "value": [1.0] * len(types),
+                "props": ["{}"] * len(types),
+            }
+        )
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        return df
+
+    # host 1: good, BAD, good  -> closed, open, half_open
+    # host 2: bad, good, good  -> open, half_open, closed
+    pd.concat(
+        [day(1, 1, ["view", "view", "error"]), day(1, 2, ["error", "view"])]
+    ).to_parquet(os.path.join(events_dir, "b1.parquet"))
+    q = stream_circuit_breaker(spark, events_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    pd.concat(
+        [day(2, 1, ["error", "error", "view"]), day(2, 2, ["view", "view", "view"])]
+    ).to_parquet(os.path.join(events_dir, "b2.parquet"))
+    q2 = stream_circuit_breaker(spark, events_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+
+    # restart boundary here: day-2 badness lives only in the checkpoint
+    pd.concat(
+        [day(3, 1, ["view", "view"]), day(3, 2, ["view"])]
+    ).to_parquet(os.path.join(events_dir, "b3.parquet"))
+    q3 = stream_circuit_breaker(spark, events_dir, out_dir, ckpt)
+    q3.awaitTermination(120)
+
+    got = {
+        (r["host_id"], r["day"]): (r["n_events"], r["n_errors"], r["state"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["host_id"], r["day"]): (r["n_events"], r["n_errors"], r["state"])
+        for r in q_error_circuit_breaker(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    assert got[(1, "2024-01-03")][2] == "half_open"  # state crossed the restart
+    assert got[(2, "2024-01-03")][2] == "closed"
