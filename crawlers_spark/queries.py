@@ -6343,6 +6343,87 @@ FROM b
 """
 
 
+def q_crawl_to_multimodal_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The IMAGE edition of crawl_to_corpus — the full multimodal
+    admission pipeline in ONE plan: crawl the synthetic web, dedup
+    images by md5 AFTER canonical PNG re-encode (the production lane
+    image_canonical_dedup proves; container variants collapse), apply
+    the LAION-style pair rules (min dim, aspect, caption length — the
+    same fixed precedence as image_caption_qc), and report the
+    admission funnel per host: fetched → pixel-unique → admitted, with
+    caption tokens retained. Rows-only for the driver (the crawl
+    source is not SQL-expressible); every stage law is individually
+    oracle- or invariant-proven (image_caption_qc, image_canonical_dedup,
+    dedup_exact). Decode/re-encode is per-image inside mapInPandas;
+    dedup, rules, and the funnel stay JVM-side."""
+    import pandas as pd
+
+    from .functions.images import decode_image, encode_image
+
+    res = _small_crawl(spark)
+
+    def canon_md5_of(batches):
+        import hashlib
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            canon = [
+                hashlib.md5(encode_image(decode_image(b, f), "png")).hexdigest()
+                for b, f in zip(pdf["bytes"], pdf["fmt"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "canon_md5": canon,
+                }
+            )
+
+    hashes = res.pages.select("image_id", "bytes", "fmt").mapInPandas(
+        canon_md5_of, schema="image_id string, canon_md5 string"
+    )
+    meta = res.pages.select(
+        "image_id",
+        "w",
+        "h",
+        F.regexp_extract("url_canon", r"http://([^/]+)", 1).alias("host"),
+        F.size(F.split(F.trim(F.regexp_replace("caption", r"\s+", " ")), " "))
+        .cast("long")
+        .alias("cap_tokens"),
+    )
+    uniq = (
+        hashes.join(meta, "image_id")
+        .groupBy("canon_md5")
+        .agg(F.min(F.struct("image_id", "w", "h", "host", "cap_tokens")).alias("m"))
+        .select("m.image_id", "m.w", "m.h", "m.host", "m.cap_tokens")
+    )
+    admitted = uniq.filter(
+        (F.least("w", "h") >= 32)
+        & (F.col("w") <= 3 * F.col("h"))
+        & (F.col("h") <= 3 * F.col("w"))
+        & F.col("cap_tokens").between(2, 128)
+    )
+    fetched = meta.groupBy("host").agg(F.count("*").alias("n_fetched"))
+    unique = uniq.groupBy("host").agg(F.count("*").alias("n_unique"))
+    adm = admitted.groupBy("host").agg(
+        F.count("*").alias("n_admitted"),
+        F.sum("cap_tokens").cast("long").alias("caption_tokens"),
+    )
+    return (
+        fetched.join(unique, "host", "left")
+        .join(adm, "host", "left")
+        .select(
+            "host",
+            "n_fetched",
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.coalesce("n_admitted", F.lit(0)).cast("long").alias("n_admitted"),
+            F.coalesce("caption_tokens", F.lit(0)).cast("long").alias(
+                "caption_tokens"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -6486,6 +6567,7 @@ QUERIES: dict[str, tuple] = {
         q_error_circuit_breaker,
         ORACLE_ERROR_CIRCUIT_BREAKER,
     ),
+    "crawl_to_multimodal_corpus": (q_crawl_to_multimodal_corpus, None),
 }
 
 

@@ -773,3 +773,16 @@ def test_image_canonical_dedup_collapses_format_variants(spark):
     assert r.n_variant_rows == 2 * r.n_canon_distinct
     assert r.n_raw_distinct == r.n_variant_rows
     assert r.n_dups_recovered == r.n_canon_distinct
+
+
+def test_crawl_to_multimodal_corpus_funnel_monotone(spark):
+    """The multimodal admission funnel can only narrow: per host,
+    admitted <= unique <= fetched, and the crawl admits something."""
+    from crawlers_spark.queries import q_crawl_to_multimodal_corpus
+
+    rows = q_crawl_to_multimodal_corpus(spark, "").collect()
+    assert rows
+    for r in rows:
+        assert r.n_admitted <= r.n_unique <= r.n_fetched, r
+        assert (r.n_admitted == 0) == (r.caption_tokens == 0)
+    assert sum(r.n_admitted for r in rows) > 0
