@@ -6424,6 +6424,58 @@ def q_crawl_to_multimodal_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_politeness_by_ip(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-IP politeness pacing — the Mercator design point
+    politeness_schedule deliberately doesn't cover: virtual hosts
+    sharing one server IP must share ONE crawl budget (per-host pacing
+    would multiply load on the box by the vhost count; Heydon & Najork
+    1999, public). Hosts collapse onto IPs deterministically (ip =
+    host % 13 — several hosts per IP by construction); each IP's queue
+    interleaves all its hosts' fetches in (ts, event_id) order and is
+    paced at that IP's delay. First 100 of the global timeline, with
+    the host column showing cross-host interleaving under one IP —
+    the observable difference from per-host pacing. Shape: one
+    IP-partitioned window + bounded top-k (TakeOrderedAndProject)."""
+    e = load_table(spark, sf, "events")
+    ip = (F.col("user_id") % 13).alias("ip")
+    w = Window.partitionBy("ip").orderBy("ts", "event_id")
+    q = e.select(
+        F.col("user_id").alias("host_id"),
+        "event_id",
+        "ts",
+        ip,
+        (F.lit(400) + (F.col("user_id") % 13 % 3) * 200).alias("delay_ms"),
+    ).withColumn("slot", F.row_number().over(w) - 1)
+    return (
+        q.select(
+            "ip",
+            "host_id",
+            "event_id",
+            F.col("delay_ms").cast("long").alias("delay_ms"),
+            (F.col("slot") * F.col("delay_ms")).cast("long").alias("sched_ms"),
+        )
+        .orderBy("sched_ms", "ip", "event_id")
+        .limit(100)
+    )
+
+
+ORACLE_POLITENESS_BY_IP = """
+WITH q AS (
+  SELECT user_id % 13 AS ip, user_id AS host_id, event_id,
+         400 + (user_id % 13 % 3) * 200 AS delay_ms,
+         row_number() OVER (PARTITION BY user_id % 13
+                            ORDER BY ts, event_id) - 1 AS slot
+  FROM events
+)
+SELECT ip, host_id, event_id,
+       CAST(delay_ms AS BIGINT) AS delay_ms,
+       CAST(slot * delay_ms AS BIGINT) AS sched_ms
+FROM q
+ORDER BY sched_ms, ip, event_id
+LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -6568,6 +6620,7 @@ QUERIES: dict[str, tuple] = {
         ORACLE_ERROR_CIRCUIT_BREAKER,
     ),
     "crawl_to_multimodal_corpus": (q_crawl_to_multimodal_corpus, None),
+    "politeness_by_ip": (q_politeness_by_ip, ORACLE_POLITENESS_BY_IP),
 }
 
 

@@ -600,3 +600,15 @@ def test_error_circuit_breaker_host_window(spark):
     assert "Exchange SinglePartition" not in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all(s.startswith("host_id") for s in specs)
+
+
+def test_politeness_by_ip_partitioned_window_topk(spark):
+    """politeness_by_ip: IP-partitioned window + bounded top-k."""
+    import re
+
+    from crawlers_spark.queries import q_politeness_by_ip
+
+    plan = _plan(q_politeness_by_ip(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.startswith("ip") for s in specs)
