@@ -6476,6 +6476,97 @@ LIMIT 100
 """
 
 
+def q_doc_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric near-containment detection — the wire-reprint /
+    quote-expansion case that symmetric near-dup (Jaccard, SimHash)
+    under-scores: doc A inside a longer doc B has low Jaccard but
+    |fp(A) ∩ fp(B)| ≈ |fp(A)|. Reuses doc_fingerprints' winnowing-style
+    selected 8-gram lane; overlap via ONE gram equi-join (a≠b keeps
+    both directions — containment is directional), containment in
+    exact integer ppm of the INNER doc's grams. Top 50 pairs by
+    (overlap, pair). At 100 TB the gram join df-caps hot grams exactly
+    like dedup_ngram_jaccard; docs with < 4 selected grams are too
+    small to make a containment claim and are excluded (both sides)."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    g = (
+        d.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") >= 8)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("norm") - F.lit(7))).alias(
+                "pos"
+            ),
+            "norm",
+        )
+        .select("doc_id", F.md5(F.expr("substring(norm, pos, 8)")).alias("h"))
+        .filter(F.col("h").startswith("0"))
+        .distinct()
+    )
+    sz = g.groupBy("doc_id").agg(F.count("*").alias("n_grams")).filter(
+        F.col("n_grams") >= 4
+    )
+    a = g.select(F.col("doc_id").alias("inner_doc"), "h").join(
+        sz.select(F.col("doc_id").alias("inner_doc"), F.col("n_grams").alias("n_inner")),
+        "inner_doc",
+    )
+    b = g.select(F.col("doc_id").alias("outer_doc"), "h").join(
+        sz.select(F.col("doc_id").alias("outer_doc")), "outer_doc"
+    )
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("inner_doc") != F.col("outer_doc"))
+        .groupBy("inner_doc", "outer_doc", "n_inner")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.select(
+            "inner_doc",
+            "outer_doc",
+            "n_inner",
+            "n_common",
+            F.expr("(1000000 * n_common) DIV n_inner")
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+        .orderBy(F.col("n_common").desc(), "inner_doc", "outer_doc")
+        .limit(50)
+    )
+
+
+ORACLE_DOC_CONTAINMENT = """
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, md5(substring(norm, pos, 8)) AS h
+  FROM t, LATERAL (
+    SELECT unnest(range(1, length(norm) - 6)) AS pos
+  ) s
+  WHERE length(norm) >= 8
+    AND md5(substring(norm, pos, 8)) LIKE '0%'
+),
+sz AS (
+  SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1 HAVING count(*) >= 4
+),
+pairs AS (
+  SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+         sa.n_grams AS n_inner, count(*) AS n_common
+  FROM g a
+  JOIN sz sa ON a.doc_id = sa.doc_id
+  JOIN g b ON a.h = b.h AND a.doc_id != b.doc_id
+  JOIN sz sb ON b.doc_id = sb.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT inner_doc, outer_doc, n_inner, n_common,
+       (1000000 * n_common) // n_inner AS containment_ppm
+FROM pairs
+ORDER BY n_common DESC, inner_doc, outer_doc
+LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -6621,6 +6712,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "crawl_to_multimodal_corpus": (q_crawl_to_multimodal_corpus, None),
     "politeness_by_ip": (q_politeness_by_ip, ORACLE_POLITENESS_BY_IP),
+    "doc_containment": (q_doc_containment, ORACLE_DOC_CONTAINMENT),
 }
 
 

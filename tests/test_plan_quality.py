@@ -612,3 +612,14 @@ def test_politeness_by_ip_partitioned_window_topk(spark):
     assert "TakeOrderedAndProject" in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all(s.startswith("ip") for s in specs)
+
+
+def test_doc_containment_gram_equijoin_topk(spark):
+    """doc_containment: overlap via the gram equi-join (no cartesian),
+    bounded TakeOrdered output."""
+    from crawlers_spark.queries import q_doc_containment
+
+    plan = _plan(q_doc_containment(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
