@@ -6567,6 +6567,75 @@ LIMIT 50
 """
 
 
+def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public) over the
+    DIRECTED customer→supplier trade graph — the link-analysis
+    complement to pagerank (a good hub LINKS TO good authorities; the
+    anchor_text signal's ranking consumer). Two full update rounds of
+    exact int64 power iteration (h0 = 10^6; a ← Σ_in h, h ← Σ_out a) —
+    degrees bound every sum far below int64, so NO normalization step
+    is needed and both engines compute identical integers (the same
+    fixed-iteration unrolled-oracle scheme as pagerank/kcore/bfs).
+    Top 20 authorities with hub scores attached. Shape per round: one
+    shuffle-on-key agg per direction — pagerank_int's exact cost."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+        )
+        .distinct()
+    )
+    h = e.select("c").distinct().withColumn("h", F.lit(1000000).cast("long"))
+    for _ in range(2):
+        a = (
+            e.join(h, "c")
+            .groupBy("s")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        h = (
+            e.join(a, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+    best_hub = (
+        e.join(h, "c")
+        .groupBy("s")
+        .agg(F.max("h").cast("long").alias("best_hub_score"))
+    )
+    return (
+        a.join(best_hub, "s")
+        .select(
+            F.col("s").alias("supplier"),
+            F.col("a").alias("authority_score"),
+            "best_hub_score",
+        )
+        .orderBy(F.col("authority_score").desc(), "supplier")
+        .limit(20)
+    )
+
+
+ORACLE_HITS_SCORES = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+h0 AS (SELECT c, CAST(1000000 AS BIGINT) AS h FROM (SELECT DISTINCT c FROM e)),
+a1 AS (SELECT s, CAST(sum(h) AS BIGINT) AS a FROM e JOIN h0 USING (c) GROUP BY 1),
+h1 AS (SELECT c, CAST(sum(a) AS BIGINT) AS h FROM e JOIN a1 USING (s) GROUP BY 1),
+a2 AS (SELECT s, CAST(sum(h) AS BIGINT) AS a FROM e JOIN h1 USING (c) GROUP BY 1),
+h2 AS (SELECT c, CAST(sum(a) AS BIGINT) AS h FROM e JOIN a2 USING (s) GROUP BY 1),
+bh AS (SELECT s, CAST(max(h) AS BIGINT) AS best_hub_score
+       FROM e JOIN h2 USING (c) GROUP BY 1)
+SELECT a2.s AS supplier, a2.a AS authority_score, bh.best_hub_score
+FROM a2 JOIN bh USING (s)
+ORDER BY authority_score DESC, supplier
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -6713,6 +6782,7 @@ QUERIES: dict[str, tuple] = {
     "crawl_to_multimodal_corpus": (q_crawl_to_multimodal_corpus, None),
     "politeness_by_ip": (q_politeness_by_ip, ORACLE_POLITENESS_BY_IP),
     "doc_containment": (q_doc_containment, ORACLE_DOC_CONTAINMENT),
+    "hits_scores": (q_hits_scores, ORACLE_HITS_SCORES),
 }
 
 

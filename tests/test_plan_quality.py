@@ -623,3 +623,14 @@ def test_doc_containment_gram_equijoin_topk(spark):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_hits_scores_keyed_aggs_topk(spark):
+    """hits_scores: power-iteration rounds are shuffle-on-key hash aggs
+    in one declarative plan; bounded TakeOrdered output."""
+    from crawlers_spark.queries import q_hits_scores
+
+    plan = _plan(q_hits_scores(spark, SF))
+    assert "HashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
