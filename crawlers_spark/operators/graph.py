@@ -195,7 +195,10 @@ def pagerank_int(
     than silently re-weighted.
     """
     deg = edges.groupBy(src).agg(F.count("*").alias("__od"))
-    n = deg.count()
+    # max(n, 1): an EMPTY edge set must yield an empty result, not a
+    # driver-side ZeroDivisionError (ranks is already empty; the divisor
+    # value is then irrelevant)
+    n = max(deg.count(), 1)
     teleport = (15 * scale) // (100 * n)
     ranks = deg.select(
         F.col(src).alias("node"), F.lit(scale // n).cast("long").alias("rank")

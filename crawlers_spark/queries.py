@@ -558,6 +558,10 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+-- empty-input alignment: DuckDB emits ROLLUP's grand-total group even
+-- for 0 rows, Spark emits nothing; count(*) > 0 is a no-op on any
+-- non-empty corpus (every realized group has >= 1 row)
+HAVING count(*) > 0
 """
 
 
@@ -3613,10 +3617,15 @@ def q_profile_documents(spark: SparkSession, sf: str) -> DataFrame:
     step should emit before the data is trusted."""
     d = load_table(spark, sf, "documents")
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    # coalesce: on an EMPTY table sum() is NULL, and DuckDB's UNPIVOT
+    # silently drops NULL cells while Spark's keeps them — coalescing to
+    # 0 is a no-op on any non-empty corpus and aligns the empty edge
     wide = d.agg(
         F.count("*").alias("n_rows"),
         *[
-            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(
+                f"null_{c}"
+            )
             for c in cols
         ],
         *[F.count_distinct(F.col(c)).alias(f"dist_{c}") for c in cols],
@@ -3637,7 +3646,8 @@ def _profile_oracle() -> str:
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     stats = ", ".join(
         [
-            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_{c}"
+            f"CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0)"
+            f" AS BIGINT) AS null_{c}"
             for c in cols
         ]
         + [f"CAST(count(DISTINCT {c}) AS BIGINT) AS dist_{c}" for c in cols]

@@ -186,3 +186,44 @@ def test_politeness_audit_single_fetch_host_edge(spark, tmp_path):
     assert srows[42]["min_gap_us"] is None
     # host 7: 100 ms gap < its 1000 ms delay (500+250*(7%5)) => one violation
     assert srows[7]["n_violations"] == 1
+
+
+def test_all_oracle_queries_tolerate_empty_corpus(spark, tmp_path):
+    """Whole-registry robustness sweep: every oracle query must run on a
+    fully EMPTY corpus (correct schemas, 0 rows) in BOTH engines without
+    crashing and with matching row counts — the guard that surfaced the
+    DuckDB-UNPIVOT-drops-NULLs, ROLLUP-grand-total-on-empty, and
+    pagerank ZeroDivisionError edges. Crawl/media-sourced queries skip
+    (they synthesize their own input)."""
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path)
+    for t in TABLES:
+        (
+            spark.read.parquet(f"{src}/{t}.parquet")
+            .limit(0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{dst}/{t}.parquet")
+        )
+    con = _duck.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet/*.parquet'"
+        )
+    skip_prefixes = ("crawl", "image", "phash", "video", "audio")
+    failures = []
+    for name, (fn, sql) in QUERIES.items():
+        if sql is None or name.startswith(skip_prefixes):
+            continue
+        try:
+            n_s = len(fn(spark, dst).collect())
+            n_o = len(con.execute(sql).fetchall())
+        except Exception as e:  # noqa: BLE001 — collecting a report
+            failures.append((name, str(e).splitlines()[0][:120]))
+            continue
+        if n_s != n_o:
+            failures.append((name, f"rows {n_s} != {n_o}"))
+    con.close()
+    assert not failures, failures
