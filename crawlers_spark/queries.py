@@ -3889,7 +3889,11 @@ def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import normalize_text
 
     d = load_table(spark, sf, "documents")
-    fp = F.md5(normalize_text(F.col("text"))).alias("fp")
+    # coalesce BEFORE fingerprinting (crawl_delta's lesson): a NULL-text
+    # doc must still fingerprint — a NULL fp slips through Spark's anti-
+    # join (NULL keys never match) while DuckDB's NOT IN rejects the
+    # whole batch once the subquery contains a NULL
+    fp = F.md5(normalize_text(F.coalesce(F.col("text"), F.lit("")))).alias("fp")
     existing = d.filter(F.col("doc_id") % 2 == 0).select(fp).distinct()
     incoming = d.filter(F.col("doc_id") % 2 == 1).select(fp, "doc_id", "lang")
     fresh = incoming.join(existing, "fp", "left_anti")
@@ -3903,7 +3907,8 @@ def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_INCREMENTAL_DEDUP = """
 WITH fps AS (
   SELECT doc_id, lang,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')))
+           AS fp
   FROM documents
 ),
 existing AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),

@@ -227,3 +227,48 @@ def test_all_oracle_queries_tolerate_empty_corpus(spark, tmp_path):
             failures.append((name, f"rows {n_s} != {n_o}"))
     con.close()
     assert not failures, failures
+
+
+def test_all_oracle_queries_tolerate_null_payloads(spark, tmp_path):
+    """Whole-registry dirty-data sweep: every oracle query must agree
+    across engines when all PAYLOAD columns are NULL (keys intact) —
+    the guard that surfaced incremental_dedup's NULL-fingerprint
+    anti-join vs NOT-IN divergence."""
+    import duckdb as _duck
+
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path)
+    null_cols = {
+        "documents": ["text", "lang", "source"],
+        "events": ["event_type", "props", "value"],
+        "customer": ["c_comment", "c_mktsegment"],
+    }
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        for c in null_cols.get(t, []):
+            if c in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(dict(df.dtypes)[c]))
+        df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    con = _duck.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet/*.parquet'"
+        )
+    failures = []
+    for name, (fn, sql) in QUERIES.items():
+        if sql is None or name.startswith(
+            ("crawl", "image", "phash", "video", "audio")
+        ):
+            continue
+        try:
+            n_s = len(fn(spark, dst).collect())
+            n_o = len(con.execute(sql).fetchall())
+        except Exception as e:  # noqa: BLE001 — collecting a report
+            failures.append((name, str(e).splitlines()[0][:120]))
+            continue
+        if n_s != n_o:
+            failures.append((name, f"rows {n_s} != {n_o}"))
+    con.close()
+    assert not failures, failures
