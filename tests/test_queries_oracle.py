@@ -272,3 +272,50 @@ def test_all_oracle_queries_tolerate_null_payloads(spark, tmp_path):
             failures.append((name, f"rows {n_s} != {n_o}"))
     con.close()
     assert not failures, failures
+
+
+def test_all_oracle_queries_tolerate_maximal_skew(spark, tmp_path):
+    """Whole-registry skew sweep: every oracle query must agree across
+    engines on the maximal-skew corpus — 100% duplicate document text
+    and ONE mega-host owning every event (the pathology the salted/
+    df-capped scale paths exist for). Zero divergences expected."""
+    import duckdb as _duck
+
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path)
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.lit(
+                    "the same exact document text repeated verbatim in"
+                    " every row of this corpus"
+                ),
+            )
+        if t == "events":
+            df = df.withColumn("user_id", F.lit(7))
+        df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    con = _duck.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet/*.parquet'"
+        )
+    failures = []
+    for name, (fn, sql) in QUERIES.items():
+        if sql is None or name.startswith(
+            ("crawl", "image", "phash", "video", "audio")
+        ):
+            continue
+        try:
+            n_s = len(fn(spark, dst).collect())
+            n_o = len(con.execute(sql).fetchall())
+        except Exception as e:  # noqa: BLE001 — collecting a report
+            failures.append((name, str(e).splitlines()[0][:120]))
+            continue
+        if n_s != n_o:
+            failures.append((name, f"rows {n_s} != {n_o}"))
+    con.close()
+    assert not failures, failures
