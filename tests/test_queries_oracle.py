@@ -319,3 +319,64 @@ def test_all_oracle_queries_tolerate_maximal_skew(spark, tmp_path):
             failures.append((name, f"rows {n_s} != {n_o}"))
     con.close()
     assert not failures, failures
+
+
+def test_all_oracle_queries_tolerate_unicode_text(spark, tmp_path):
+    """Whole-registry Unicode sweep: accents, emoji, CJK, sharp-s,
+    ligatures injected into every document and event_type — all oracle
+    pairs must agree. Excludes the two DOCUMENTED Java-vs-utf8proc
+    case-folding divergences (see test_lowercase_folding_boundary)."""
+    import duckdb as _duck
+
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path)
+    uni = "Ünïcodé ÉMOJI 😀 中文 test Istanbul STRASSE ß groß ẞharp ﬁligature"
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if t == "documents":
+            df = df.withColumn("text", F.concat(F.lit(uni + " "), F.col("text")))
+        if t == "events":
+            df = df.withColumn(
+                "event_type", F.concat(F.lit("é😀"), F.col("event_type"))
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    con = _duck.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet/*.parquet'"
+        )
+    failures = []
+    for name, (fn, sql) in QUERIES.items():
+        if sql is None or name.startswith(
+            ("crawl", "image", "phash", "video", "audio")
+        ):
+            continue
+        try:
+            n_s = len(fn(spark, dst).collect())
+            n_o = len(con.execute(sql).fetchall())
+        except Exception as e:  # noqa: BLE001 — collecting a report
+            failures.append((name, str(e).splitlines()[0][:120]))
+            continue
+        if n_s != n_o:
+            failures.append((name, f"rows {n_s} != {n_o}"))
+    con.close()
+    assert not failures, failures
+
+
+def test_lowercase_folding_boundary(spark):
+    """The documented cross-engine oracle-comparability boundary: Java
+    (Spark) implements Unicode SpecialCasing in lower() — dotted
+    capital I (U+0130) gains a combining dot, word-final capital sigma
+    becomes ς — while DuckDB's utf8proc uses simple 1:1 mappings. Any
+    oracle query that lowercases corpus text diverges on text
+    containing exactly these; the driver corpora are ASCII, so the
+    correctness gate is unaffected. This test pins the boundary so a
+    future engine upgrade that CLOSES it gets noticed."""
+    cases = {"İ": ("i̇", "i"), "ΟΣ": ("ος", "οσ")}
+    for src_txt, (want_spark, want_duck) in cases.items():
+        got_s = spark.sql(f"SELECT lower('{src_txt}') AS l").collect()[0].l
+        got_d = duckdb.sql(f"SELECT lower('{src_txt}')").fetchone()[0]
+        assert got_s == want_spark, (src_txt, got_s)
+        assert got_d == want_duck, (src_txt, got_d)
