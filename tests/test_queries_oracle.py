@@ -380,3 +380,15 @@ def test_lowercase_folding_boundary(spark):
         got_d = duckdb.sql(f"SELECT lower('{src_txt}')").fetchone()[0]
         assert got_s == want_spark, (src_txt, got_s)
         assert got_d == want_duck, (src_txt, got_d)
+    # third boundary: Java's \s matches vertical tab U+000B, RE2's
+    # (DuckDB) does not — text containing VT diverges under any \s+
+    # normalization; driver corpora contain none
+    from pyspark.sql import functions as F
+
+    vt = "a\x0bb"  # contains a real vertical tab
+    df = spark.createDataFrame([(vt,)], "t string")
+    sv = df.select(F.regexp_replace("t", r"\s+", " ").alias("r")).collect()[0].r
+    dv = duckdb.execute(
+        "SELECT regexp_replace(?, '\\s+', ' ', 'g')", [vt]
+    ).fetchone()[0]
+    assert sv == "a b" and dv == vt, (sv, dv)
