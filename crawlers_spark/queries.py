@@ -6651,6 +6651,77 @@ LIMIT 20
 """
 
 
+def q_metric_qc(spark: SparkSession, sf: str) -> DataFrame:
+    """Metric-column ingestion QC — the gate in front of every
+    fixed-point money/value lane (the numeric sibling of embedding_qc):
+    NaN, ±Inf, NULL, and out-of-contract magnitudes (|value| > 10^6)
+    in events.value counted per event_type, plus the clean fraction in
+    exact integer ppm. The fixed-point lanes (round(value*100) cast
+    BIGINT) are ANSI fail-fast BY DESIGN — one corrupt row aborts the
+    job in both engines (verified: NaN/Inf crash Spark CAST and DuckDB
+    alike) — so a 100-TB pipeline runs THIS projection first and
+    quarantines offenders instead of try_cast-ing them silently into
+    sums. Shape: one projection + one hash-agg."""
+    e = load_table(spark, sf, "events")
+    v = F.col("value")
+    # every flag NULL-safe (isnan(NULL)/NULL-comparisons are NULL): a
+    # NULL value must count ONLY as n_null, never poison the sums
+    flags = e.select(
+        "event_type",
+        F.coalesce(F.isnan(v).cast("long"), F.lit(0)).alias("is_nan"),
+        F.coalesce((v == float("inf")).cast("long"), F.lit(0)).alias("is_pinf"),
+        F.coalesce((v == float("-inf")).cast("long"), F.lit(0)).alias("is_ninf"),
+        v.isNull().cast("long").alias("is_null"),
+        F.coalesce(
+            (
+                ~F.isnan(v)
+                & (v != float("inf"))
+                & (v != float("-inf"))
+                & (F.abs(v) > 1000000.0)
+            ).cast("long"),
+            F.lit(0),
+        ).alias("is_oob"),
+    )
+    return flags.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("is_nan").cast("long").alias("n_nan"),
+        F.sum("is_pinf").cast("long").alias("n_pinf"),
+        F.sum("is_ninf").cast("long").alias("n_ninf"),
+        F.sum("is_null").cast("long").alias("n_null"),
+        F.sum("is_oob").cast("long").alias("n_oob"),
+        F.expr(
+            "(1000000 * (count(*) - sum(is_nan) - sum(is_pinf)"
+            " - sum(is_ninf) - sum(is_null) - sum(is_oob))) DIV count(*)"
+        )
+        .cast("long")
+        .alias("clean_ppm"),
+    )
+
+
+ORACLE_METRIC_QC = """
+WITH m AS (
+  SELECT event_type,
+         coalesce(CAST(isnan(value) AS BIGINT), 0) AS is_nan,
+         coalesce(CAST(value = 'inf'::DOUBLE AS BIGINT), 0) AS is_pinf,
+         coalesce(CAST(value = '-inf'::DOUBLE AS BIGINT), 0) AS is_ninf,
+         CAST(value IS NULL AS BIGINT) AS is_null,
+         coalesce(CAST(NOT isnan(value) AND value != 'inf'::DOUBLE
+              AND value != '-inf'::DOUBLE
+              AND abs(value) > 1000000.0 AS BIGINT), 0) AS is_oob
+  FROM events
+)
+SELECT event_type, count(*) AS n_rows,
+       CAST(sum(is_nan) AS BIGINT) AS n_nan,
+       CAST(sum(is_pinf) AS BIGINT) AS n_pinf,
+       CAST(sum(is_ninf) AS BIGINT) AS n_ninf,
+       CAST(sum(is_null) AS BIGINT) AS n_null,
+       CAST(sum(is_oob) AS BIGINT) AS n_oob,
+       (1000000 * (count(*) - sum(is_nan) - sum(is_pinf) - sum(is_ninf)
+                   - sum(is_null) - sum(is_oob))) // count(*) AS clean_ppm
+FROM m GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -6798,6 +6869,7 @@ QUERIES: dict[str, tuple] = {
     "politeness_by_ip": (q_politeness_by_ip, ORACLE_POLITENESS_BY_IP),
     "doc_containment": (q_doc_containment, ORACLE_DOC_CONTAINMENT),
     "hits_scores": (q_hits_scores, ORACLE_HITS_SCORES),
+    "metric_qc": (q_metric_qc, ORACLE_METRIC_QC),
 }
 
 

@@ -392,3 +392,47 @@ def test_lowercase_folding_boundary(spark):
         "SELECT regexp_replace(?, '\\s+', ' ', 'g')", [vt]
     ).fetchone()[0]
     assert sv == "a b" and dv == vt, (sv, dv)
+
+
+def test_metric_qc_counts_dirty_values_cross_engine(spark, tmp_path):
+    """The metric gate's real proof: on a corpus seeded with NaN/±Inf
+    values (which crash the fixed-point lanes fail-fast in BOTH
+    engines), metric_qc counts every pathology exactly and agrees
+    cross-engine."""
+    import duckdb as _duck
+
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path)
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if t == "events":
+            df = df.withColumn(
+                "value",
+                F.when(F.col("event_id") % 17 == 0, F.lit(float("nan")))
+                .when(F.col("event_id") % 23 == 0, F.lit(float("inf")))
+                .when(F.col("event_id") % 29 == 0, F.lit(float("-inf")))
+                .when(F.col("event_id") % 31 == 0, F.lit(None).cast("double"))
+                .otherwise(F.col("value")),
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    fn, sql = QUERIES["metric_qc"]
+    srows = {r["event_type"]: r.asDict() for r in fn(spark, dst).collect()}
+    con = _duck.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet/*.parquet'"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    orows = {r[cols.index("event_type")]: dict(zip(cols, r)) for r in cur.fetchall()}
+    con.close()
+    assert srows == orows
+    tot = {k: sum(r[k] for r in srows.values())
+           for k in ("n_nan", "n_pinf", "n_ninf", "n_null")}
+    assert all(v > 0 for v in tot.values()), tot
+    # exact counts from the seeding law over event ids
+    n = spark.read.parquet(f"{dst}/events.parquet").count()
+    assert tot["n_nan"] == sum(1 for i in range(n) if i % 17 == 0)
+    assert tot["n_pinf"] == sum(1 for i in range(n) if i % 17 and i % 23 == 0)
