@@ -1769,6 +1769,13 @@ def _small_web():
     return SynthWebConfig(n_hosts=8, base_pages=60)
 
 
+def _host_of_url_canon():
+    """Host component of a canonical page URL as a Column — ONE owner
+    for the idiom (three crawl queries group by it; if the synthetic
+    web ever grows https or ports, this is the only line to change)."""
+    return F.regexp_extract("url_canon", r"http://([^/]+)", 1)
+
+
 def _small_crawl(spark: SparkSession, generations: int = 2):
     from .plans.crawl import CrawlConfig, CrawlPlan, prepare_frontier
     from .sources.synthweb import make_seed_urls
@@ -1785,7 +1792,7 @@ def q_crawl_pages_by_host(spark: SparkSession, sf: str) -> DataFrame:
     web → pages table aggregated per host (SURVEY.md §7 minimum slice)."""
     res = _small_crawl(spark)
     return (
-        res.pages.groupBy(F.regexp_extract("url_canon", r"http://([^/]+)", 1).alias("host"))
+        res.pages.groupBy(_host_of_url_canon().alias("host"))
         .agg(
             F.count("*").alias("n_pages"),
             F.round(F.avg(F.col("w") * F.col("h")), 2).alias("avg_pixels"),
@@ -2114,7 +2121,7 @@ def q_crawl_backfill(spark: SparkSession, sf: str) -> DataFrame:
     orig = res.pages.filter(F.col("generation") == 1).select("url_canon", "phash")
     j = orig.join(refetched, "url_canon")
     return (
-        j.groupBy(F.regexp_extract("url_canon", r"http://([^/]+)", 1).alias("host"))
+        j.groupBy(_host_of_url_canon().alias("host"))
         .agg(
             F.count("*").alias("n_refetched"),
             F.sum(F.when(F.col("phash") == F.col("phash_new"), 1).otherwise(0)).alias("n_match"),
@@ -4011,7 +4018,12 @@ def q_session_conversion(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
     )
     per_session = sess.groupBy("user_id", "sid").agg(
-        F.max((F.col("event_type") == "purchase").cast("int")).alias("has_purchase")
+        # coalesce mirrors the oracle's CASE: a NULL event_type is "not
+        # a purchase" (0), not NULL — else an all-NULL session poisons
+        # n_converting (caught by the NULL-payload value sweep)
+        F.max(
+            F.coalesce((F.col("event_type") == "purchase").cast("int"), F.lit(0))
+        ).alias("has_purchase")
     )
     return per_session.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
@@ -5349,8 +5361,14 @@ def q_robots_parse(spark: SparkSession, sf: str) -> DataFrame:
             "prefixes"
         ),
     ).withColumn(
+        # coalesce: a NULL path (NULL event_type upstream) is "not
+        # disallowed" — DuckDB's list_filter drops the NULL predicate
+        # rows (0) while Spark's EXISTS returns NULL (value-sweep catch)
         "disallowed",
-        F.expr("exists(prefixes, p -> startswith(path, p))").cast("long"),
+        F.coalesce(
+            F.expr("exists(prefixes, p -> startswith(path, p))").cast("long"),
+            F.lit(0),
+        ),
     )
     return d.groupBy("host_id").agg(
         F.count("*").alias("n_urls"),
@@ -6208,12 +6226,15 @@ def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
         .select("word", F.lit(1).alias("in_vocab"))
     )
     j = words.join(F.broadcast(vocab), "word", "left")
-    return j.groupBy("doc_id").agg(
+    agg = j.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.sum(F.col("in_vocab").isNull().cast("long")).cast("long").alias("n_oov"),
-        F.expr("(1000000 * sum(cast(in_vocab IS NULL as long))) DIV count(*)")
-        .cast("long")
-        .alias("oov_ppm"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.expr("(1000000 * n_oov) DIV n_tokens").cast("long").alias("oov_ppm"),
     )
 
 
@@ -6267,13 +6288,26 @@ def q_revalidation_outcome(spark: SparkSession, sf: str) -> DataFrame:
         ),
         body.cast("long").alias("body"),
     )
-    return m.groupBy("outcome").agg(
-        F.count("*").alias("n_pages"),
-        F.sum("bytes_shipped").cast("long").alias("bytes_shipped"),
-        F.sum("bytes_saved").cast("long").alias("bytes_saved"),
-        F.expr("(1000000 * sum(bytes_saved)) DIV greatest(sum(body), 1)")
-        .cast("long")
-        .alias("saved_ppm_of_outcome"),
+    tot = m.agg(F.sum("body").cast("long").alias("corpus_body"))
+    return (
+        m.groupBy("outcome")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("bytes_shipped").cast("long").alias("bytes_shipped"),
+            F.sum("bytes_saved").cast("long").alias("bytes_saved"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "outcome",
+            "n_pages",
+            "bytes_shipped",
+            "bytes_saved",
+            # ppm of the WHOLE corpus body, not of this outcome's own
+            # body (per-outcome the ratio is 0 or 1e6 by construction)
+            F.expr("(1000000 * bytes_saved) DIV greatest(corpus_body, 1)")
+            .cast("long")
+            .alias("saved_ppm_of_corpus"),
+        )
     )
 
 
@@ -6290,8 +6324,9 @@ WITH m AS (
 SELECT outcome, count(*) AS n_pages,
        CAST(sum(bytes_shipped) AS BIGINT) AS bytes_shipped,
        CAST(sum(bytes_saved) AS BIGINT) AS bytes_saved,
-       (1000000 * sum(bytes_saved)) // greatest(sum(body), 1)
-         AS saved_ppm_of_outcome
+       (1000000 * CAST(sum(bytes_saved) AS BIGINT))
+         // greatest((SELECT CAST(sum(body) AS BIGINT) FROM m), 1)
+         AS saved_ppm_of_corpus
 FROM m GROUP BY 1
 """
 
@@ -6312,7 +6347,12 @@ def q_error_circuit_breaker(spark: SparkSession, sf: str) -> DataFrame:
         e.select(
             F.col("user_id").alias("host_id"),
             day.alias("day"),
-            (F.col("event_type") == "error").cast("long").alias("is_err"),
+            # NULL event_type is "not an error" (0), never NULL — a day
+            # of unclassifiable events must not poison n_errors or the
+            # bad flag (both engines would propagate the NULL)
+            F.coalesce(
+                (F.col("event_type") == "error").cast("long"), F.lit(0)
+            ).alias("is_err"),
         )
         .groupBy("host_id", "day")
         .agg(
@@ -6341,7 +6381,8 @@ ORACLE_ERROR_CIRCUIT_BREAKER = """
 WITH g AS (
   SELECT user_id AS host_id, strftime(ts, '%Y-%m-%d') AS day,
          count(*) AS n_events,
-         CAST(sum(CAST(event_type = 'error' AS BIGINT)) AS BIGINT) AS n_errors
+         CAST(sum(coalesce(CAST(event_type = 'error' AS BIGINT), 0))
+           AS BIGINT) AS n_errors
   FROM events GROUP BY 1, 2
 ),
 b AS (
@@ -6401,7 +6442,7 @@ def q_crawl_to_multimodal_corpus(spark: SparkSession, sf: str) -> DataFrame:
         "image_id",
         "w",
         "h",
-        F.regexp_extract("url_canon", r"http://([^/]+)", 1).alias("host"),
+        _host_of_url_canon().alias("host"),
         F.size(F.split(F.trim(F.regexp_replace("caption", r"\s+", " ")), " "))
         .cast("long")
         .alias("cap_tokens"),
@@ -6603,8 +6644,10 @@ def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+    ROUNDS = 2  # must match the unrolled a1..a2/h1..h2 oracle chain
     h = e.select("c").distinct().withColumn("h", F.lit(1000000).cast("long"))
-    for _ in range(2):
+    a = None
+    for _ in range(ROUNDS):
         a = (
             e.join(h, "c")
             .groupBy("s")
@@ -6615,13 +6658,14 @@ def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("c")
             .agg(F.sum("a").cast("long").alias("h"))
         )
+    authorities = a
     best_hub = (
         e.join(h, "c")
         .groupBy("s")
         .agg(F.max("h").cast("long").alias("best_hub_score"))
     )
     return (
-        a.join(best_hub, "s")
+        authorities.join(best_hub, "s")
         .select(
             F.col("s").alias("supplier"),
             F.col("a").alias("authority_score"),

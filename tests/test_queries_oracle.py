@@ -188,68 +188,21 @@ def test_politeness_audit_single_fetch_host_edge(spark, tmp_path):
     assert srows[7]["n_violations"] == 1
 
 
-def test_all_oracle_queries_tolerate_empty_corpus(spark, tmp_path):
-    """Whole-registry robustness sweep: every oracle query must run on a
-    fully EMPTY corpus (correct schemas, 0 rows) in BOTH engines without
-    crashing and with matching row counts — the guard that surfaced the
-    DuckDB-UNPIVOT-drops-NULLs, ROLLUP-grand-total-on-empty, and
-    pagerank ZeroDivisionError edges. Crawl/media-sourced queries skip
-    (they synthesize their own input)."""
+SWEEP_SKIP_PREFIXES = ("crawl", "image", "phash", "video", "audio")
+
+
+def _run_registry_sweep(spark, tmp_path, mutate):
+    """Shared pathology-sweep harness: rewrite the sf0.001 corpus through
+    ``mutate(df, table_name)`` into tmp_path, then run EVERY oracle query
+    in both engines and compare row counts, sorted column names, and the
+    order-insensitive canonical VALUES (same comparison as the main
+    oracle gate — a divergence in any cell fails, not just a count)."""
     import duckdb as _duck
 
     src = "/root/testdata/sf0.001"
     dst = str(tmp_path)
     for t in TABLES:
-        (
-            spark.read.parquet(f"{src}/{t}.parquet")
-            .limit(0)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{dst}/{t}.parquet")
-        )
-    con = _duck.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet/*.parquet'"
-        )
-    skip_prefixes = ("crawl", "image", "phash", "video", "audio")
-    failures = []
-    for name, (fn, sql) in QUERIES.items():
-        if sql is None or name.startswith(skip_prefixes):
-            continue
-        try:
-            n_s = len(fn(spark, dst).collect())
-            n_o = len(con.execute(sql).fetchall())
-        except Exception as e:  # noqa: BLE001 — collecting a report
-            failures.append((name, str(e).splitlines()[0][:120]))
-            continue
-        if n_s != n_o:
-            failures.append((name, f"rows {n_s} != {n_o}"))
-    con.close()
-    assert not failures, failures
-
-
-def test_all_oracle_queries_tolerate_null_payloads(spark, tmp_path):
-    """Whole-registry dirty-data sweep: every oracle query must agree
-    across engines when all PAYLOAD columns are NULL (keys intact) —
-    the guard that surfaced incremental_dedup's NULL-fingerprint
-    anti-join vs NOT-IN divergence."""
-    import duckdb as _duck
-
-    from pyspark.sql import functions as F
-
-    src = "/root/testdata/sf0.001"
-    dst = str(tmp_path)
-    null_cols = {
-        "documents": ["text", "lang", "source"],
-        "events": ["event_type", "props", "value"],
-        "customer": ["c_comment", "c_mktsegment"],
-    }
-    for t in TABLES:
-        df = spark.read.parquet(f"{src}/{t}.parquet")
-        for c in null_cols.get(t, []):
-            if c in df.columns:
-                df = df.withColumn(c, F.lit(None).cast(dict(df.dtypes)[c]))
+        df = mutate(spark.read.parquet(f"{src}/{t}.parquet"), t)
         df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
     con = _duck.connect()
     for t in TABLES:
@@ -258,35 +211,69 @@ def test_all_oracle_queries_tolerate_null_payloads(spark, tmp_path):
         )
     failures = []
     for name, (fn, sql) in QUERIES.items():
-        if sql is None or name.startswith(
-            ("crawl", "image", "phash", "video", "audio")
-        ):
+        if sql is None or name.startswith(SWEEP_SKIP_PREFIXES):
             continue
         try:
-            n_s = len(fn(spark, dst).collect())
-            n_o = len(con.execute(sql).fetchall())
+            sdf = fn(spark, dst)
+            srows = sdf.collect()
+            scols = sdf.columns
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
         except Exception as e:  # noqa: BLE001 — collecting a report
             failures.append((name, str(e).splitlines()[0][:120]))
             continue
-        if n_s != n_o:
-            failures.append((name, f"rows {n_s} != {n_o}"))
+        if sorted(scols) != sorted(ocols):
+            failures.append((name, "column names differ"))
+            continue
+        if len(srows) != len(orows):
+            failures.append((name, f"rows {len(srows)} != {len(orows)}"))
+            continue
+        s_canon = _canon_rows(scols, [[r[c] for c in scols] for r in srows])
+        o_canon = _canon_rows(ocols, orows)
+        if s_canon != o_canon:
+            bad = sum(1 for a, b in zip(s_canon, o_canon) if a != b)
+            failures.append((name, f"{bad} value-mismatched rows"))
     con.close()
     assert not failures, failures
 
 
-def test_all_oracle_queries_tolerate_maximal_skew(spark, tmp_path):
-    """Whole-registry skew sweep: every oracle query must agree across
-    engines on the maximal-skew corpus — 100% duplicate document text
-    and ONE mega-host owning every event (the pathology the salted/
-    df-capped scale paths exist for). Zero divergences expected."""
-    import duckdb as _duck
+def test_all_oracle_queries_tolerate_empty_corpus(spark, tmp_path):
+    """Whole-registry robustness sweep on a fully EMPTY corpus (correct
+    schemas, 0 rows) — the guard that surfaced the DuckDB-UNPIVOT-
+    drops-NULLs, ROLLUP-grand-total-on-empty, and pagerank
+    ZeroDivisionError edges."""
+    _run_registry_sweep(spark, tmp_path, lambda df, t: df.limit(0))
 
+
+def test_all_oracle_queries_tolerate_null_payloads(spark, tmp_path):
+    """Whole-registry dirty-data sweep with every PAYLOAD column NULL
+    (keys intact) — surfaced incremental_dedup's NULL-fingerprint
+    anti-join vs NOT-IN divergence."""
     from pyspark.sql import functions as F
 
-    src = "/root/testdata/sf0.001"
-    dst = str(tmp_path)
-    for t in TABLES:
-        df = spark.read.parquet(f"{src}/{t}.parquet")
+    null_cols = {
+        "documents": ["text", "lang", "source"],
+        "events": ["event_type", "props", "value"],
+        "customer": ["c_comment", "c_mktsegment"],
+    }
+
+    def mutate(df, t):
+        for c in null_cols.get(t, []):
+            if c in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(dict(df.dtypes)[c]))
+        return df
+
+    _run_registry_sweep(spark, tmp_path, mutate)
+
+
+def test_all_oracle_queries_tolerate_maximal_skew(spark, tmp_path):
+    """Whole-registry skew sweep: 100% duplicate document text and ONE
+    mega-host owning every event — the pathology the salted/df-capped
+    scale paths exist for."""
+    from pyspark.sql import functions as F
+
+    def mutate(df, t):
         if t == "documents":
             df = df.withColumn(
                 "text",
@@ -297,72 +284,30 @@ def test_all_oracle_queries_tolerate_maximal_skew(spark, tmp_path):
             )
         if t == "events":
             df = df.withColumn("user_id", F.lit(7))
-        df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
-    con = _duck.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet/*.parquet'"
-        )
-    failures = []
-    for name, (fn, sql) in QUERIES.items():
-        if sql is None or name.startswith(
-            ("crawl", "image", "phash", "video", "audio")
-        ):
-            continue
-        try:
-            n_s = len(fn(spark, dst).collect())
-            n_o = len(con.execute(sql).fetchall())
-        except Exception as e:  # noqa: BLE001 — collecting a report
-            failures.append((name, str(e).splitlines()[0][:120]))
-            continue
-        if n_s != n_o:
-            failures.append((name, f"rows {n_s} != {n_o}"))
-    con.close()
-    assert not failures, failures
+        return df
+
+    _run_registry_sweep(spark, tmp_path, mutate)
 
 
 def test_all_oracle_queries_tolerate_unicode_text(spark, tmp_path):
     """Whole-registry Unicode sweep: accents, emoji, CJK, sharp-s,
-    ligatures injected into every document and event_type — all oracle
-    pairs must agree. Excludes the two DOCUMENTED Java-vs-utf8proc
-    case-folding divergences (see test_lowercase_folding_boundary)."""
-    import duckdb as _duck
-
+    ligatures injected into every document and event_type. Excludes the
+    documented Java-vs-utf8proc case-folding divergences (see
+    test_lowercase_folding_boundary)."""
     from pyspark.sql import functions as F
 
-    src = "/root/testdata/sf0.001"
-    dst = str(tmp_path)
     uni = "Ünïcodé ÉMOJI 😀 中文 test Istanbul STRASSE ß groß ẞharp ﬁligature"
-    for t in TABLES:
-        df = spark.read.parquet(f"{src}/{t}.parquet")
+
+    def mutate(df, t):
         if t == "documents":
             df = df.withColumn("text", F.concat(F.lit(uni + " "), F.col("text")))
         if t == "events":
             df = df.withColumn(
                 "event_type", F.concat(F.lit("é😀"), F.col("event_type"))
             )
-        df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
-    con = _duck.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet/*.parquet'"
-        )
-    failures = []
-    for name, (fn, sql) in QUERIES.items():
-        if sql is None or name.startswith(
-            ("crawl", "image", "phash", "video", "audio")
-        ):
-            continue
-        try:
-            n_s = len(fn(spark, dst).collect())
-            n_o = len(con.execute(sql).fetchall())
-        except Exception as e:  # noqa: BLE001 — collecting a report
-            failures.append((name, str(e).splitlines()[0][:120]))
-            continue
-        if n_s != n_o:
-            failures.append((name, f"rows {n_s} != {n_o}"))
-    con.close()
-    assert not failures, failures
+        return df
+
+    _run_registry_sweep(spark, tmp_path, mutate)
 
 
 def test_lowercase_folding_boundary(spark):
