@@ -381,3 +381,24 @@ def test_metric_qc_counts_dirty_values_cross_engine(spark, tmp_path):
     n = spark.read.parquet(f"{dst}/events.parquet").count()
     assert tot["n_nan"] == sum(1 for i in range(n) if i % 17 == 0)
     assert tot["n_pinf"] == sum(1 for i in range(n) if i % 17 and i % 23 == 0)
+
+
+def test_all_oracle_queries_parallelism_deterministic(spark):
+    """North-rule property sweep: every oracle query's canonical result
+    is IDENTICAL at 32 vs 3 shuffle partitions — no partition-order-
+    dependent first()/limit/collect anywhere in the registry (floats
+    are repr-compared, so even summation-order ulp drift would fail)."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "3")
+    failures = []
+    for name, (fn, sql) in QUERIES.items():
+        if sql is None or name.startswith(SWEEP_SKIP_PREFIXES):
+            continue
+        d1 = fn(spark, SF_DIR)
+        d2 = fn(s2, SF_DIR)
+        c1 = _canon_rows(d1.columns, [[r[c] for c in d1.columns] for r in d1.collect()])
+        c2 = _canon_rows(d2.columns, [[r[c] for c in d2.columns] for r in d2.collect()])
+        if c1 != c2:
+            bad = sum(1 for a, b in zip(c1, c2) if a != b)
+            failures.append((name, f"{bad} rows differ across parallelism"))
+    assert not failures, failures
