@@ -581,12 +581,15 @@ def test_vocab_coverage_topk_broadcast(spark):
 
 
 def test_revalidation_outcome_projection_agg(spark):
-    """revalidation_outcome: projection + one hash-agg, no join."""
+    """revalidation_outcome: projection + hash-aggs; the only join is
+    the broadcast of the ONE-ROW corpus-body scalar (the global ppm
+    denominator)."""
     from crawlers_spark.queries import q_revalidation_outcome
 
     plan = _plan(q_revalidation_outcome(spark, SF))
-    assert "Join" not in plan
     assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar attach
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_error_circuit_breaker_host_window(spark):
