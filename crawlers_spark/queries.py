@@ -6766,6 +6766,225 @@ FROM m GROUP BY 1
 """
 
 
+def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC/1.1 record round-trip law — the interchange format every
+    web-scale corpus ships in (Common Crawl WARC; ISO 28500). Reference
+    analog: the page-payload persistence stage of the /root/reference
+    crawlers (e.g. medium/get_medium1.0.py response handling), which this
+    engine's file-export sink would serialize as WARC at scale. Each
+    document is serialized as a response record (named headers +
+    Content-Length in OCTETS + blank-line body separator), then parsed
+    back from the record text alone: header block via split_part on
+    CRLFCRLF, fields via anchored regex, body by character offset. The
+    law: parsed URI / record-id / declared length / measured body octet
+    length all round-trip exactly — including multi-byte UTF-8 payloads,
+    where char length != octet length (the classic WARC writer bug).
+    Shape: pure projection + one hash-agg; at 100 TB this is a mapper,
+    no shuffle beyond the per-source rollup."""
+    d = load_table(spark, sf, "documents")
+    payload = F.coalesce(F.col("text"), F.lit(""))
+    uri = F.concat(
+        F.lit("http://host"),
+        (F.col("doc_id") % 64).cast("string"),
+        F.lit(".test/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    rec_id = F.concat(
+        F.lit("<urn:uuid:"), F.md5(F.col("doc_id").cast("string")), F.lit(">")
+    )
+    crlf = "\r\n"
+    record = F.concat(
+        F.lit("WARC/1.1" + crlf + "WARC-Type: response" + crlf),
+        F.lit("WARC-Record-ID: "),
+        rec_id,
+        F.lit(crlf),
+        F.lit("WARC-Target-URI: "),
+        uri,
+        F.lit(crlf),
+        F.lit("Content-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit(crlf + crlf),
+        payload,
+    )
+    w = d.select(
+        "source",
+        uri.alias("uri"),
+        rec_id.alias("rec_id"),
+        F.octet_length(payload).alias("want_len"),
+        record.alias("record"),
+    )
+    head = F.split_part(F.col("record"), F.lit(crlf + crlf), F.lit(1))
+    body = F.col("record").substr(
+        F.length(head) + F.lit(5), F.length(F.col("record"))
+    )
+    parsed = w.select(
+        "source",
+        "uri",
+        "rec_id",
+        "want_len",
+        F.regexp_extract("record", r"WARC-Target-URI: ([^\r]+)", 1).alias("p_uri"),
+        F.regexp_extract("record", r"WARC-Record-ID: (<[^\r]+>)", 1).alias("p_id"),
+        F.regexp_extract("record", r"Content-Length: ([0-9]+)", 1)
+        .cast("long")
+        .alias("p_len"),
+        F.octet_length(body).alias("body_len"),
+    )
+    return parsed.groupBy("source").agg(
+        F.count("*").alias("n_records"),
+        F.sum((F.col("p_uri") == F.col("uri")).cast("long"))
+        .cast("long")
+        .alias("n_uri_ok"),
+        F.sum((F.col("p_id") == F.col("rec_id")).cast("long"))
+        .cast("long")
+        .alias("n_id_ok"),
+        F.sum((F.col("p_len") == F.col("want_len")).cast("long"))
+        .cast("long")
+        .alias("n_len_ok"),
+        F.sum((F.col("body_len") == F.col("want_len")).cast("long"))
+        .cast("long")
+        .alias("n_body_ok"),
+        F.sum("want_len").cast("long").alias("payload_bytes"),
+    )
+
+
+ORACLE_WARC_ROUNDTRIP = """
+WITH d AS (
+  SELECT source, coalesce(text, '') AS payload,
+         'http://host' || (doc_id % 64)::VARCHAR || '.test/doc/'
+           || doc_id::VARCHAR AS uri,
+         '<urn:uuid:' || md5(doc_id::VARCHAR) || '>' AS rec_id
+  FROM documents
+),
+w AS (
+  SELECT source, uri, rec_id,
+         octet_length(encode(payload)) AS want_len,
+         'WARC/1.1' || chr(13)||chr(10) || 'WARC-Type: response'
+           || chr(13)||chr(10)
+           || 'WARC-Record-ID: ' || rec_id || chr(13)||chr(10)
+           || 'WARC-Target-URI: ' || uri || chr(13)||chr(10)
+           || 'Content-Length: ' || octet_length(encode(payload))::VARCHAR
+           || chr(13)||chr(10) || chr(13)||chr(10) || payload AS record
+  FROM d
+),
+p AS (
+  SELECT source, uri, rec_id, want_len,
+         regexp_extract(record,
+             'WARC-Target-URI: ([^' || chr(13) || ']+)', 1) AS p_uri,
+         regexp_extract(record,
+             'WARC-Record-ID: (<[^' || chr(13) || ']+>)', 1) AS p_id,
+         CAST(regexp_extract(record, 'Content-Length: ([0-9]+)', 1)
+              AS BIGINT) AS p_len,
+         octet_length(encode(substr(record,
+             length(split_part(record,
+                 chr(13)||chr(10)||chr(13)||chr(10), 1)) + 5))) AS body_len
+  FROM w
+)
+SELECT source, count(*) AS n_records,
+       CAST(sum(CASE WHEN p_uri = uri THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_uri_ok,
+       CAST(sum(CASE WHEN p_id = rec_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_id_ok,
+       CAST(sum(CASE WHEN p_len = want_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_len_ok,
+       CAST(sum(CASE WHEN body_len = want_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_body_ok,
+       CAST(sum(want_len) AS BIGINT) AS payload_bytes
+FROM p GROUP BY 1
+"""
+
+
+def q_mime_sniff(spark: SparkSession, sf: str) -> DataFrame:
+    """Magic-byte MIME sniffing over real BINARY payloads — the
+    content-type trust law every crawler image pipeline needs (declared
+    Content-Type headers lie; WHATWG-style sniffing reads the leading
+    octets). Reference analog: the image download + save stage of the
+    /root/reference crawlers (e.g. baidu_image/get_image1.1.py), which
+    trusts URL suffixes. Payloads are synthesized as BINARY via unhex
+    (PNG/JPEG/GIF/PDF/HTML magic prefixes chosen by one modulus, the
+    DECLARED type by an independent modulus so declared != sniffed on
+    most rows); sniffing slices the first octets back out via hex() and
+    prefix-matches the magic table. The oracle runs the same law on a
+    pure hex-string lane — proving the Spark binary column round-trips
+    unhex -> BINARY -> hex exactly. Output: (declared, sniffed) grid
+    with counts, mismatches, and total payload octets. Shape: projection
+    + one hash-agg; a 100-TB sniff is a mapper over the first KB of each
+    blob (never the full payload)."""
+    e = load_table(spark, sf, "events")
+    magics = [
+        "89504E470D0A1A0A",  # PNG
+        "FFD8FFE000104A46",  # JPEG/JFIF
+        "474946383961",  # GIF89a
+        "255044462D312E37",  # %PDF-1.7
+        "3C21444F43545950",  # <!DOCTYP
+    ]
+    types = ["image/png", "image/jpeg", "image/gif", "application/pdf", "text/html"]
+    magic = F.element_at(
+        F.array(*[F.lit(m) for m in magics]),
+        (F.col("event_id") % 5 + 1).cast("int"),
+    )
+    declared = F.element_at(
+        F.array(*[F.lit(t) for t in types]),
+        (F.expr("event_id DIV 5") % 5 + 1).cast("int"),
+    )
+    # trailing filler octets prove length accounting is on the whole blob
+    payload = F.unhex(F.concat(magic, F.lit("0000")))
+    prefix = F.hex(payload)
+    sniffed = (
+        F.when(prefix.startswith("89504E47"), "image/png")
+        .when(prefix.startswith("FFD8FF"), "image/jpeg")
+        .when(prefix.startswith("474946"), "image/gif")
+        .when(prefix.startswith("25504446"), "application/pdf")
+        .when(prefix.startswith("3C"), "text/html")
+        .otherwise("application/octet-stream")
+    )
+    g = e.select(
+        declared.alias("declared_type"),
+        sniffed.alias("sniffed_type"),
+        F.octet_length(payload).alias("n_bytes"),
+    )
+    return g.groupBy("declared_type", "sniffed_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            (F.col("declared_type") != F.col("sniffed_type")).cast("long")
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    )
+
+
+ORACLE_MIME_SNIFF = """
+WITH m AS (
+  SELECT CASE (event_id // 5) % 5
+           WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+           WHEN 2 THEN 'image/gif' WHEN 3 THEN 'application/pdf'
+           ELSE 'text/html' END AS declared_type,
+         CASE event_id % 5
+           WHEN 0 THEN '89504E470D0A1A0A' WHEN 1 THEN 'FFD8FFE000104A46'
+           WHEN 2 THEN '474946383961' WHEN 3 THEN '255044462D312E37'
+           ELSE '3C21444F43545950' END || '0000' AS payload_hex
+  FROM events
+),
+s AS (
+  SELECT declared_type,
+         CASE WHEN starts_with(payload_hex, '89504E47') THEN 'image/png'
+              WHEN starts_with(payload_hex, 'FFD8FF') THEN 'image/jpeg'
+              WHEN starts_with(payload_hex, '474946') THEN 'image/gif'
+              WHEN starts_with(payload_hex, '25504446')
+                THEN 'application/pdf'
+              WHEN starts_with(payload_hex, '3C') THEN 'text/html'
+              ELSE 'application/octet-stream' END AS sniffed_type,
+         octet_length(unhex(payload_hex)) AS n_bytes
+  FROM m
+)
+SELECT declared_type, sniffed_type, count(*) AS n_rows,
+       CAST(sum(CASE WHEN declared_type != sniffed_type THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatch,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+FROM s GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -6914,6 +7133,8 @@ QUERIES: dict[str, tuple] = {
     "doc_containment": (q_doc_containment, ORACLE_DOC_CONTAINMENT),
     "hits_scores": (q_hits_scores, ORACLE_HITS_SCORES),
     "metric_qc": (q_metric_qc, ORACLE_METRIC_QC),
+    "warc_roundtrip": (q_warc_roundtrip, ORACLE_WARC_ROUNDTRIP),
+    "mime_sniff": (q_mime_sniff, ORACLE_MIME_SNIFF),
 }
 
 
