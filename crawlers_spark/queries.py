@@ -6985,6 +6985,123 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_registrable_domain(spark: SparkSession, sf: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) rollup — the public-suffix-list
+    longest-match law. Real crawlers rate-limit and budget per
+    REGISTRABLE domain, not per host ('a.github.io' and 'b.github.io'
+    are different owners; 'x.co.uk' registers under 'co.uk', not 'uk').
+    Reference analog: the per-site politeness knobs of the
+    /root/reference crawlers (e.g. weibo/get_weibo1.1.py sleep pacing),
+    which key on one hardcoded site. Algorithm is the production PSL
+    shape: explode each host's last-1/2/3-label candidate suffixes, one
+    broadcast equi-join against the suffix table (never a scan of
+    endswith predicates), longest match wins, registrable = match + one
+    label; unknown TLDs fall back to the PSL '*' rule (1-label suffix).
+    Shape: candidates are <=3 rows/host, the join is broadcast, and the
+    rollup is one hash-agg — at 100 TB the suffix dim (~9k rows real
+    PSL) broadcasts everywhere and nothing big shuffles."""
+    e = load_table(spark, sf, "events")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("co.uk"), F.lit("github.io"), F.lit("org")),
+        (F.col("user_id") % 4 + 1).cast("int"),
+    )
+    host = F.concat(
+        F.lit("s"),
+        (F.col("user_id") % 3).cast("string"),
+        F.lit(".brand"),
+        (F.col("user_id") % 40).cast("string"),
+        F.lit("."),
+        tld,
+    )
+    pages = e.select(host.alias("host")).groupBy("host").agg(
+        F.count("*").alias("n")
+    )
+    # 'uk' and 'io' are present so longest-match is load-bearing:
+    # co.uk must beat uk, github.io must beat io
+    suffixes = spark.createDataFrame(
+        [(s,) for s in ["com", "org", "io", "uk", "co.uk", "github.io", "net", "ac.uk"]],
+        "suffix string",
+    )
+    labels = F.split(F.col("host"), r"\.")
+    cand = (
+        pages.select("host", labels.alias("labels"))
+        .select(
+            "host",
+            "labels",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .where(F.col("k") <= F.size("labels") - 1)
+        .select(
+            "host",
+            F.array_join(
+                F.slice(
+                    F.col("labels"),
+                    F.size("labels") - F.col("k") + 1,
+                    F.col("k"),
+                ),
+                ".",
+            ).alias("suffix"),
+            "k",
+        )
+    )
+    matched = (
+        cand.join(F.broadcast(suffixes), "suffix")
+        .groupBy("host")
+        .agg(F.max("k").alias("kmax"))
+    )
+    reg = pages.join(matched, "host", "left")
+    take = F.least(
+        F.size(labels), F.coalesce(F.col("kmax"), F.lit(1)) + F.lit(1)
+    )
+    registrable = F.array_join(
+        F.slice(labels, F.size(labels) - take + F.lit(1), take), "."
+    )
+    return (
+        reg.select(registrable.alias("registrable"), "n")
+        .groupBy("registrable")
+        .agg(
+            F.sum("n").cast("long").alias("n_pages"),
+            F.count("*").cast("long").alias("n_hosts"),
+        )
+    )
+
+
+ORACLE_REGISTRABLE_DOMAIN = """
+WITH hosts AS (
+  SELECT 's' || (user_id % 3)::VARCHAR || '.brand'
+           || (user_id % 40)::VARCHAR || '.'
+           || CASE user_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                WHEN 2 THEN 'github.io' ELSE 'org' END AS host
+  FROM events
+),
+pages AS (SELECT host, count(*) AS n FROM hosts GROUP BY 1),
+sfx(suffix) AS (VALUES ('com'),('org'),('io'),('uk'),('co.uk'),
+                       ('github.io'),('net'),('ac.uk')),
+cand AS (
+  SELECT p.host, g.k,
+         array_to_string(l.labels[len(l.labels)-g.k+1:], '.') AS suffix
+  FROM pages p,
+       LATERAL (SELECT string_split(p.host, '.') AS labels) l,
+       (VALUES (1),(2),(3)) g(k)
+  WHERE g.k <= len(l.labels) - 1
+),
+matched AS (
+  SELECT host, max(k) AS kmax FROM cand JOIN sfx USING (suffix) GROUP BY 1
+),
+reg AS (
+  SELECT p.host, p.n,
+         string_split(p.host, '.') AS labels,
+         least(len(string_split(p.host, '.')),
+               coalesce(m.kmax, 1) + 1) AS take
+  FROM pages p LEFT JOIN matched m USING (host)
+)
+SELECT array_to_string(labels[len(labels)-take+1:], '.') AS registrable,
+       CAST(sum(n) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_hosts
+FROM reg GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -7135,6 +7252,7 @@ QUERIES: dict[str, tuple] = {
     "metric_qc": (q_metric_qc, ORACLE_METRIC_QC),
     "warc_roundtrip": (q_warc_roundtrip, ORACLE_WARC_ROUNDTRIP),
     "mime_sniff": (q_mime_sniff, ORACLE_MIME_SNIFF),
+    "registrable_domain": (q_registrable_domain, ORACLE_REGISTRABLE_DOMAIN),
 }
 
 
