@@ -38,6 +38,7 @@ def global_rank(
     with_count: bool = False,
     eager: bool = False,
     bounds: tuple[int, int] | None = None,
+    bucket_counts: dict[int, int] | None = None,
 ):
     """Add ``out_col`` = deterministic global 0-based rank + ``start``.
 
@@ -66,8 +67,11 @@ def global_rank(
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     if bounds is not None:
         return _rank_with_bounds(
-            df, order_cols, out_col, start, int(parts), with_count, eager, bounds
+            df, order_cols, out_col, start, int(parts), with_count, eager,
+            bounds, bucket_counts,
         )
+    if bucket_counts is not None:
+        raise ValueError("bucket_counts requires bounds (same bucket map)")
     ordered = (
         df.repartitionByRange(int(parts), *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
@@ -104,6 +108,29 @@ def global_rank(
     return out
 
 
+def rank_bucket_expr(
+    order_col: str, parts: int, bounds: tuple[int, int]
+):
+    """The exact bucket-id expression ``_rank_with_bounds`` bins by.
+
+    Exposed so a loop caller that ALREADY runs an aggregation over the
+    same frame can fold the per-bucket count into it (group by this
+    expression alongside its own keys) and hand the counts back via
+    ``global_rank(..., bucket_counts=...)`` — collapsing the ranker's
+    internal count job into an agg the caller pays for anyway."""
+    lo, hi = bounds
+    nb = max(4 * parts, 16)
+    span = float(max(1, hi - lo))
+    key = F.col(order_col)
+    return F.least(
+        F.lit(nb - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((key - F.lit(lo)).cast("double") / F.lit(span) * F.lit(nb)).cast("int"),
+        ),
+    )
+
+
 def _rank_with_bounds(
     df: DataFrame,
     order_cols: list[str],
@@ -113,6 +140,7 @@ def _rank_with_bounds(
     with_count: bool,
     eager: bool,
     bounds: tuple[int, int],
+    bucket_counts: dict[int, int] | None = None,
 ):
     """Bucket-offset ranking under a caller-known leading-key range.
 
@@ -126,23 +154,22 @@ def _rank_with_bounds(
     the window hash-distributes buckets across tasks regardless of
     bucket id, which is legal because the rank no longer depends on
     partition placement — only on the bucket id and the within-bucket
-    order."""
-    lo, hi = bounds
-    nb = max(4 * parts, 16)
-    span = float(max(1, hi - lo))
-    key = F.col(order_cols[0])
-    b = F.least(
-        F.lit(nb - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((key - F.lit(lo)).cast("double") / F.lit(span) * F.lit(nb)).cast("int"),
-        ),
+    order.
+
+    With ``bucket_counts`` (caller-precomputed via ``rank_bucket_expr``)
+    the internal count job is skipped entirely and the whole rank is one
+    lazy plan — zero extra jobs until the caller materializes it."""
+    binned = df.withColumn(
+        "__b", rank_bucket_expr(order_cols[0], parts, bounds)
     )
-    binned = df.withColumn("__b", b)
-    counts = {
-        r["__b"]: r["cnt"]
-        for r in binned.groupBy("__b").agg(F.count("*").alias("cnt")).collect()
-    }
+    counts = (
+        bucket_counts
+        if bucket_counts is not None
+        else {
+            r["__b"]: r["cnt"]
+            for r in binned.groupBy("__b").agg(F.count("*").alias("cnt")).collect()
+        }
+    )
     offsets: dict[int, int] = {}
     acc = start
     for bid in sorted(counts):

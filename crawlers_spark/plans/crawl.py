@@ -41,7 +41,7 @@ from ..operators.fused_schedule import (
     robots_state,
     seen_state,
 )
-from ..operators.ranking import global_rank
+from ..operators.ranking import global_rank, rank_bucket_expr
 from ..operators.scheduler import SchedulerConfig, schedule_generation
 from ..operators.seen_set import BloomParams, SeenSet, build_bucket_filters
 from ..sources.fetcher import fetch_scheduled
@@ -702,29 +702,47 @@ class CrawlPlan:
             # scheduled rows, so a single end-of-run agg over the cached
             # logs recovers (scheduled, fetched, failed) for every
             # (generation, bucket) in one job instead of one per loop.
-            st = {
-                (r["host_bucket"], r["status"]): r["n"]
-                for r in fused_out.groupBy("host_bucket", "status")
+            # The SAME agg also carries global_rank's per-bucket counts
+            # (group by the ranker's own bucket expression) so the mint
+            # below runs with zero internal jobs — one collect per
+            # generation drives counters, auto-salt AND the rank offsets.
+            rank_bounds = (0, next_priority * MAX_LINK_SLOTS)
+            st: dict[tuple[int, str], int] = {}
+            rank_counts: dict[int, int] = {}
+            for r in (
+                fused_out.groupBy(
+                    "host_bucket", "status", "is_new",
+                    rank_bucket_expr(
+                        "priority", cfg.n_host_buckets, rank_bounds
+                    ).alias("__b"),
+                )
                 .agg(F.count("*").alias("n")).collect()
-            }
+            ):
+                k = (r["host_bucket"], r["status"])
+                st[k] = st.get(k, 0) + r["n"]
+                if r["is_new"] and r["status"] in next_statuses:
+                    rank_counts[r["__b"]] = rank_counts.get(r["__b"], 0) + r["n"]
 
             new_rows = fused_out.filter(
                 F.col("is_new") & F.col("status").isin(*next_statuses)
             )
-            # eager: materialize the ranked delta and release global_rank's
-            # internal sorted cache — otherwise cached blocks accumulate
-            # one per generation for the length of the crawl
             # the packed key is parent_priority * MAX_LINK_SLOTS + slot and
             # every parent was minted below next_priority, so the key range
             # is known without sampling — global_rank takes the cheaper
-            # bucket-offset JVM path (one fewer job per generation, no
-            # Python worker in the ranking)
+            # bucket-offset JVM path (no Python worker in the ranking), and
+            # with the counts pre-folded into the loop agg above it runs
+            # ZERO jobs of its own: lazy localCheckpoint defers the
+            # materialization (and the lineage cut) to the next
+            # generation's fused-output checkpoint, which consumes
+            # new_ranked on both its state and candidate sides in ONE
+            # action — two fewer driver jobs per generation
             new_ranked, n_new = global_rank(
                 new_rows, ["priority", "url_hash"], "__minted",
                 start=next_priority, with_count=True,
-                num_partitions=cfg.n_host_buckets, eager=True,
-                bounds=(0, next_priority * MAX_LINK_SLOTS),
+                num_partitions=cfg.n_host_buckets, eager=False,
+                bounds=rank_bounds, bucket_counts=rank_counts,
             )
+            new_ranked = new_ranked.localCheckpoint(eager=False)
             new_ranked = new_ranked.withColumn("priority", F.col("__minted")).drop("__minted")
             next_priority += n_new
             if n_new:

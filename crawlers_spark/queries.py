@@ -7102,6 +7102,196 @@ FROM reg GROUP BY 1
 """
 
 
+_ASPECT_BUCKETS = [
+    # (bucket_id, bw, bh) — SDXL-style fixed-resolution aspect buckets
+    (0, 512, 2048), (1, 576, 1664), (2, 704, 1408), (3, 832, 1216),
+    (4, 1024, 1024), (5, 1216, 832), (6, 1408, 704), (7, 1664, 576),
+    (8, 2048, 512),
+]
+
+
+def q_aspect_bucket_batching(spark: SparkSession, sf: str) -> DataFrame:
+    """Aspect-ratio bucketed batching for image training — the SDXL /
+    NovelAI bucketing law (Podell et al. 2023 §2.3, public): every
+    image is assigned to the fixed-resolution bucket whose aspect ratio
+    is nearest its own, so a training batch never mixes shapes and the
+    resize-to-fit padding waste is minimized. Image metadata derives
+    deterministically from doc_id (image_caption_qc's trick — the
+    input_hint (w, h) columns). All arithmetic is exact int64: the
+    nearness score is |w·1e6 div h − bw·1e6 div bh| (per-image h is
+    common across candidate buckets, so comparing truncated aspect
+    micro-units picks the same argmin in both engines), ties to the
+    lower bucket_id; padding waste is the uncovered bucket area after
+    an aspect-preserving fit, in integer ppm. Shape: the 9-row bucket
+    dim broadcasts, assignment is one projection + row_number over a
+    9-row group per image, the report is one hash-agg — at 100 TB
+    nothing but the final 9-row agg shuffles."""
+    d = load_table(spark, sf, "documents")
+    w = (64 + (F.col("doc_id") * 37) % 1024).cast("long")
+    h = (64 + (F.col("doc_id") * 53) % 1024).cast("long")
+    imgs = d.select("doc_id", w.alias("w"), h.alias("h"))
+    dim = spark.createDataFrame(
+        _ASPECT_BUCKETS, "bucket_id long, bw long, bh long"
+    )
+    cand = imgs.crossJoin(F.broadcast(dim)).withColumn(
+        "score",
+        F.abs(
+            F.expr("(w * 1000000) div h") - F.expr("(bw * 1000000) div bh")
+        ),
+    )
+    win = Window.partitionBy("doc_id").orderBy("score", "bucket_id")
+    best = cand.withColumn("rn", F.row_number().over(win)).filter("rn = 1")
+    covered = F.when(
+        F.col("bw") * F.col("h") <= F.col("bh") * F.col("w"),
+        F.expr("(bw * h * 1000000) div (w * bh)"),
+    ).otherwise(F.expr("(bh * w * 1000000) div (h * bw)"))
+    return (
+        best.withColumn("waste_ppm", F.lit(1000000) - covered)
+        .groupBy("bucket_id", "bw", "bh")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.expr("sum(waste_ppm) div count(*)").cast("long").alias("avg_waste_ppm"),
+            F.max("waste_ppm").cast("long").alias("max_waste_ppm"),
+        )
+    )
+
+
+ORACLE_ASPECT_BUCKET_BATCHING = """
+WITH imgs AS (
+  SELECT doc_id,
+         CAST(64 + (doc_id * 37) % 1024 AS BIGINT) AS w,
+         CAST(64 + (doc_id * 53) % 1024 AS BIGINT) AS h
+  FROM documents
+),
+dim(bucket_id, bw, bh) AS (VALUES
+  (0, 512, 2048), (1, 576, 1664), (2, 704, 1408), (3, 832, 1216),
+  (4, 1024, 1024), (5, 1216, 832), (6, 1408, 704), (7, 1664, 576),
+  (8, 2048, 512)),
+cand AS (
+  SELECT i.doc_id, i.w, i.h, d.bucket_id,
+         CAST(d.bw AS BIGINT) AS bw, CAST(d.bh AS BIGINT) AS bh,
+         row_number() OVER (PARTITION BY i.doc_id
+                            ORDER BY abs((i.w * 1000000) // i.h
+                                         - (CAST(d.bw AS BIGINT) * 1000000) // d.bh),
+                                     d.bucket_id) AS rn
+  FROM imgs i CROSS JOIN dim d
+),
+best AS (
+  SELECT *,
+         1000000 - CASE WHEN bw * h <= bh * w
+                        THEN (bw * h * 1000000) // (w * bh)
+                        ELSE (bh * w * 1000000) // (h * bw) END AS waste_ppm
+  FROM cand WHERE rn = 1
+)
+SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+       CAST(bw AS BIGINT) AS bw, CAST(bh AS BIGINT) AS bh,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(waste_ppm) // count(*) AS BIGINT) AS avg_waste_ppm,
+       CAST(max(waste_ppm) AS BIGINT) AS max_waste_ppm
+FROM best GROUP BY 1, 2, 3
+"""
+
+
+def q_training_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """WebDataset-style deterministic shard assignment — the export law
+    for training corpora (tar shards consumed by sequential readers).
+    shard_id = md5-lane(doc_id) mod 64: content-independent, stable
+    under re-runs and subset-stable under corpus growth (a doc never
+    changes shard), and the md5 lane is cross-engine exact. Report:
+    per-shard doc count, payload bytes (n_chars), and each shard's
+    share of the corpus in integer ppm — the balance audit that decides
+    whether shard skew will starve data-parallel readers. Shape: one
+    hash-agg plus a tiny 64-row window; at 100 TB the agg is map-side
+    partial and the window never sees more than n_shards rows."""
+    d = load_table(spark, sf, "documents")
+    lane = (
+        "cast(conv(substring(md5(concat('shard|', cast(doc_id as string))), "
+        "1, 15), 16, 10) as bigint)"
+    )
+    per = (
+        d.withColumn("shard_id", F.expr(f"pmod({lane}, 64)"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_bytes"),
+        )
+    )
+    tot = Window.partitionBy()
+    return per.select(
+        "shard_id", "n_docs", "n_bytes",
+        F.expr("n_docs * 1000000").cast("long").alias("_num"),
+        F.sum("n_docs").over(tot).alias("_den"),
+    ).select(
+        "shard_id", "n_docs", "n_bytes",
+        F.expr("_num div _den").cast("long").alias("share_ppm"),
+    )
+
+
+ORACLE_TRAINING_SHARDS = """
+WITH per AS (
+  SELECT (('0x' || substring(md5('shard|' || doc_id), 1, 15))::BIGINT) % 64
+           AS shard_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_bytes
+  FROM documents GROUP BY 1
+)
+SELECT shard_id, n_docs, n_bytes,
+       CAST((n_docs * 1000000) // sum(n_docs) OVER () AS BIGINT) AS share_ppm
+FROM per
+"""
+
+
+def q_lang_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling rates — the mixture law
+    multilingual corpora train with (rate_l ∝ p_l^(1/T); Conneau &
+    Lample 2019, public). T = 2 makes the exponent an IEEE sqrt, which
+    is correctly rounded in both engines, so the per-language weight is
+    bit-identical cross-engine; every cross-row reduction stays in
+    exact int64 (floats are only ever divided/floored pairwise, never
+    summed). Output per language: doc count, corpus share in exact ppm,
+    the e6-scaled temperature weight, and the renormalized sampling
+    share in exact ppm — upsampling tail languages, downsampling the
+    head. Shape: one hash-agg to ~5 rows, then windows over those rows
+    only."""
+    d = load_table(spark, sf, "documents")
+    per = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = Window.partitionBy()
+    return (
+        per.withColumn("_N", F.sum("n_docs").over(tot))
+        .withColumn("p_ppm", F.expr("(n_docs * 1000000) div _N"))
+        .withColumn(
+            "weight_e6",
+            F.floor(F.sqrt(F.col("n_docs") / F.col("_N")) * 1000000).cast("long"),
+        )
+        .withColumn("_W", F.sum("weight_e6").over(tot))
+        .select(
+            "lang", "n_docs", "p_ppm",
+            "weight_e6",
+            F.expr("(weight_e6 * 1000000) div _W").cast("long").alias("share_ppm"),
+        )
+    )
+
+
+ORACLE_LANG_TEMPERATURE_MIX = """
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+),
+w AS (
+  SELECT lang, n_docs,
+         sum(n_docs) OVER () AS N,
+         CAST(floor(sqrt(n_docs / sum(n_docs) OVER ()) * 1000000) AS BIGINT)
+           AS weight_e6
+  FROM per
+)
+SELECT lang, n_docs,
+       CAST((n_docs * 1000000) // N AS BIGINT) AS p_ppm,
+       weight_e6,
+       CAST((weight_e6 * 1000000) // sum(weight_e6) OVER () AS BIGINT)
+         AS share_ppm
+FROM w
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -7253,6 +7443,13 @@ QUERIES: dict[str, tuple] = {
     "warc_roundtrip": (q_warc_roundtrip, ORACLE_WARC_ROUNDTRIP),
     "mime_sniff": (q_mime_sniff, ORACLE_MIME_SNIFF),
     "registrable_domain": (q_registrable_domain, ORACLE_REGISTRABLE_DOMAIN),
+    "aspect_bucket_batching": (
+        q_aspect_bucket_batching, ORACLE_ASPECT_BUCKET_BATCHING
+    ),
+    "training_shards": (q_training_shards, ORACLE_TRAINING_SHARDS),
+    "lang_temperature_mix": (
+        q_lang_temperature_mix, ORACLE_LANG_TEMPERATURE_MIX
+    ),
 }
 
 
