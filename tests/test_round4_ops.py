@@ -250,6 +250,44 @@ def test_rank_bounds_path_empty_input(spark):
     assert n == 0 and out.count() == 0
 
 
+def test_rank_precomputed_bucket_counts_match_self_counting(spark):
+    """The crawl loop folds global_rank's per-bucket counts into an agg
+    it already runs (rank_bucket_expr) — ranks must be identical to the
+    self-counting bounds path, and n must come back as the counts' sum."""
+    from pyspark.sql import functions as F
+
+    from crawlers_spark.operators.ranking import global_rank, rank_bucket_expr
+
+    rows = [((i * 37) % 101 + 50, i * 7919) for i in range(200)]
+    df = spark.createDataFrame(rows, "priority long, url_hash long")
+    for bounds in [(50, 151), (0, 1000)]:
+        want = {
+            (r["priority"], r["url_hash"]): r["rk"]
+            for r in global_rank(
+                df, ["priority", "url_hash"], "rk", start=7, bounds=bounds
+            ).collect()
+        }
+        counts = {
+            r["__b"]: r["n"]
+            for r in df.groupBy(
+                rank_bucket_expr("priority", 8, bounds).alias("__b")
+            ).agg(F.count("*").alias("n")).collect()
+        }
+        got_df, n = global_rank(
+            df, ["priority", "url_hash"], "rk", start=7, with_count=True,
+            num_partitions=8, bounds=bounds, bucket_counts=counts,
+        )
+        got = {(r["priority"], r["url_hash"]): r["rk"] for r in got_df.collect()}
+        assert got == want, f"bounds={bounds}"
+        assert n == 200
+    # empty counts dict => zero rows ranked, n == 0 (not a fallback scan)
+    out, n = global_rank(
+        df.filter("priority < 0"), ["priority", "url_hash"], "rk",
+        with_count=True, bounds=(0, 10), bucket_counts={},
+    )
+    assert n == 0 and out.count() == 0
+
+
 # ------------------------------------------------------------- prefix_sum
 
 
