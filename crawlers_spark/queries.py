@@ -7292,6 +7292,446 @@ FROM w
 """
 
 
+def q_cluster_representatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-ranked representative selection per exact-dup group — the
+    curation-correct dedup keep rule: retain the BEST copy (longest
+    text, doc_id ascending tiebreak), not the first-seen one
+    (C4/RefinedWeb keep the longest variant of boilerplate-trimmed
+    dups). Group key is the 60-bit md5 lane of the text (cross-engine
+    exact); quality is n_chars in exact int64. Output per group: the
+    lane, group size, the representative's doc_id + n_chars, and how
+    many copies retire. Shape: one hash-agg keyed on the lane using
+    max-by on a packed (n_chars, ~doc_id) key — no window, no sort, one
+    shuffle; at 100 TB this is the same plan as any groupBy."""
+    d = load_table(spark, sf, "documents")
+    lane = (
+        "cast(conv(substring(md5(coalesce(text, '')), 1, 15), 16, 10) as bigint)"
+    )
+    # pack (quality, tiebreak) into one max-able long: doc_id < 2^20 at
+    # every SF, so key = n_chars * 2^20 + (2^20 - 1 - doc_id) makes
+    # max(key) = (max n_chars, min doc_id) in one agg buffer
+    pk = "(n_chars * 1048576) + (1048575 - doc_id)"
+    g = (
+        d.select(F.expr(lane).alias("text_lane"), "doc_id", "n_chars")
+        .groupBy("text_lane")
+        .agg(
+            F.count("*").cast("long").alias("group_size"),
+            F.max(F.expr(pk)).alias("_mk"),
+        )
+    )
+    return g.select(
+        "text_lane", "group_size",
+        (F.lit(1048575) - F.col("_mk") % 1048576).cast("long").alias("rep_doc_id"),
+        F.expr("_mk div 1048576").cast("long").alias("rep_n_chars"),
+        (F.col("group_size") - 1).cast("long").alias("n_retired"),
+    )
+
+
+ORACLE_CLUSTER_REPRESENTATIVES = """
+WITH g AS (
+  SELECT ('0x' || substring(md5(coalesce(text, '')), 1, 15))::BIGINT AS text_lane,
+         CAST(count(*) AS BIGINT) AS group_size,
+         max(n_chars * 1048576 + (1048575 - doc_id)) AS mk
+  FROM documents GROUP BY 1
+)
+SELECT text_lane, group_size,
+       CAST(1048575 - mk % 1048576 AS BIGINT) AS rep_doc_id,
+       CAST(mk // 1048576 AS BIGINT) AS rep_n_chars,
+       CAST(group_size - 1 AS BIGINT) AS n_retired
+FROM g
+"""
+
+
+def q_soft404_templates(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft-404 / error-template detection — the crawl-quality law that
+    a host serving ONE short body under many distinct URLs is returning
+    a 200-status error page (soft 404), and those pages must not enter
+    the corpus (Bar-Yossef et al. WWW'04, public). Synthetic fetch
+    results derive deterministically from events: host and path from
+    the generating ints; ~2/7 of pages collapse onto a per-host error
+    fingerprint with a short body. A (host, fingerprint) group is a
+    template iff it spans >= 5 distinct paths AND its mean body length
+    is under 512 bytes (integer cross-multiplied). Report per host:
+    pages, template pages, soft-404 ppm. Shape: two hash-aggs on
+    (host, fp) then host — at 100 TB both are map-side partial, and the
+    fingerprint column is what a real pipeline already computes for
+    dedup."""
+    e = load_table(spark, sf, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string"))
+    is_err = F.col("event_id") % 7 < 2
+    fp = F.when(
+        is_err, F.md5(F.concat(host, F.lit("|ERR")))
+    ).otherwise(F.md5(F.concat(host, F.lit("|"), F.col("event_id").cast("string"))))
+    body_len = F.when(
+        is_err, (120 + F.col("event_id") % 5).cast("long")
+    ).otherwise((800 + F.col("event_id") % 4000).cast("long"))
+    pages = e.select(
+        host.alias("host"),
+        (F.col("event_id") % 2000).cast("long").alias("path_key"),
+        fp.alias("fp"),
+        body_len.alias("body_len"),
+    )
+    # path = '/p/' || path_key is a bijection, so distinct-path counting
+    # runs on the NUMERIC key (HashAggregate; a string countDistinct
+    # would force SortAggregate's var-length buffer)
+    grp = pages.groupBy("host", "fp").agg(
+        F.countDistinct("path_key").cast("long").alias("n_paths"),
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("body_len").cast("long").alias("sum_len"),
+    )
+    tpl = (F.col("n_paths") >= 5) & (F.col("sum_len") < 512 * F.col("n_pages"))
+    return (
+        grp.withColumn("is_tpl", tpl)
+        .groupBy("host")
+        .agg(
+            F.sum("n_pages").cast("long").alias("n_pages"),
+            F.sum(F.when(F.col("is_tpl"), F.col("n_pages")).otherwise(0))
+            .cast("long").alias("n_template_pages"),
+        )
+        .withColumn(
+            "soft404_ppm",
+            F.expr("(n_template_pages * 1000000) div n_pages").cast("long"),
+        )
+    )
+
+
+ORACLE_SOFT404_TEMPLATES = """
+WITH pages AS (
+  SELECT 'h' || (user_id % 50)::VARCHAR AS host,
+         '/p/' || (event_id % 2000)::VARCHAR AS path,
+         CASE WHEN event_id % 7 < 2
+              THEN md5('h' || (user_id % 50)::VARCHAR || '|ERR')
+              ELSE md5('h' || (user_id % 50)::VARCHAR || '|'
+                       || event_id::VARCHAR) END AS fp,
+         CAST(CASE WHEN event_id % 7 < 2 THEN 120 + event_id % 5
+                   ELSE 800 + event_id % 4000 END AS BIGINT) AS body_len
+  FROM events
+),
+grp AS (
+  SELECT host, fp,
+         CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+         CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(sum(body_len) AS BIGINT) AS sum_len
+  FROM pages GROUP BY 1, 2
+),
+per AS (
+  SELECT host,
+         CAST(sum(n_pages) AS BIGINT) AS n_pages,
+         CAST(sum(CASE WHEN n_paths >= 5 AND sum_len < 512 * n_pages
+                       THEN n_pages ELSE 0 END) AS BIGINT) AS n_template_pages
+  FROM grp GROUP BY 1
+)
+SELECT host, n_pages, n_template_pages,
+       CAST((n_template_pages * 1000000) // n_pages AS BIGINT) AS soft404_ppm
+FROM per
+"""
+
+
+def q_aimd_politeness(spark: SparkSession, sf: str) -> DataFrame:
+    """AIMD adaptive crawl-delay — congestion-control politeness
+    (additive/multiplicative-decrease shape TCP popularized; applied to
+    crawler pacing when a server's latency is the congestion signal).
+    Three unrolled rounds over per-(host, round) observed latencies
+    (round = event_id mod 3, latency = max over the round's events —
+    worst-case pacing): slow round (lat > 2000 ms) doubles the delay
+    capped at 8000; fast round decays it by 3/4, floored at 250. All
+    exact int64, so the chained CASE evaluates bit-identically in both
+    engines. Output: per-host round latencies and the delay trajectory
+    d1..d3. Shape: one hash-agg with three conditional maxes, then
+    scalar arithmetic — nothing but the per-host agg shuffles at
+    100 TB."""
+    e = load_table(spark, sf, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))
+    lat = (500 + (F.col("event_id") * 31) % 4000).cast("long")
+    rnd = (F.col("event_id") % 3).cast("int")
+    base = e.select(host.alias("host"), rnd.alias("rnd"), lat.alias("lat"))
+    per = base.groupBy("host").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("rnd") == k, F.col("lat"))), F.lit(1000)
+            ).cast("long").alias(f"lat{k}")
+            for k in range(3)
+        ]
+    )
+
+    # d0 = 1000 ms, so round 1's two branches are the constants 2000/750
+    out = per.withColumn(
+        "d1",
+        F.when(F.col("lat0") > 2000, F.lit(2000))
+        .otherwise(F.lit(750)).cast("long"),
+    )
+    out = out.withColumn(
+        "d2",
+        F.when(F.col("lat1") > 2000, F.least(F.lit(8000), F.col("d1") * 2))
+        .otherwise(F.greatest(F.lit(250), F.expr("(d1 * 3) div 4"))).cast("long"),
+    )
+    out = out.withColumn(
+        "d3",
+        F.when(F.col("lat2") > 2000, F.least(F.lit(8000), F.col("d2") * 2))
+        .otherwise(F.greatest(F.lit(250), F.expr("(d2 * 3) div 4"))).cast("long"),
+    )
+    return out.select("host", "lat0", "lat1", "lat2", "d1", "d2", "d3")
+
+
+ORACLE_AIMD_POLITENESS = """
+WITH base AS (
+  SELECT 'h' || (user_id % 40)::VARCHAR AS host,
+         (event_id % 3)::INT AS rnd,
+         CAST(500 + (event_id * 31) % 4000 AS BIGINT) AS lat
+  FROM events
+),
+per AS (
+  SELECT host,
+         CAST(coalesce(max(CASE WHEN rnd = 0 THEN lat END), 1000) AS BIGINT) AS lat0,
+         CAST(coalesce(max(CASE WHEN rnd = 1 THEN lat END), 1000) AS BIGINT) AS lat1,
+         CAST(coalesce(max(CASE WHEN rnd = 2 THEN lat END), 1000) AS BIGINT) AS lat2
+  FROM base GROUP BY 1
+),
+s1 AS (
+  SELECT *, CAST(CASE WHEN lat0 > 2000 THEN least(8000, 1000 * 2)
+                      ELSE greatest(250, 750) END AS BIGINT) AS d1
+  FROM per
+),
+s2 AS (
+  SELECT *, CAST(CASE WHEN lat1 > 2000 THEN least(8000, d1 * 2)
+                      ELSE greatest(250, (d1 * 3) // 4) END AS BIGINT) AS d2
+  FROM s1
+)
+SELECT host, lat0, lat1, lat2, d1, d2,
+       CAST(CASE WHEN lat2 > 2000 THEN least(8000, d2 * 2)
+                 ELSE greatest(250, (d2 * 3) // 4) END AS BIGINT) AS d3
+FROM s2
+"""
+
+
+def q_link_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level link reciprocity — the link-farm signal: organically
+    linked hosts have low reciprocal-edge rates, while link exchanges
+    show near-total reciprocity (TrustRank-adjacent spam heuristic,
+    Gyöngyi et al. VLDB'04, public). The directed host graph derives
+    from events; per source host: distinct out-edges, how many are
+    reciprocated (the reverse edge exists), and the rate in exact ppm.
+    Shape: distinct edge set (one shuffle), then a self equi-join on
+    the reversed composite key — both sides the deduped edge table, a
+    plain hash-partitioned equi-join with no fan-out (edge keys are
+    unique), scale-safe at 100 TB."""
+    e = load_table(spark, sf, "events")
+    edges = (
+        e.select(
+            (F.col("user_id") % 40).cast("long").alias("src"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % 40).cast("long").alias("dst"),
+        )
+        .filter("src != dst")
+        .distinct()
+    )
+    rev = edges.select(
+        F.col("src").alias("r_dst"), F.col("dst").alias("r_src")
+    )
+    marked = edges.join(
+        rev,
+        (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+        "left",
+    )
+    return (
+        marked.groupBy("src")
+        .agg(
+            F.count("*").cast("long").alias("out_deg"),
+            F.sum(F.when(F.col("r_src").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_reciprocal"),
+        )
+        .withColumn(
+            "recip_ppm",
+            F.expr("(n_reciprocal * 1000000) div out_deg").cast("long"),
+        )
+        .withColumnRenamed("src", "host_id")
+    )
+
+
+ORACLE_LINK_RECIPROCITY = """
+WITH edges AS (
+  SELECT DISTINCT CAST(user_id % 40 AS BIGINT) AS src,
+                  CAST((user_id * 7 + event_id) % 40 AS BIGINT) AS dst
+  FROM events
+  WHERE user_id % 40 != (user_id * 7 + event_id) % 40
+),
+marked AS (
+  SELECT e.src, e.dst, r.src AS r_src
+  FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+)
+SELECT src AS host_id,
+       CAST(count(*) AS BIGINT) AS out_deg,
+       CAST(sum(CASE WHEN r_src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reciprocal,
+       CAST((sum(CASE WHEN r_src IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS recip_ppm
+FROM marked GROUP BY 1
+"""
+
+
+def q_dns_cache_law(spark: SparkSession, sf: str) -> DataFrame:
+    """DNS resolver-cache accounting — a crawler resolves a host again
+    only when the cached record's TTL (300 s here) has lapsed, so the
+    resolve count over a fetch timeline is the number of DISTINCT
+    TTL-epochs the host is touched in (Mercator's DNS bottleneck note,
+    Heydon & Najork 1999, public). Timestamps are exact epoch
+    MICROSECONDS (timestampdiff(MICROSECOND,...) == DuckDB
+    date_diff('microsecond',...) bit-for-bit; the ms variants have
+    boundary-crossing divergence). Per host: fetches, resolves, cache
+    hit rate in exact ppm. Shape: one hash-agg with a numeric
+    countDistinct — map-side partial at 100 TB."""
+    e = load_table(spark, sf, "events")
+    us = F.expr("timestampdiff(MICROSECOND, timestamp'1970-01-01 00:00:00', ts)")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))
+    base = e.select(
+        host.alias("host"), us.cast("long").alias("us")
+    ).select("host", F.expr("us div 300000000").alias("ttl_epoch"))
+    per = base.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.countDistinct("ttl_epoch").cast("long").alias("n_resolves"),
+    )
+    return per.withColumn(
+        "cache_hit_ppm",
+        F.expr("((n_fetches - n_resolves) * 1000000) div n_fetches").cast("long"),
+    )
+
+
+ORACLE_DNS_CACHE_LAW = """
+WITH base AS (
+  SELECT 'h' || (user_id % 40)::VARCHAR AS host,
+         date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+           // 300000000 AS ttl_epoch
+  FROM events
+),
+per AS (
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(count(DISTINCT ttl_epoch) AS BIGINT) AS n_resolves
+  FROM base GROUP BY 1
+)
+SELECT host, n_fetches, n_resolves,
+       CAST(((n_fetches - n_resolves) * 1000000) // n_fetches AS BIGINT)
+         AS cache_hit_ppm
+FROM per
+"""
+
+
+def q_connection_reuse(spark: SparkSession, sf: str) -> DataFrame:
+    """HTTP keep-alive connection accounting — consecutive fetches to a
+    host reuse the open connection iff the idle gap stays under the
+    keep-alive window (15 s here); a longer gap (or the first fetch)
+    opens a new one. Connection churn is a real crawl cost (TLS
+    handshakes dominate small fetches). Gaps are exact epoch-µs lag
+    differences per host; ties cost 0 µs regardless of tie order, so
+    the count is order-deterministic. Per host: fetches, connections
+    opened, reuse rate in exact ppm. Shape: one per-host window (lag)
+    + one hash-agg — a single shuffle on host at 100 TB."""
+    e = load_table(spark, sf, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp'1970-01-01 00:00:00', ts)"
+    ).cast("long")
+    base = e.select(host.alias("host"), us.alias("us"), "event_id")
+    w = Window.partitionBy("host").orderBy("us", "event_id")
+    lagged = base.withColumn("prev_us", F.lag("us").over(w))
+    new_conn = F.when(
+        F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > 15000000),
+        1,
+    ).otherwise(0)
+    per = lagged.withColumn("new_conn", new_conn).groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum("new_conn").cast("long").alias("n_connections"),
+    )
+    return per.withColumn(
+        "reuse_ppm",
+        F.expr("((n_fetches - n_connections) * 1000000) div n_fetches")
+        .cast("long"),
+    )
+
+
+ORACLE_CONNECTION_REUSE = """
+WITH base AS (
+  SELECT 'h' || (user_id % 40)::VARCHAR AS host,
+         date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS us,
+         event_id
+  FROM events
+),
+lagged AS (
+  SELECT host, us,
+         lag(us) OVER (PARTITION BY host ORDER BY us, event_id) AS prev_us
+  FROM base
+),
+per AS (
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 15000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_connections
+  FROM lagged GROUP BY 1
+)
+SELECT host, n_fetches, n_connections,
+       CAST(((n_fetches - n_connections) * 1000000) // n_fetches AS BIGINT)
+         AS reuse_ppm
+FROM per
+"""
+
+
+def q_epochs_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-constrained repetition budget — when the token budget
+    exceeds a source's unique tokens, the source repeats for multiple
+    epochs, but repeats past ~4 epochs stop helping (Muennighoff et
+    al. 2023, public). Tokens ≈ chars div 4; each source gets an equal
+    integer share of the global budget (4× the corpus); its epoch
+    count is that share over its own tokens, clamped to [1, 4]. All
+    exact int64 — cross-engine bit-identical. Output per source:
+    unique tokens, budget share, epochs, effective (post-repetition)
+    tokens. Shape: one hash-agg to a handful of source rows, then
+    windows over those rows only."""
+    d = load_table(spark, sf, "documents")
+    per = d.groupBy("source").agg(
+        F.expr("sum(n_chars) div 4").cast("long").alias("tokens")
+    )
+    tot = Window.partitionBy()
+    return (
+        per.withColumn("_T", F.sum("tokens").over(tot))
+        .withColumn("_S", F.count("*").over(tot))
+        .withColumn("budget", F.expr("(_T * 4) div _S").cast("long"))
+        .withColumn(
+            "epochs",
+            # greatest(tokens, 1) guards the ANSI div against a
+            # zero-token source (sub-4-char total); such a source still
+            # gets epochs >= 1 and effective_tokens == tokens
+            F.least(
+                F.lit(4),
+                F.greatest(F.lit(1), F.expr("budget div greatest(tokens, 1)")),
+            ).cast("long"),
+        )
+        .select(
+            "source", "tokens", "budget", "epochs",
+            (F.col("tokens") * F.col("epochs")).cast("long")
+            .alias("effective_tokens"),
+        )
+    )
+
+
+ORACLE_EPOCHS_PER_SOURCE = """
+WITH per AS (
+  SELECT source, CAST(sum(n_chars) // 4 AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, tokens,
+         CAST((sum(tokens) OVER () * 4) // count(*) OVER () AS BIGINT)
+           AS budget
+  FROM per
+)
+SELECT source, tokens, budget,
+       CAST(least(4, greatest(1, budget // greatest(tokens, 1))) AS BIGINT)
+         AS epochs,
+       CAST(tokens * least(4, greatest(1, budget // greatest(tokens, 1)))
+            AS BIGINT) AS effective_tokens
+FROM w
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -7450,6 +7890,15 @@ QUERIES: dict[str, tuple] = {
     "lang_temperature_mix": (
         q_lang_temperature_mix, ORACLE_LANG_TEMPERATURE_MIX
     ),
+    "cluster_representatives": (
+        q_cluster_representatives, ORACLE_CLUSTER_REPRESENTATIVES
+    ),
+    "soft404_templates": (q_soft404_templates, ORACLE_SOFT404_TEMPLATES),
+    "aimd_politeness": (q_aimd_politeness, ORACLE_AIMD_POLITENESS),
+    "link_reciprocity": (q_link_reciprocity, ORACLE_LINK_RECIPROCITY),
+    "dns_cache_law": (q_dns_cache_law, ORACLE_DNS_CACHE_LAW),
+    "connection_reuse": (q_connection_reuse, ORACLE_CONNECTION_REUSE),
+    "epochs_per_source": (q_epochs_per_source, ORACLE_EPOCHS_PER_SOURCE),
 }
 
 
