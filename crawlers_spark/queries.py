@@ -7732,6 +7732,136 @@ FROM w
 """
 
 
+def q_caption_spam(spark: SparkSession, sf: str) -> DataFrame:
+    """Caption-spam detection for image+caption corpora — the LAION
+    failure mode where one boilerplate alt-text ("image", "product
+    photo") captions thousands of DISTINCT images; such pairs poison
+    contrastive training and are dropped by caption-frequency filters
+    (Schuhmann et al. 2021 §3, public). Caption key is its md5 lane on
+    the normalized text; the image identity is the phash lane (derived
+    from doc_id, input_hint's phash column). A caption is spam iff it
+    covers >= 5 distinct images. Output per flagged caption lane:
+    images covered, distinct images, and the id range for audit.
+    Shape: one hash-agg on the caption lane with a numeric
+    countDistinct — map-side partial at 100 TB, no join."""
+    d = load_table(spark, sf, "documents")
+    # boilerplate captions: ~1/3 of docs share one of 7 canned captions;
+    # the rest use their own text
+    canned = F.col("doc_id") % 3 == 0
+    cap = F.when(
+        canned,
+        F.concat(F.lit("stock caption "), (F.col("doc_id") % 7).cast("string")),
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+    lane = F.expr(
+        "cast(conv(substring(md5(cap), 1, 15), 16, 10) as bigint)"
+    )
+    phash = F.expr(
+        "cast(conv(substring(md5(concat('ph|', cast(doc_id as string))), "
+        "1, 15), 16, 10) as bigint)"
+    )
+    per = (
+        d.select(cap.alias("cap"), "doc_id", phash.alias("phash"))
+        .select(lane.alias("caption_lane"), "doc_id", "phash")
+        .groupBy("caption_lane")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("phash").cast("long").alias("n_images"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )
+    return per.filter(F.col("n_images") >= 5)
+
+
+ORACLE_CAPTION_SPAM = """
+WITH pairs AS (
+  SELECT CASE WHEN doc_id % 3 = 0
+              THEN 'stock caption ' || (doc_id % 7)::VARCHAR
+              ELSE coalesce(text, '') END AS cap,
+         doc_id,
+         ('0x' || substring(md5('ph|' || doc_id), 1, 15))::BIGINT AS phash
+  FROM documents
+),
+per AS (
+  SELECT ('0x' || substring(md5(cap), 1, 15))::BIGINT AS caption_lane,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT phash) AS BIGINT) AS n_images,
+         CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+         CAST(max(doc_id) AS BIGINT) AS max_doc_id
+  FROM pairs GROUP BY 1
+)
+SELECT * FROM per WHERE n_images >= 5
+"""
+
+
+def q_url_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """URL path-depth audit — frontier-shape profiling: shallow URLs
+    (depth 0-2) are hubs worth prioritizing, depth 6+ is usually
+    calendar/faceted noise, and breadth-first crawls implicitly order
+    by depth (Najork & Wiener WWW'01, public: breadth-first yields
+    high-quality pages early). Synthetic URLs derive from events with a
+    deterministic depth in [0, 8]; depth is counted from the canonical
+    path as the number of non-empty '/' segments. Output per depth:
+    URLs, distinct hosts, and the share of the frontier in exact ppm.
+    Shape: projection + one hash-agg to 9 rows; the window runs over
+    those 9 rows only."""
+    e = load_table(spark, sf, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))
+    depth_gen = (F.col("event_id") * 13 % 9).cast("int")
+    # path = '/s1/s2/.../sK' built by repeating segments; depth 0 = '/'
+    seg = F.concat(F.lit("/seg"), (F.col("event_id") % 5).cast("string"))
+    path = F.when(depth_gen == 0, F.lit("/")).otherwise(
+        F.repeat(seg, depth_gen)
+    )
+    # host_id is the numeric lane of the host string (bijection), so the
+    # distinct-host count stays a fixed-width HashAggregate
+    urls = e.select(
+        (F.col("user_id") % 40).cast("long").alias("host_id"),
+        path.alias("path"),
+    )
+    # count depth FROM the string (the law under test), not the
+    # generator: non-empty '/'-split segments
+    depth = F.size(F.filter(F.split("path", "/"), lambda s: s != ""))
+    per = (
+        urls.select("host_id", depth.alias("depth"))
+        .groupBy("depth")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("host_id").cast("long").alias("n_hosts"),
+        )
+    )
+    tot = Window.partitionBy()
+    return (
+        per.withColumn("_T", F.sum("n_urls").over(tot))
+        .select(
+            F.col("depth").cast("long").alias("depth"),
+            "n_urls", "n_hosts",
+            F.expr("(n_urls * 1000000) div _T").cast("long").alias("share_ppm"),
+        )
+    )
+
+
+ORACLE_URL_DEPTH_HISTOGRAM = """
+WITH urls AS (
+  SELECT CAST(user_id % 40 AS BIGINT) AS host_id,
+         CASE WHEN (event_id * 13) % 9 = 0 THEN '/'
+              ELSE repeat('/seg' || (event_id % 5)::VARCHAR,
+                          CAST((event_id * 13) % 9 AS INT)) END AS path
+  FROM events
+),
+per AS (
+  SELECT CAST(len(list_filter(string_split(path, '/'), s -> s != ''))
+              AS BIGINT) AS depth,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT host_id) AS BIGINT) AS n_hosts
+  FROM urls GROUP BY 1
+)
+SELECT depth, n_urls, n_hosts,
+       CAST((n_urls * 1000000) // sum(n_urls) OVER () AS BIGINT) AS share_ppm
+FROM per
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -7899,6 +8029,10 @@ QUERIES: dict[str, tuple] = {
     "dns_cache_law": (q_dns_cache_law, ORACLE_DNS_CACHE_LAW),
     "connection_reuse": (q_connection_reuse, ORACLE_CONNECTION_REUSE),
     "epochs_per_source": (q_epochs_per_source, ORACLE_EPOCHS_PER_SOURCE),
+    "caption_spam": (q_caption_spam, ORACLE_CAPTION_SPAM),
+    "url_depth_histogram": (
+        q_url_depth_histogram, ORACLE_URL_DEPTH_HISTOGRAM
+    ),
 }
 
 
