@@ -7862,6 +7862,171 @@ FROM per
 """
 
 
+def q_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash sketch calibration — before trusting a 16-lane signature
+    to dedup 100 TB, measure its estimator error against exact Jaccard
+    on the band-candidate pairs (the estimator is unbiased with
+    stderr ≈ sqrt(J(1−J)/16) ≈ 0.12; Broder 1997, public). Same md5
+    lanes / 8×2 banding / mutant corpus as dedup_minhash_md5; per
+    candidate pair this emits the sketch estimate (agreeing lanes out
+    of 16, in exact ppm), the exact Jaccard (distinct-gram join, exact
+    ppm), and the absolute error — all integer, cross-engine
+    bit-identical. Shape: the banded equi-join bounds candidates, the
+    gram join runs only on candidates, signatures ride a broadcast-able
+    per-doc table; nothing all-pairs at any scale."""
+    from .operators.dedup import normalize_text
+
+    docs = _docs_with_mutants(spark, sf)
+    t = docs.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("w"))
+    grams = (
+        t.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+            )).alias("s"),
+        )
+        .distinct()
+    )
+    mins = [
+        F.min(F.expr(
+            f"cast(conv(substring(md5(concat('{p}|', s)), 1, 15), 16, 10) as bigint)"
+        )).alias(f"m{p}")
+        for p in range(_MH_PERMS)
+    ]
+    sigs = grams.groupBy("doc_id").agg(*mins)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.concat_ws(",", *[
+                    F.col(f"m{_MH_ROWS * b + j}").cast("string")
+                    for j in range(_MH_ROWS)
+                ]).alias("bv"),
+            )
+            for b in range(_MH_BANDS)
+        ])).alias("b"),
+    ).select("doc_id", "b.bi", "b.bv")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.bi") == F.col("b.bi")) & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"),
+                     *[F.col(f"m{p}").alias(f"a{p}") for p in range(_MH_PERMS)])
+    sb = sigs.select(F.col("doc_id").alias("id_b"),
+                     *[F.col(f"m{p}").alias(f"b{p}") for p in range(_MH_PERMS)])
+    agree = sum(
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        for p in range(_MH_PERMS)
+    )
+    est = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", agree.cast("long").alias("lanes_agree")
+    )
+    sz = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = grams.select(F.col("doc_id").alias("id_a"), "s")
+    gb = grams.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        cand.join(ga, "id_a").join(gb, ["id_b", "s"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("ni"))
+    )
+    na = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        est.join(inter, ["id_a", "id_b"])
+        .join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "est_ppm", F.expr("(lanes_agree * 1000000) div 16").cast("long")
+        )
+        .withColumn(
+            "exact_ppm",
+            F.expr("(ni * 1000000) div (n_a + n_b - ni)").cast("long"),
+        )
+    )
+    return out.select(
+        "id_a", "id_b", "lanes_agree", "est_ppm", "exact_ppm",
+        F.abs(F.col("est_ppm") - F.col("exact_ppm")).cast("long")
+        .alias("err_ppm"),
+    )
+
+
+def _minhash_calibration_oracle() -> str:
+    mins = ",\n       ".join(
+        f"min(('0x' || substring(md5('{p}|' || s), 1, 15))::BIGINT) AS m{p}"
+        for p in range(_MH_PERMS)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bi, "
+        f"m{_MH_ROWS * b}::VARCHAR || ',' || m{_MH_ROWS * b + 1}::VARCHAR AS bv FROM sigs"
+        for b in range(_MH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.m{p} = sb.m{p} THEN 1 ELSE 0 END"
+        for p in range(_MH_PERMS)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+alldocs AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_MUTANT_OFFSET}, regexp_replace(text, ' \\w+$', '') FROM base
+),
+t AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM alldocs),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       FROM t WHERE len(w) >= 3),
+sigs AS (
+  SELECT doc_id,
+       {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b, CAST({agree} AS BIGINT) AS lanes_agree
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          GROUP BY 1, 2),
+rep AS (
+  SELECT e.id_a, e.id_b, e.lanes_agree,
+         CAST((e.lanes_agree * 1000000) // 16 AS BIGINT) AS est_ppm,
+         CAST((i.ni * 1000000) // (za.n + zb.n - i.ni) AS BIGINT) AS exact_ppm
+  FROM est e
+  JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+  JOIN sz za ON za.doc_id = e.id_a
+  JOIN sz zb ON zb.doc_id = e.id_b
+)
+SELECT id_a, id_b, lanes_agree, est_ppm, exact_ppm,
+       CAST(abs(est_ppm - exact_ppm) AS BIGINT) AS err_ppm
+FROM rep
+"""
+
+
+ORACLE_MINHASH_CALIBRATION = _minhash_calibration_oracle()
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -8032,6 +8197,9 @@ QUERIES: dict[str, tuple] = {
     "caption_spam": (q_caption_spam, ORACLE_CAPTION_SPAM),
     "url_depth_histogram": (
         q_url_depth_histogram, ORACLE_URL_DEPTH_HISTOGRAM
+    ),
+    "minhash_calibration": (
+        q_minhash_calibration, ORACLE_MINHASH_CALIBRATION
     ),
 }
 
