@@ -637,3 +637,48 @@ def test_hits_scores_keyed_aggs_topk(spark):
     assert "HashAggregate" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_aspect_bucket_dim_broadcasts(spark):
+    """aspect_bucket_batching: the 9-row bucket dim must broadcast (the
+    cross join is BroadcastNestedLoopJoin), the per-image argmin window
+    partitions by doc_id (never SinglePartition), and the report agg is
+    a HashAggregate."""
+    from crawlers_spark.queries import q_aspect_bucket_batching
+
+    plan = _plan(q_aspect_bucket_batching(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan.split("Window")[0]
+    assert "HashAggregate" in plan
+
+
+def test_soft404_two_hash_aggs_no_sort_agg(spark):
+    """soft404_templates: distinct-path counting rides a NUMERIC lane,
+    so both aggregation levels stay HashAggregate (a string
+    countDistinct would silently fall back to SortAggregate)."""
+    from crawlers_spark.queries import q_soft404_templates
+
+    plan = _plan(q_soft404_templates(spark, SF))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_cluster_representatives_single_agg_no_window(spark):
+    """cluster_representatives: rep selection is ONE packed max-by hash
+    agg — no window, no self-join back to the docs table."""
+    from crawlers_spark.queries import q_cluster_representatives
+
+    plan = _plan(q_cluster_representatives(spark, SF))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_minhash_calibration_no_cartesian(spark):
+    """minhash_calibration: candidates come from the banded equi-join
+    and every downstream join is keyed — never an all-pairs product."""
+    from crawlers_spark.queries import q_minhash_calibration
+
+    plan = _plan(q_minhash_calibration(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
