@@ -8027,6 +8027,126 @@ FROM rep
 ORACLE_MINHASH_CALIBRATION = _minhash_calibration_oracle()
 
 
+def q_robots_wildcard(spark: SparkSession, sf: str) -> DataFrame:
+    """RFC 9309 wildcard rule matching — the part of robots.txt the
+    plain prefix law (robots_parse) can't express: '*' matches any
+    span, '$' anchors the pattern end, the MOST SPECIFIC (longest)
+    matching rule wins, and an allow beats a disallow of equal length
+    (RFC 9309 §2.2.2, public). Wildcards compile to SQL LIKE ('*'→'%',
+    unanchored rules get a trailing '%'; the rule set contains no LIKE
+    metacharacters), which evaluates identically in both engines.
+    Synthetic paths derive from events across 8 URL templates chosen to
+    exercise every rule, including the allow-overrides-disallow and
+    anchored-extension cases. Output: per (winning rule, verdict) URL
+    counts — the conformance census a crawler publishes per host.
+    Shape: paths broadcast-join the tiny rule dim, one row_number over
+    the <=5 matches per path, one hash-agg; at 100 TB only the final
+    census shuffles."""
+    e = load_table(spark, sf, "events")
+    k = (F.col("event_id") % 100).cast("string")
+    tpl = F.col("event_id") % 8
+    path = (
+        F.when(tpl == 0, F.concat(F.lit("/public/page"), k))
+        .when(tpl == 1, F.concat(F.lit("/private/doc"), k))
+        .when(tpl == 2, F.concat(F.lit("/private/public/ok"), k))
+        .when(tpl == 3, F.concat(F.lit("/api/item"), k, F.lit(".json")))
+        .when(tpl == 4, F.concat(F.lit("/api/item"), k, F.lit(".json/view")))
+        .when(tpl == 5, F.lit("/"))
+        .when(tpl == 6, F.concat(F.lit("/img/photo"), k, F.lit(".jpg")))
+        .otherwise(F.concat(F.lit("/tmp-"), k))
+    )
+    paths = e.select(path.alias("path")).groupBy("path").agg(
+        F.count("*").alias("n")
+    )
+    rules = spark.createDataFrame(
+        [
+            (1, "/private/*", False),
+            (2, "/private/public*", True),
+            (3, "/*.json$", False),
+            (4, "/tmp-*", False),
+        ],
+        "rule_id int, pattern string, allow boolean",
+    )
+    # specificity = pattern length without the '$' anchor; LIKE form:
+    # '*'->'%', plus trailing '%' unless anchored
+    rules = rules.select(
+        "rule_id", "pattern", "allow",
+        F.length(F.regexp_replace("pattern", r"\$$", "")).alias("spec"),
+        F.when(
+            F.col("pattern").endswith("$"),
+            F.regexp_replace(F.regexp_replace("pattern", r"\$$", ""), r"\*", "%"),
+        ).otherwise(
+            F.concat(F.regexp_replace("pattern", r"\*", "%"), F.lit("%"))
+        ).alias("likepat"),
+    )
+    m = paths.join(
+        F.broadcast(rules), F.expr("path like likepat"), "left"
+    )
+    w = Window.partitionBy("path").orderBy(
+        F.desc_nulls_last("spec"),
+        F.desc_nulls_last("allow"),
+        F.asc_nulls_last("rule_id"),
+    )
+    best = m.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return (
+        best.select(
+            F.coalesce("pattern", F.lit("<default>")).alias("rule"),
+            F.coalesce("allow", F.lit(True)).alias("allowed"),
+            "n",
+        )
+        .groupBy("rule", "allowed")
+        .agg(
+            F.sum("n").cast("long").alias("n_urls"),
+            F.count("*").cast("long").alias("n_paths"),
+        )
+    )
+
+
+ORACLE_ROBOTS_WILDCARD = """
+WITH paths AS (
+  SELECT CASE event_id % 8
+           WHEN 0 THEN '/public/page' || (event_id % 100)::VARCHAR
+           WHEN 1 THEN '/private/doc' || (event_id % 100)::VARCHAR
+           WHEN 2 THEN '/private/public/ok' || (event_id % 100)::VARCHAR
+           WHEN 3 THEN '/api/item' || (event_id % 100)::VARCHAR || '.json'
+           WHEN 4 THEN '/api/item' || (event_id % 100)::VARCHAR || '.json/view'
+           WHEN 5 THEN '/'
+           WHEN 6 THEN '/img/photo' || (event_id % 100)::VARCHAR || '.jpg'
+           ELSE '/tmp-' || (event_id % 100)::VARCHAR END AS path,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+rules AS (
+  SELECT * FROM (VALUES
+    (1, '/private/*', FALSE),
+    (2, '/private/public*', TRUE),
+    (3, '/*.json$', FALSE),
+    (4, '/tmp-*', FALSE)) r(rule_id, pattern, allow)
+),
+compiled AS (
+  SELECT rule_id, pattern, allow,
+         length(regexp_replace(pattern, '\\$$', '')) AS spec,
+         CASE WHEN pattern LIKE '%$'
+              THEN replace(regexp_replace(pattern, '\\$$', ''), '*', '%')
+              ELSE replace(pattern, '*', '%') || '%' END AS likepat
+  FROM rules
+),
+m AS (
+  SELECT p.path, p.n, c.pattern, c.allow, c.spec, c.rule_id,
+         row_number() OVER (
+           PARTITION BY p.path
+           ORDER BY c.spec DESC NULLS LAST, c.allow DESC NULLS LAST,
+                    c.rule_id ASC NULLS LAST) AS rn
+  FROM paths p LEFT JOIN compiled c ON p.path LIKE c.likepat
+)
+SELECT coalesce(pattern, '<default>') AS rule,
+       coalesce(allow, TRUE) AS allowed,
+       CAST(sum(n) AS BIGINT) AS n_urls,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM m WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -8201,6 +8321,7 @@ QUERIES: dict[str, tuple] = {
     "minhash_calibration": (
         q_minhash_calibration, ORACLE_MINHASH_CALIBRATION
     ),
+    "robots_wildcard": (q_robots_wildcard, ORACLE_ROBOTS_WILDCARD),
 }
 
 
