@@ -8147,6 +8147,132 @@ FROM m WHERE rn = 1 GROUP BY 1, 2
 """
 
 
+def _interleave_bits_sql(xcol: str, ycol: str, bits: int = 8) -> str:
+    """Morton/Z-order key: interleave the low ``bits`` of two ints.
+    Emitted as portable SQL (shiftleft/shiftright spelled as functions
+    for Spark; the DuckDB twin uses operators) — all exact int64."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright({xcol}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({ycol}, {i}) & 1, {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _interleave_bits_duck(xcol: str, ycol: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_zorder_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order vs linear data layout — the file-skipping law that
+    decides whether a 2-D predicate scans 1% or 50% of a 100-TB table.
+    Files keep (min, max) column stats; a file is skipped iff its stat
+    range misses the predicate. Under a LINEAR sort (x major) a
+    y-predicate prunes nothing; under a MORTON/Z-ORDER key (bit
+    interleave — Morton 1966, the technique behind Delta/Iceberg
+    OPTIMIZE ZORDER) both dimensions localize into every block
+    (Hilbert/Z clustering analysis: Moon et al. TKDE 2001, public).
+    This audit builds BOTH layouts over the same (x, y) rows derived
+    from events, cuts each into 64 equal key-range blocks, computes
+    real per-block min/max stats, applies the same box predicate
+    (x in [64,95], y in [128,159]), and reports blocks scanned, rows
+    scanned, and scan ppm per layout — all exact int64. Shape: two
+    hash-aggs over the same scan + a 64-row pruning filter; at 100 TB
+    this IS the metadata pass a table format runs, demonstrated
+    engine-side."""
+    e = load_table(spark, sf, "events")
+    base = e.select(
+        (F.col("user_id") % 256).cast("long").alias("x"),
+        (F.col("event_id") % 256).cast("long").alias("y"),
+    )
+    keyed = base.select(
+        "x", "y",
+        F.expr("(x * 256 + y) div 1024").alias("lin_block"),
+        F.expr(
+            f"cast(({_interleave_bits_sql('x', 'y')}) div 1024 as long)"
+        ).alias("z_block"),
+    )
+    hit = (
+        (F.col("max_x") >= 64) & (F.col("min_x") <= 95)
+        & (F.col("max_y") >= 128) & (F.col("min_y") <= 159)
+    )
+
+    def layout(block_col: str, name: str) -> DataFrame:
+        blocks = keyed.groupBy(F.col(block_col).alias("blk")).agg(
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+            F.count("*").alias("rows"),
+        )
+        return blocks.agg(
+            F.lit(name).alias("layout"),
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("blocks_scanned"),
+            F.sum(F.when(hit, F.col("rows")).otherwise(0)).cast("long")
+            .alias("rows_scanned"),
+            F.sum("rows").cast("long").alias("rows_total"),
+        )
+
+    out = layout("lin_block", "linear").unionByName(layout("z_block", "zorder"))
+    return out.withColumn(
+        "scan_ppm",
+        F.expr("(rows_scanned * 1000000) div rows_total").cast("long"),
+    )
+
+
+ORACLE_ZORDER_PRUNING = f"""
+WITH base AS (
+  SELECT CAST(user_id % 256 AS BIGINT) AS x,
+         CAST(event_id % 256 AS BIGINT) AS y
+  FROM events
+),
+keyed AS (
+  SELECT x, y,
+         (x * 256 + y) // 1024 AS lin_block,
+         ({_interleave_bits_duck('x', 'y')}) // 1024 AS z_block
+  FROM base
+),
+lin AS (
+  SELECT lin_block AS blk, min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y, count(*) AS rows_
+  FROM keyed GROUP BY 1
+),
+zb AS (
+  SELECT z_block AS blk, min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y, count(*) AS rows_
+  FROM keyed GROUP BY 1
+),
+rep AS (
+  SELECT 'linear' AS layout,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(CASE WHEN max_x >= 64 AND min_x <= 95
+                        AND max_y >= 128 AND min_y <= 159
+                       THEN 1 ELSE 0 END) AS BIGINT) AS blocks_scanned,
+         CAST(sum(CASE WHEN max_x >= 64 AND min_x <= 95
+                        AND max_y >= 128 AND min_y <= 159
+                       THEN rows_ ELSE 0 END) AS BIGINT) AS rows_scanned,
+         CAST(sum(rows_) AS BIGINT) AS rows_total
+  FROM lin
+  UNION ALL
+  SELECT 'zorder',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN max_x >= 64 AND min_x <= 95
+                        AND max_y >= 128 AND min_y <= 159
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN max_x >= 64 AND min_x <= 95
+                        AND max_y >= 128 AND min_y <= 159
+                       THEN rows_ ELSE 0 END) AS BIGINT),
+         CAST(sum(rows_) AS BIGINT)
+  FROM zb
+)
+SELECT layout, n_blocks, blocks_scanned, rows_scanned, rows_total,
+       CAST((rows_scanned * 1000000) // rows_total AS BIGINT) AS scan_ppm
+FROM rep
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -8322,6 +8448,7 @@ QUERIES: dict[str, tuple] = {
         q_minhash_calibration, ORACLE_MINHASH_CALIBRATION
     ),
     "robots_wildcard": (q_robots_wildcard, ORACLE_ROBOTS_WILDCARD),
+    "zorder_pruning": (q_zorder_pruning, ORACLE_ZORDER_PRUNING),
 }
 
 
