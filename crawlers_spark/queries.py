@@ -8273,6 +8273,96 @@ FROM rep
 """
 
 
+def q_pii_scrub_census(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing census — the redaction gate every public-web
+    training corpus runs before release (emails/phones stripped or
+    masked; e.g. the C4/Dolma cleanup passes, public). Deterministic
+    PII is planted into the synthetic docs (an email on every 3rd doc,
+    a phone on every 5th) so the law is exercised, then detected FROM
+    THE TEXT with regexes restricted to the RE2∩Java-identical subset
+    (explicit character classes, counted repetition — no \\b, no \\s;
+    the engines' \\s and word-boundary semantics diverge, pinned in
+    test_lowercase_folding_boundary). Output per source: docs, docs
+    with each PII kind, total matches, and the masked-length delta in
+    bytes — what redaction will change. Shape: projection with two
+    regexp passes + one hash-agg; trivially map-side at 100 TB."""
+    d = load_table(spark, sf, "documents")
+    email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(" call +1-555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    body = F.concat(F.coalesce(F.col("text"), F.lit("")), email, phone)
+    epat = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+    ppat = "[+]1-555-[0-9]{4}"
+    t = d.select("source", body.alias("body")).select(
+        "source",
+        F.expr(f"regexp_count(body, '{epat}')").cast("long").alias("n_email"),
+        F.expr(f"regexp_count(body, '{ppat}')").cast("long").alias("n_phone"),
+        (
+            F.length("body")
+            - F.length(
+                F.regexp_replace(
+                    F.regexp_replace("body", epat, "<EMAIL>"), ppat, "<PHONE>"
+                )
+            )
+        ).cast("long").alias("len_delta"),
+    )
+    return t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_email") > 0, 1).otherwise(0)).cast("long")
+        .alias("docs_with_email"),
+        F.sum("n_email").cast("long").alias("total_emails"),
+        F.sum(F.when(F.col("n_phone") > 0, 1).otherwise(0)).cast("long")
+        .alias("docs_with_phone"),
+        F.sum("n_phone").cast("long").alias("total_phones"),
+        F.sum("len_delta").cast("long").alias("mask_len_delta"),
+    )
+
+
+ORACLE_PII_SCRUB_CENSUS = """
+WITH t AS (
+  SELECT source,
+         coalesce(text, '')
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                   ELSE '' END AS body
+  FROM documents
+),
+m AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(body, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+'))
+              AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(body, '[+]1-555-[0-9]{4}'))
+              AS BIGINT) AS n_phone,
+         CAST(length(body) - length(
+           regexp_replace(
+             regexp_replace(body, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+',
+                            '<EMAIL>', 'g'),
+             '[+]1-555-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS len_delta
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_email,
+       CAST(sum(n_email) AS BIGINT) AS total_emails,
+       CAST(sum(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_phone,
+       CAST(sum(n_phone) AS BIGINT) AS total_phones,
+       CAST(sum(len_delta) AS BIGINT) AS mask_len_delta
+FROM m GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -8449,6 +8539,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "robots_wildcard": (q_robots_wildcard, ORACLE_ROBOTS_WILDCARD),
     "zorder_pruning": (q_zorder_pruning, ORACLE_ZORDER_PRUNING),
+    "pii_scrub_census": (q_pii_scrub_census, ORACLE_PII_SCRUB_CENSUS),
 }
 
 
