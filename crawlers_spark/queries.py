@@ -8363,6 +8363,132 @@ FROM m GROUP BY 1
 """
 
 
+def q_dedup_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Staged dedup/quality funnel census — the before-you-train report
+    every corpus build publishes: how many documents each gate retires,
+    as ONE declarative plan (gates: exact dedup → pairwise near-dup →
+    length gate; the whole-cluster closure variant is dedup_clusters').
+    Corpus is the mutant set so near-dups exist. Exact keeps min doc_id
+    per text md5-lane; near-dup retires the HIGHER id of each verified
+    3-gram-Jaccard >= 0.5 pair among exact survivors (the integer
+    cross-multiplied form 2·|∩| >= |∪|, zero float compares); quality
+    keeps normalized length in [120, 20000]. Output: one row per stage
+    with n_in / n_retired / n_out (n_out chains to the next stage's
+    n_in — the monotone-funnel invariant). Shape: each stage is
+    hash-aggs + the banded/df-capped candidate join; the four scalar
+    counts cross-join into 3 rows via stack — nothing scans twice that
+    Catalyst can't reuse."""
+    from .operators.dedup import normalize_text, shingle_candidate_pairs
+
+    c = _docs_with_mutants(spark, sf).select(
+        "doc_id",
+        "text",
+        F.expr(
+            "cast(conv(substring(md5(coalesce(text, '')), 1, 15), 16, 10)"
+            " as bigint)"
+        ).alias("lane"),
+        F.length(normalize_text(F.col("text"))).alias("qlen"),
+    )
+    s1_ids = c.groupBy("lane").agg(F.min("doc_id").alias("doc_id"))
+    s1 = c.join(s1_ids.select("doc_id"), "doc_id")
+    # word_shingles emits (doc_id, shingle_hash) — xxhash64 lanes; the
+    # oracle intersects the STRING grams instead, and the set sizes
+    # agree (the same dedup_ngram_jaccard equivalence)
+    sh = word_shingles(s1, "text", "doc_id", k=3)
+    pairs = shingle_candidate_pairs(sh, "doc_id", df_cap=NGRAM_DF_CAP)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = sh.select(F.col("doc_id").alias("id_a"), "shingle_hash")
+    gb = sh.select(F.col("doc_id").alias("id_b"), "shingle_hash")
+    inter = (
+        pairs.join(ga, "id_a").join(gb, ["id_b", "shingle_hash"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("ni"))
+    )
+    verified = (
+        inter
+        .join(sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .filter("2 * ni >= n_a + n_b - ni")
+    )
+    retired2 = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    s2 = s1.join(retired2, "doc_id", "left_anti")
+    s3 = s2.filter((F.col("qlen") >= 120) & (F.col("qlen") <= 20000))
+    a = (
+        c.agg(F.count("*").cast("long").alias("n0"))
+        .crossJoin(s1.agg(F.count("*").cast("long").alias("n1")))
+        .crossJoin(s2.agg(F.count("*").cast("long").alias("n2")))
+        .crossJoin(s3.agg(F.count("*").cast("long").alias("n3")))
+    )
+    return a.selectExpr(
+        "stack(3,"
+        " 'exact',   n0, n0 - n1, n1,"
+        " 'neardup', n1, n1 - n2, n2,"
+        " 'quality', n2, n2 - n3, n3"
+        ") as (stage, n_in, n_retired, n_out)"
+    )
+
+
+ORACLE_DEDUP_FUNNEL = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+alldocs AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_MUTANT_OFFSET}, regexp_replace(text, ' \\w+$', '') FROM base
+),
+c AS (
+  SELECT doc_id, text,
+         ('0x' || substring(md5(coalesce(text, '')), 1, 15))::BIGINT AS lane,
+         length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS qlen
+  FROM alldocs
+),
+s1 AS (
+  SELECT c.* FROM c
+  JOIN (SELECT min(doc_id) AS doc_id FROM c GROUP BY lane) k USING (doc_id)
+),
+t AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM s1),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       FROM t WHERE len(w) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+cold AS (SELECT sh.doc_id, sh.s FROM sh
+         JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}) f
+           USING (s)),
+cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id),
+inter AS (SELECT cd.id_a, cd.id_b, count(*) AS ni
+          FROM cands cd
+          JOIN sh a ON a.doc_id = cd.id_a
+          JOIN sh b ON b.doc_id = cd.id_b AND b.s = a.s
+          GROUP BY 1, 2),
+retired2 AS (
+  SELECT DISTINCT i.id_b AS doc_id
+  FROM inter i
+  JOIN sz za ON za.doc_id = i.id_a
+  JOIN sz zb ON zb.doc_id = i.id_b
+  WHERE 2 * i.ni >= za.n + zb.n - i.ni
+),
+s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM retired2)),
+s3 AS (SELECT * FROM s2 WHERE qlen >= 120 AND qlen <= 20000),
+counts AS (
+  SELECT (SELECT count(*) FROM c) AS n0,
+         (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2,
+         (SELECT count(*) FROM s3) AS n3
+)
+SELECT 'exact' AS stage, CAST(n0 AS BIGINT) AS n_in,
+       CAST(n0 - n1 AS BIGINT) AS n_retired, CAST(n1 AS BIGINT) AS n_out
+FROM counts
+UNION ALL
+SELECT 'neardup', CAST(n1 AS BIGINT), CAST(n1 - n2 AS BIGINT),
+       CAST(n2 AS BIGINT) FROM counts
+UNION ALL
+SELECT 'quality', CAST(n2 AS BIGINT), CAST(n2 - n3 AS BIGINT),
+       CAST(n3 AS BIGINT) FROM counts
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -8540,6 +8666,7 @@ QUERIES: dict[str, tuple] = {
     "robots_wildcard": (q_robots_wildcard, ORACLE_ROBOTS_WILDCARD),
     "zorder_pruning": (q_zorder_pruning, ORACLE_ZORDER_PRUNING),
     "pii_scrub_census": (q_pii_scrub_census, ORACLE_PII_SCRUB_CENSUS),
+    "dedup_funnel": (q_dedup_funnel, ORACLE_DEDUP_FUNNEL),
 }
 
 
