@@ -8489,6 +8489,201 @@ SELECT 'quality', CAST(n2 AS BIGINT), CAST(n2 - n3 AS BIGINT),
 """
 
 
+def q_c4_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 cleaning-rules census (Raffel et al. 2020 §2.2, public) — the
+    line/document heuristics the original C4 build applied to Common
+    Crawl, reported as a per-source funnel the way a corpus build
+    publishes them. The synthetic corpus has no punctuation or
+    boilerplate, so each rule's trigger is PLANTED deterministically
+    (the pii_scrub_census convention): a terminal '.' on doc_id%2==0
+    (so ~half FAIL the terminal-punctuation rule), a '{' code marker on
+    %7==0, 'lorem ipsum' on %11==0, and a 'javascript' notice on
+    %13==0. Rules: (1) keep only docs whose text ends in terminal
+    punctuation [.!?"], (2) drop any doc containing '{', (3) drop
+    'lorem ipsum', (4) drop docs mentioning 'javascript', (5) keep only
+    docs with >= 5 words. Output per source: n_docs, one failure count
+    per rule, and n_admitted (passes ALL rules — rules compose as AND,
+    so the census is a conjunction audit, not a funnel order claim).
+    Shape: one projection (string predicates, all JVM) + one hash-agg;
+    trivially map-side-combinable at 100 TB."""
+    d = load_table(spark, sf, "documents")
+    body = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" {code}")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" lorem ipsum dolor"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit(" enable javascript to view")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    t = d.select(
+        "source",
+        body.alias("b"),
+        F.size(F.split(F.trim(body), r"\s+")).alias("n_words"),
+    ).select(
+        "source",
+        (~F.substring(F.col("b"), -1, 1).isin(".", "!", "?", '"'))
+        .cast("int").alias("f_punct"),
+        F.col("b").contains("{").cast("int").alias("f_brace"),
+        F.col("b").contains("lorem ipsum").cast("int").alias("f_lorem"),
+        F.col("b").contains("javascript").cast("int").alias("f_js"),
+        (F.col("n_words") < 5).cast("int").alias("f_short"),
+    )
+    return t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("f_punct").cast("long").alias("fail_punct"),
+        F.sum("f_brace").cast("long").alias("fail_brace"),
+        F.sum("f_lorem").cast("long").alias("fail_lorem"),
+        F.sum("f_js").cast("long").alias("fail_js"),
+        F.sum("f_short").cast("long").alias("fail_short"),
+        F.sum(
+            F.when(
+                (F.col("f_punct") + F.col("f_brace") + F.col("f_lorem")
+                 + F.col("f_js") + F.col("f_short")) == 0, 1
+            ).otherwise(0)
+        ).cast("long").alias("n_admitted"),
+    )
+
+
+ORACLE_C4_RULES = """
+WITH t AS (
+  SELECT source,
+         coalesce(text, '')
+           || CASE WHEN doc_id % 7 = 0 THEN ' {code}' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum dolor' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN ' enable javascript to view'
+                   ELSE '' END
+           || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END AS b
+  FROM documents
+),
+f AS (
+  SELECT source,
+         CASE WHEN right(b, 1) IN ('.', '!', '?', '"') THEN 0 ELSE 1 END
+           AS f_punct,
+         CASE WHEN contains(b, '{') THEN 1 ELSE 0 END AS f_brace,
+         CASE WHEN contains(b, 'lorem ipsum') THEN 1 ELSE 0 END AS f_lorem,
+         CASE WHEN contains(b, 'javascript') THEN 1 ELSE 0 END AS f_js,
+         CASE WHEN len(string_split_regex(trim(b), '\\s+')) < 5 THEN 1 ELSE 0
+           END AS f_short
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f_punct) AS BIGINT) AS fail_punct,
+       CAST(sum(f_brace) AS BIGINT) AS fail_brace,
+       CAST(sum(f_lorem) AS BIGINT) AS fail_lorem,
+       CAST(sum(f_js) AS BIGINT) AS fail_js,
+       CAST(sum(f_short) AS BIGINT) AS fail_short,
+       CAST(sum(CASE WHEN f_punct + f_brace + f_lorem + f_js + f_short = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+FROM f GROUP BY 1
+"""
+
+
+def q_script_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode-script detection census — the writing-system argmax that
+    sits UNDER language-ID in multilingual pipelines (fastText-style
+    stacks detect script first; script is also the router for
+    script-specific tokenizers). The ASCII synthetic corpus gets
+    deterministic script plantings (doc_id%4: 1 -> CJK, 2 -> Cyrillic,
+    3 -> Arabic, 0 -> Latin only); detection then counts characters per
+    script from the TEXT with literal BMP codepoint-range classes
+    ([一-鿿], [А-я], [ء-ي], [a-zA-Z]) — ranges of literal chars compare
+    identically in Java regex and RE2 (the engines' \\p{Script=} names
+    differ; literal ranges are the portable subset). Dominant script =
+    count argmax with the fixed preference order latin > cjk > cyrillic
+    > arabic (lang_id's tie convention), 'none' when no class hits.
+    Output: (source, script) doc counts + per-script char totals.
+    Shape: projection + one hash-agg — map-side at 100 TB."""
+    d = load_table(spark, sf, "documents")
+    body = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 4 == 1, F.lit(" 中文网页内容"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 2, F.lit(" русский текст"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 3, F.lit(" نص عربي"))
+        .otherwise(F.lit("")),
+    )
+    cnt = {
+        "latin": F.expr("regexp_count(b, '[a-zA-Z]')").cast("long"),
+        "cjk": F.expr("regexp_count(b, '[一-鿿]')").cast("long"),
+        "cyr": F.expr("regexp_count(b, '[А-я]')").cast("long"),
+        "arab": F.expr("regexp_count(b, '[ء-ي]')").cast("long"),
+    }
+    t = d.select("source", body.alias("b")).select(
+        "source",
+        cnt["latin"].alias("c_latin"),
+        cnt["cjk"].alias("c_cjk"),
+        cnt["cyr"].alias("c_cyr"),
+        cnt["arab"].alias("c_arab"),
+    )
+    script = (
+        F.when(
+            (F.col("c_latin") == 0) & (F.col("c_cjk") == 0)
+            & (F.col("c_cyr") == 0) & (F.col("c_arab") == 0), "none"
+        )
+        .when(
+            (F.col("c_latin") >= F.col("c_cjk"))
+            & (F.col("c_latin") >= F.col("c_cyr"))
+            & (F.col("c_latin") >= F.col("c_arab")), "latin"
+        )
+        .when(
+            (F.col("c_cjk") >= F.col("c_cyr"))
+            & (F.col("c_cjk") >= F.col("c_arab")), "cjk"
+        )
+        .when(F.col("c_cyr") >= F.col("c_arab"), "cyrillic")
+        .otherwise("arabic")
+    )
+    return t.groupBy("source", script.alias("script")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("c_latin").cast("long").alias("latin_chars"),
+        F.sum("c_cjk").cast("long").alias("cjk_chars"),
+        F.sum("c_cyr").cast("long").alias("cyr_chars"),
+        F.sum("c_arab").cast("long").alias("arab_chars"),
+    )
+
+
+ORACLE_SCRIPT_DETECT = """
+WITH t AS (
+  SELECT source,
+         coalesce(text, '')
+           || CASE WHEN doc_id % 4 = 1 THEN ' 中文网页内容' ELSE '' END
+           || CASE WHEN doc_id % 4 = 2 THEN ' русский текст' ELSE '' END
+           || CASE WHEN doc_id % 4 = 3 THEN ' نص عربي' ELSE '' END AS b
+  FROM documents
+),
+c AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(b, '[a-zA-Z]')) AS BIGINT) AS c_latin,
+         CAST(len(regexp_extract_all(b, '[一-鿿]')) AS BIGINT) AS c_cjk,
+         CAST(len(regexp_extract_all(b, '[А-я]')) AS BIGINT) AS c_cyr,
+         CAST(len(regexp_extract_all(b, '[ء-ي]')) AS BIGINT) AS c_arab
+  FROM t
+),
+s AS (
+  SELECT *,
+         CASE
+           WHEN c_latin = 0 AND c_cjk = 0 AND c_cyr = 0 AND c_arab = 0
+             THEN 'none'
+           WHEN c_latin >= c_cjk AND c_latin >= c_cyr AND c_latin >= c_arab
+             THEN 'latin'
+           WHEN c_cjk >= c_cyr AND c_cjk >= c_arab THEN 'cjk'
+           WHEN c_cyr >= c_arab THEN 'cyrillic'
+           ELSE 'arabic'
+         END AS script
+  FROM c
+)
+SELECT source, script,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c_latin) AS BIGINT) AS latin_chars,
+       CAST(sum(c_cjk) AS BIGINT) AS cjk_chars,
+       CAST(sum(c_cyr) AS BIGINT) AS cyr_chars,
+       CAST(sum(c_arab) AS BIGINT) AS arab_chars
+FROM s GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -8667,6 +8862,8 @@ QUERIES: dict[str, tuple] = {
     "zorder_pruning": (q_zorder_pruning, ORACLE_ZORDER_PRUNING),
     "pii_scrub_census": (q_pii_scrub_census, ORACLE_PII_SCRUB_CENSUS),
     "dedup_funnel": (q_dedup_funnel, ORACLE_DEDUP_FUNNEL),
+    "c4_rules": (q_c4_rules, ORACLE_C4_RULES),
+    "script_detect": (q_script_detect, ORACLE_SCRIPT_DETECT),
 }
 
 
