@@ -311,3 +311,128 @@ def label_propagation(
             .select("node", "lbl")
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def trustrank_int(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration TrustRank in exact int64 fixed-point (Gyöngyi,
+    Garcia-Molina & Pedersen, "Combating web spam with TrustRank",
+    VLDB 2004, public) — personalized PageRank whose teleport mass goes
+    ONLY to a vetted seed whitelist, so trust decays with link distance
+    from the seeds and link-farm islands (unreachable from any seed)
+    score exactly the teleport floor: zero. This is the crawl-side spam
+    demotion signal a frontier scheduler mixes into its priority (the
+    complement of link_reciprocity's local heuristic; reference ranks
+    purely by collection order).
+
+    Same integer conventions as pagerank_int (teleport DIV'd over the
+    SEED count, contribution = rank DIV out_degree, damping 85/100 in
+    integer form), so the result is bit-identical at any parallelism
+    and in any engine flooring positive integer division. Directed
+    edges; nodes = union of endpoints; dangling nodes simply leak mass
+    (fixed iterations make that an exact, stated law, not drift).
+    Each iteration: one join of ranks onto edges by source + one
+    hash-agg by destination — the standard distributed shape; only the
+    node count is driver-resident.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(src).agg(F.count("*").alias("__od"))
+    sd = nodes.join(seeds.select(F.col("node")), "node")
+    ns = max(sd.count(), 1)  # empty-graph / no-seed guard (result empty anyway)
+    teleport = (15 * scale) // (100 * ns)
+    ranks = nodes.join(sd.select("node", F.lit(1).alias("__s")), "node", "left").select(
+        "node",
+        F.when(F.col("__s").isNotNull(), F.lit(scale // ns).cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("rank"),
+        F.coalesce(F.col("__s"), F.lit(0)).alias("__seed"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, src)
+            .join(ranks.select("node", "rank"), F.col(src) == F.col("node"))
+            .select(F.col(dst).alias("__to"), F.expr("rank DIV __od").alias("__c"))
+            .groupBy("__to")
+            .agg(F.sum("__c").alias("__sum"))
+        )
+        ranks = (
+            ranks.select("node", "__seed")
+            .join(contrib, F.col("node") == F.col("__to"), "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("__seed") == 1, F.lit(teleport)).otherwise(F.lit(0))
+                    + F.expr("(85 * coalesce(__sum, cast(0 as bigint))) DIV 100")
+                ).cast("long").alias("rank"),
+                "__seed",
+            )
+        )
+    return ranks.select("node", "rank", F.col("__seed").alias("is_seed"))
+
+
+def opic_int(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round OPIC — On-line Page Importance Computation (Abiteboul,
+    Preda & Cobena, WWW 2003, public): the crawl-priority estimator that
+    needs NO stored link matrix. Every page holds CASH; each round a
+    page distributes its cash equally over its out-links and banks what
+    it held into its HISTORY; importance ≈ history + cash. Crawlers use
+    it because the frontier can update priorities incrementally as pages
+    are fetched — this is the batch (synchronous-rounds) statement of
+    that law, in exact int64 fixed-point so it is bit-identical at any
+    parallelism and cross-engine checkable.
+
+    Integer form: cash0 = scale DIV n for every node, history0 = 0;
+    round: history += cash; cash'(v) = Σ_{u→v} cash(u) DIV od(u).
+    Dangling nodes bank their cash but distribute none (the paper routes
+    it to a virtual node; the fixed-round integer law states evaporation
+    explicitly). Each round is one join + one hash-agg, node count only
+    on the driver.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(src).agg(F.count("*").alias("__od"))
+    n = max(nodes.count(), 1)
+    state = nodes.select(
+        "node",
+        F.lit(scale // n).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("history"),
+    )
+    for _ in range(iters):
+        dist = (
+            edges.join(deg, src)
+            .join(state.select("node", "cash"), F.col(src) == F.col("node"))
+            .select(F.col(dst).alias("__to"), F.expr("cash DIV __od").alias("__c"))
+            .groupBy("__to")
+            .agg(F.sum("__c").alias("__sum"))
+        )
+        state = (
+            state.select("node", (F.col("history") + F.col("cash")).alias("history"))
+            .join(dist, F.col("node") == F.col("__to"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__sum"), F.lit(0)).cast("long").alias("cash"),
+                "history",
+            )
+        )
+    return state.select(
+        "node", "cash", "history",
+        (F.col("cash") + F.col("history")).cast("long").alias("importance"),
+    )

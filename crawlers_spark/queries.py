@@ -8684,6 +8684,139 @@ FROM s GROUP BY 1, 2
 """
 
 
+def _trade_digraph(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed customer→supplier trade edges (distinct pairs; node ids
+    2c / 2s+1 keep the key spaces disjoint — the pagerank convention,
+    but DIRECTED: suppliers are pure sinks)."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_trustrank(spark: SparkSession, sf: str) -> DataFrame:
+    """TrustRank over the directed customer→supplier trade graph
+    (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004, public) — the
+    seed-whitelist spam-demotion signal a frontier scheduler mixes into
+    crawl priority: teleport mass goes ONLY to vetted seeds (here nodes
+    with node%20==0, i.e. every 10th customer), so trust decays with
+    link distance and anything unreachable from a seed scores exactly
+    zero. 3 iterations of exact int64 fixed-point personalized PR
+    (operators/graph.py trustrank_int — pagerank_int's integer
+    conventions with a seed-restricted teleport), so an iterative
+    graph algorithm gets a full value-hash oracle (unrolled WITH
+    chain). Top 20 by trust, node tiebreak."""
+    from .operators.graph import trustrank_int
+
+    edges = _trade_digraph(spark, sf)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 20 == 0)
+    )
+    tr = trustrank_int(edges, seeds, iters=3)
+    return (
+        tr.select(
+            "node",
+            F.col("rank").cast("long").alias("trust"),
+            F.col("is_seed").cast("long").alias("is_seed"),
+        )
+        .orderBy(F.desc("trust"), "node")
+        .limit(20)
+    )
+
+
+def _trustrank_oracle(iters: int = 3, scale: int = 10**12) -> str:
+    """Unrolled fixed-iteration TrustRank WITH chain (the _pagerank_oracle
+    trick: iteration bodies generated from one loop, byte-identical)."""
+    sql = f"""WITH pairs AS (
+  SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS (SELECT c AS src, s AS dst FROM pairs
+), nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+), deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1
+), ns AS (SELECT greatest(count(*), 1) AS k FROM nodes WHERE node % 20 = 0
+), r0 AS (
+  SELECT node,
+         CASE WHEN node % 20 = 0 THEN {scale} // (SELECT k FROM ns)
+              ELSE 0 END AS rank
+  FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""", c{i} AS (
+  SELECT e.dst AS node, sum(r.rank // d.od) AS s
+  FROM e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1
+), r{i} AS (
+  SELECT n.node,
+         CASE WHEN n.node % 20 = 0
+              THEN (15 * {scale}) // (100 * (SELECT k FROM ns)) ELSE 0 END
+           + (85 * coalesce(c{i}.s, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node)"""
+    sql += f"""
+SELECT node, CAST(rank AS BIGINT) AS trust,
+       CAST(CASE WHEN node % 20 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+FROM r{iters} ORDER BY trust DESC, node LIMIT 20"""
+    return sql
+
+
+ORACLE_TRUSTRANK = _trustrank_oracle()
+
+
+def q_opic_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """OPIC crawl priority over the directed trade graph (Abiteboul,
+    Preda & Cobena, "Adaptive on-line page importance computation",
+    WWW 2003, public) — the importance estimator built FOR frontier
+    scheduling: pages hold cash, distribute it over out-links as they
+    are fetched, and bank it into a history; priority ≈ history + cash,
+    no stored link matrix needed. 3 synchronous rounds in exact int64
+    fixed-point (operators/graph.py opic_int; dangling sinks bank but
+    never distribute — stated evaporation, not drift), value-hash
+    checkable via an unrolled WITH chain. Top 20 by importance."""
+    from .operators.graph import opic_int
+
+    st = opic_int(_trade_digraph(spark, sf), iters=3)
+    return (
+        st.select("node", "cash", "history", "importance")
+        .orderBy(F.desc("importance"), "node")
+        .limit(20)
+    )
+
+
+def _opic_oracle(iters: int = 3, scale: int = 10**12) -> str:
+    sql = f"""WITH pairs AS (
+  SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS (SELECT c AS src, s AS dst FROM pairs
+), nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+), deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1
+), nn AS (SELECT greatest(count(*), 1) AS n FROM nodes
+), s0 AS (
+  SELECT node, {scale} // (SELECT n FROM nn) AS cash, 0 AS history
+  FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""", d{i} AS (
+  SELECT e.dst AS node, sum(s.cash // d.od) AS c
+  FROM e JOIN s{i - 1} s ON e.src = s.node JOIN deg d ON e.src = d.src GROUP BY 1
+), s{i} AS (
+  SELECT n.node, coalesce(d{i}.c, 0) AS cash, s.history + s.cash AS history
+  FROM nodes n JOIN s{i - 1} s ON n.node = s.node
+  LEFT JOIN d{i} ON n.node = d{i}.node)"""
+    sql += f"""
+SELECT node, CAST(cash AS BIGINT) AS cash, CAST(history AS BIGINT) AS history,
+       CAST(cash + history AS BIGINT) AS importance
+FROM s{iters} ORDER BY importance DESC, node LIMIT 20"""
+    return sql
+
+
+ORACLE_OPIC_PRIORITY = _opic_oracle()
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -8864,6 +8997,8 @@ QUERIES: dict[str, tuple] = {
     "dedup_funnel": (q_dedup_funnel, ORACLE_DEDUP_FUNNEL),
     "c4_rules": (q_c4_rules, ORACLE_C4_RULES),
     "script_detect": (q_script_detect, ORACLE_SCRIPT_DETECT),
+    "trustrank": (q_trustrank, ORACLE_TRUSTRANK),
+    "opic_priority": (q_opic_priority, ORACLE_OPIC_PRIORITY),
 }
 
 
