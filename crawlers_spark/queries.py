@@ -8817,6 +8817,496 @@ FROM s{iters} ORDER BY importance DESC, node LIMIT 20"""
 ORACLE_OPIC_PRIORITY = _opic_oracle()
 
 
+def q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al., "CCNet:
+    Extracting high quality monolingual datasets from web crawl data",
+    2020, public): rank each language's documents by an LM-commonness
+    score and cut the ranking into head / middle / tail tertiles — the
+    bucketing CCNet publishes and downstream builds sample from (head =
+    most-fluent third). The LM stands in as an integer-exact lane: score
+    = Σ over word TOKENS of the word's corpus document frequency (high
+    = common-word text = low perplexity = head; the same df lane
+    doc_rarity uses in float form, kept integer so the ORDER — the only
+    thing a tertile needs — is bit-exact cross-engine). Docs with no
+    tokens score 0. ntile(3) over (score DESC, doc_id) per language is
+    the SQL-standard tertile in both engines. Output census: (lang,
+    bucket, n_docs, total chars, min/max score). Shape: one df hash-agg
+    + one token equi-join + one per-lang window — shuffles only on word
+    and lang; at 100 TB the window is the classic two-pass rank (or a
+    sampled quantile cut), never a single partition."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = docs.filter(F.length(norm) > 0).select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("word")
+    )
+    wdf = (
+        words.distinct().groupBy("word").agg(F.count("*").alias("wdf"))
+    )
+    score = (
+        words.join(wdf, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("wdf").cast("long").alias("score"))
+    )
+    scored = docs.join(score, "doc_id", "left").select(
+        "doc_id", "lang", "n_chars",
+        F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    b = scored.withColumn("t", F.ntile(3).over(w)).withColumn(
+        "bucket",
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail"),
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max("score").cast("long").alias("max_score"),
+    )
+
+
+ORACLE_CCNET_BUCKETS = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(string_split(txt, ' ')) AS word
+  FROM norm WHERE length(txt) > 0
+),
+wdf AS (
+  SELECT word, count(*) AS wdf
+  FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1
+),
+score AS (
+  SELECT doc_id, CAST(sum(wdf) AS BIGINT) AS score
+  FROM words JOIN wdf USING (word) GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         CAST(coalesce(s.score, 0) AS BIGINT) AS score
+  FROM documents d LEFT JOIN score s USING (doc_id)
+),
+b AS (
+  SELECT *,
+         CASE ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
+           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+  FROM scored
+)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_bpe_merge_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE first-iteration merge statistics (Sennrich, Haddow & Birch,
+    "Neural machine translation of rare words with subword units", ACL
+    2016, public) — the pair-counting step every BPE/WordPiece tokenizer
+    build runs over the training corpus: count adjacent SYMBOL pairs
+    (here: character bigrams inside words) weighted by word frequency;
+    the top pair is the first merge rule. Corpus-scale tokenizer
+    training is exactly this aggregation repeated, so the one-step law
+    is the scale shape that matters: word-frequency table (one hash-agg
+    over tokens), then per-word pair explosion bounded by word length,
+    then one weighted hash-agg — no shuffle carries raw text. Top 20
+    pairs by (weighted count DESC, pair ASC), with the distinct-word
+    support count alongside."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = docs.filter(F.length(norm) > 0).select(
+        F.explode(F.split(norm, " ")).alias("word")
+    )
+    wf = words.groupBy("word").agg(F.count("*").alias("wf"))
+    pairs = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            "wf",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wf").cast("long").alias("n_weighted"),
+            F.count("*").cast("long").alias("n_positions"),
+        )
+        .orderBy(F.desc("n_weighted"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+ORACLE_BPE_MERGE_RANKS = """
+WITH norm AS (
+  SELECT trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt FROM documents
+),
+words AS (
+  SELECT unnest(string_split(txt, ' ')) AS word FROM norm
+  WHERE length(txt) > 0
+),
+wf AS (SELECT word, count(*) AS wf FROM words GROUP BY 1),
+p AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, CAST(i AS INT), 2))) AS pair,
+         wf
+  FROM wf WHERE length(word) >= 2
+)
+SELECT pair,
+       CAST(sum(wf) AS BIGINT) AS n_weighted,
+       CAST(count(*) AS BIGINT) AS n_positions
+FROM p GROUP BY 1
+ORDER BY n_weighted DESC, pair ASC LIMIT 20
+"""
+
+
+def q_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping sliding-window document chunking — the RAG/retrieval
+    ingestion law (every embedding index is built over windows like
+    these; the retrieval-side sibling of pack_sequences' training-side
+    layout): windows of 32 word tokens at stride 16, the last window
+    truncated at the document end, so every token is covered and
+    interior tokens appear in exactly 2 windows. Chunk content is
+    verified, not just counted: each row carries an md5 prefix of the
+    materialized chunk text, so the oracle proves the SLICING (both
+    engines cut the same 1-based word spans). Shape: one projection
+    building the token array + one bounded explode (≤ n_words/16 + 1
+    rows per doc) — no shuffle at all until a downstream consumer;
+    window count per doc is O(len), never quadratic."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    t = docs.filter(F.length(norm) > 0).select(
+        "doc_id", F.split(norm, " ").alias("w")
+    ).select("doc_id", "w", F.size("w").alias("n"))
+    t = t.select(
+        "doc_id", "w", "n",
+        F.expr(
+            "CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 15) DIV 16 END"
+        ).alias("last_idx"),
+    )
+    c = t.select(
+        "doc_id", "w", "n",
+        F.explode(F.expr("sequence(0, last_idx)")).alias("ci"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("ci").cast("long").alias("chunk_id"),
+        (F.col("ci") * 16).cast("long").alias("start_word"),
+        F.least(F.lit(32), F.col("n") - F.col("ci") * 16)
+        .cast("long").alias("n_words"),
+        F.expr(
+            "substring(md5(array_join(slice(w, ci * 16 + 1, 32), ' ')), 1, 8)"
+        ).alias("chunk_sig"),
+    )
+
+
+ORACLE_DOC_CHUNKING = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+  WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+),
+n AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) <= 32 THEN 0 ELSE (len(w) - 32 + 15) // 16 END
+           AS last_idx
+  FROM t
+),
+c AS (
+  SELECT doc_id, w, n, unnest(range(0, last_idx + 1)) AS ci FROM n
+)
+SELECT doc_id,
+       CAST(ci AS BIGINT) AS chunk_id,
+       CAST(ci * 16 AS BIGINT) AS start_word,
+       CAST(least(32, n - ci * 16) AS BIGINT) AS n_words,
+       substring(md5(array_to_string(w[CAST(ci * 16 + 1 AS INT) :
+                                       CAST(ci * 16 + 32 AS INT)], ' ')),
+                 1, 8) AS chunk_sig
+FROM c
+"""
+
+
+def q_embedding_int8_quant(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 symmetric quantization audit for the embedding table — the
+    compression every billion-vector ANN index applies before sharding
+    (scale = max|x|/127 per vector, q = round(x/scale)), reported as
+    the per-label error census one runs BEFORE committing the index
+    format. Every number is IEEE-exact cross-engine: quantize =
+    floor(v*127/mx + 0.5) (one correctly-rounded mul/div/add/floor
+    chain — no ties-to-even ambiguity), reconstruction error is folded
+    to a per-VECTOR max (order-independent, unlike a float sum) and
+    fixed-pointed at 1e-9 before the max-per-label agg; saturation and
+    dead-zero counts are integers. Zero vectors (mx = 0) quantize to
+    all-zero with zero error by definition. Shape: one projection of
+    array lambdas (all JVM codegen) + one hash-agg — map-side at any
+    scale."""
+    e = load_table(spark, sf, "embeddings")
+    t = e.select(
+        "label",
+        F.expr(
+            "array_max(transform(embedding, x -> abs(cast(x as double))))"
+        ).alias("mx"),
+        F.col("embedding").alias("v"),
+    ).select(
+        "label",
+        F.expr("coalesce(size(v), 0)").cast("long").alias("n_dims"),
+        F.expr(
+            "CASE WHEN mx IS NULL OR mx = 0d THEN cast(0 as bigint) ELSE"
+            " cast(floor(array_max(transform(v, x ->"
+            "   abs(cast(x as double)"
+            "       - floor(cast(x as double) * 127d / mx + 0.5d)"
+            "         * mx / 127d))) * 1e9) as bigint) END"
+        ).alias("max_err_fp"),
+        F.expr(
+            "CASE WHEN mx IS NULL OR mx = 0d THEN coalesce(size(v), 0) ELSE"
+            " aggregate(v, 0,"
+            "  (a, x) -> a + IF(floor(cast(x as double) * 127d / mx + 0.5d)"
+            "                   = 0d, 1, 0)) END"
+        ).cast("long").alias("n_zero_q"),
+        F.expr(
+            "CASE WHEN mx IS NULL OR mx = 0d THEN cast(0 as bigint) ELSE"
+            " aggregate(v, cast(0 as bigint), (a, x) ->"
+            "  a + cast(floor(cast(x as double) * 127d / mx + 0.5d)"
+            "           as bigint)) END"
+        ).alias("sum_q"),
+    )
+    return t.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("n_dims").cast("long").alias("total_dims"),
+        F.max("max_err_fp").cast("long").alias("worst_err_fp"),
+        F.sum("n_zero_q").cast("long").alias("dead_zeros"),
+        F.sum("sum_q").cast("long").alias("sum_q"),
+    )
+
+
+ORACLE_EMBEDDING_INT8_QUANT = """
+WITH t AS (
+  SELECT label,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx,
+         embedding AS v
+  FROM embeddings
+),
+m AS (
+  SELECT label,
+         CAST(coalesce(len(v), 0) AS BIGINT) AS n_dims,
+         CASE WHEN mx IS NULL OR mx = 0 THEN CAST(0 AS BIGINT) ELSE
+           CAST(floor(list_max(list_transform(v, x ->
+             abs(x::DOUBLE - floor(x::DOUBLE * 127 / mx + 0.5) * mx / 127)))
+             * 1e9) AS BIGINT) END AS max_err_fp,
+         CASE WHEN mx IS NULL OR mx = 0 THEN CAST(coalesce(len(v), 0) AS BIGINT)
+           ELSE CAST(coalesce(list_sum(list_transform(v, x ->
+             CASE WHEN floor(x::DOUBLE * 127 / mx + 0.5) = 0 THEN 1 ELSE 0
+             END)), 0) AS BIGINT) END AS n_zero_q,
+         CASE WHEN mx IS NULL OR mx = 0 THEN CAST(0 AS BIGINT) ELSE
+           CAST(coalesce(list_sum(list_transform(v, x ->
+             CAST(floor(x::DOUBLE * 127 / mx + 0.5) AS BIGINT))), 0)
+             AS BIGINT) END AS sum_q
+  FROM t
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(n_dims) AS BIGINT) AS total_dims,
+       CAST(max(max_err_fp) AS BIGINT) AS worst_err_fp,
+       CAST(sum(n_zero_q) AS BIGINT) AS dead_zeros,
+       CAST(sum(sum_q) AS BIGINT) AS sum_q
+FROM m GROUP BY 1
+"""
+
+
+def q_href_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """RFC 3986 §5 relative-reference resolution — the law the link
+    extractor applies to EVERY href before the frontier ever sees it
+    (canon_urls_law checks canonicalization of an absolute URL; this
+    checks how a relative href BECOMES absolute against its base page).
+    Bases and hrefs are synthesized deterministically per doc covering
+    the five reference classes: absolute, protocol-relative (inherits
+    scheme only), root-relative (inherits authority), dotted relative
+    (merge with the base directory then remove_dot_segments), and
+    same-document fragment (resolves to the base; crawl identity drops
+    the fragment). Dot-segment removal is the same bounded-pass form
+    the production Arrow kernel uses (functions/urls.py canon_arr:
+    fixed '/./' and '/seg/../' regex passes — 4 passes bound any
+    planted depth here; both engines run the identical regex). Output
+    is one row per doc (kind, base, resolved) so the value hash proves
+    byte-equality of the resolved URLs. Shape: pure projection —
+    zero-shuffle, trivially scale-safe."""
+    d = load_table(spark, sf, "documents")
+    t = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".test/a/b/c/page"),
+        ).alias("base"),
+        (F.col("doc_id") % 5).alias("k"),
+    ).select(
+        "doc_id", "base",
+        F.element_at(
+            F.array(
+                F.lit("http://other.test/x/y"),
+                F.lit("//cdn.test/img/logo.png"),
+                F.lit("/root/section/item"),
+                F.lit("../.././up/./two"),
+                F.lit("#frag"),
+            ),
+            (F.col("k") + 1).cast("int"),
+        ).alias("href"),
+        F.element_at(
+            F.array(
+                F.lit("absolute"), F.lit("protocol_relative"),
+                F.lit("root_relative"), F.lit("relative"),
+                F.lit("fragment"),
+            ),
+            (F.col("k") + 1).cast("int"),
+        ).alias("kind"),
+    )
+    merged = F.expr(
+        "CASE"
+        " WHEN href LIKE 'http://%' THEN href"
+        " WHEN href LIKE '//%' THEN 'http:' || href"
+        " WHEN href LIKE '/%' THEN regexp_extract(base,"
+        "   '^(http://[^/]+)', 1) || href"
+        " WHEN href LIKE '#%' THEN base"
+        " ELSE regexp_replace(base, '[^/]*$', '') || href"
+        " END"
+    )
+    r = t.select("doc_id", "kind", "base", merged.alias("u"))
+    u = F.col("u")
+    for _ in range(4):  # bounded remove_dot_segments (kernel convention)
+        u = F.regexp_replace(
+            F.regexp_replace(u, F.lit("/\\./"), F.lit("/")),
+            F.lit("/[^/.][^/]*/\\.\\./|/\\.\\./"), F.lit("/"),
+        )
+    return r.select("doc_id", "kind", "base", u.alias("resolved"))
+
+
+def _href_oracle() -> str:
+    u = "u"
+    for _ in range(4):
+        u = (
+            f"regexp_replace(regexp_replace({u}, '/\\./', '/', 'g'),"
+            f" '/[^/.][^/]*/\\.\\./|/\\.\\./', '/', 'g')"
+        )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         'http://h' || (doc_id % 7)::VARCHAR || '.test/a/b/c/page' AS base,
+         doc_id % 5 AS k
+  FROM documents
+),
+h AS (
+  SELECT doc_id, base,
+         (['http://other.test/x/y', '//cdn.test/img/logo.png',
+           '/root/section/item', '../.././up/./two', '#frag'])[k + 1] AS href,
+         (['absolute', 'protocol_relative', 'root_relative', 'relative',
+           'fragment'])[k + 1] AS kind
+  FROM t
+),
+m AS (
+  SELECT doc_id, kind, base,
+         CASE
+           WHEN href LIKE 'http://%' THEN href
+           WHEN href LIKE '//%' THEN 'http:' || href
+           WHEN href LIKE '/%' THEN regexp_extract(base,
+             '^(http://[^/]+)', 1) || href
+           WHEN href LIKE '#%' THEN base
+           ELSE regexp_replace(base, '[^/]*$', '') || href
+         END AS u
+  FROM h
+)
+SELECT doc_id, kind, base, {u} AS resolved FROM m
+"""
+
+
+ORACLE_HREF_RESOLVE = _href_oracle()
+
+
+def q_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Term-blocklist filtering census — the UT1/C4-badwords-style gate
+    every public-web corpus runs (a curated term list retires documents
+    wholesale; Raffel et al. 2020 use the public 'List of Dirty Naughty
+    Obscene...' list — here a 3-term stand-in over the synthetic vocab).
+    The blocklist is a TABLE (broadcast dim), not inlined predicates —
+    the shape that matters at scale: corpus × terms is a broadcast
+    nested-loop over a tiny side, occurrences counted by literal
+    substring arithmetic ((len - len(replace))/len(term)) on a
+    space-padded body so terms match word-wise — no regex, so no
+    engine-specific regex semantics at all. Output per (source, term):
+    docs hit, total occurrences; plus the per-source blocked-doc count
+    a release report quotes (docs hit by ANY term, via a distinct-doc
+    agg that never carries text through the shuffle)."""
+    d = load_table(spark, sf, "documents")
+    terms = spark.createDataFrame(
+        [("slow", "quality"), ("dup", "dedup-marker"), ("drop", "schema-noise")],
+        "term string, category string",
+    )
+    body = F.concat(F.lit(" "), F.coalesce(F.col("text"), F.lit("")), F.lit(" "))
+    j = d.select("doc_id", "source", body.alias("b")).crossJoin(
+        F.broadcast(terms)
+    ).select(
+        "doc_id", "source", "term", "category",
+        F.expr(
+            "CAST((length(b) - length(replace(b, ' ' || term || ' ', '  ')))"
+            " DIV length(term) AS BIGINT)"
+        ).alias("n_occ"),
+    )
+    per_term = j.groupBy("source", "term", "category").agg(
+        F.sum(F.when(F.col("n_occ") > 0, 1).otherwise(0)).cast("long")
+        .alias("docs_hit"),
+        F.sum("n_occ").cast("long").alias("total_occ"),
+    )
+    blocked = (
+        j.filter(F.col("n_occ") > 0)
+        .select("source", "doc_id").distinct()
+        .groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    )
+    return per_term.join(blocked, "source", "left").select(
+        "source", "term", "category", "docs_hit", "total_occ",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("blocked_docs"),
+    )
+
+
+ORACLE_BLOCKLIST_FILTER = """
+WITH terms(term, category) AS (
+  VALUES ('slow', 'quality'), ('dup', 'dedup-marker'),
+         ('drop', 'schema-noise')
+),
+j AS (
+  SELECT d.doc_id, d.source, t.term, t.category,
+         CAST((length(b) - length(replace(b, ' ' || t.term || ' ', '  ')))
+              // length(t.term) AS BIGINT) AS n_occ
+  FROM (SELECT doc_id, source,
+               ' ' || coalesce(text, '') || ' ' AS b FROM documents) d
+  CROSS JOIN terms t
+),
+per_term AS (
+  SELECT source, term, category,
+         CAST(sum(CASE WHEN n_occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_hit,
+         CAST(sum(n_occ) AS BIGINT) AS total_occ
+  FROM j GROUP BY 1, 2, 3
+),
+blocked AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT DISTINCT source, doc_id FROM j WHERE n_occ > 0)
+  GROUP BY 1
+)
+SELECT p.source, p.term, p.category, p.docs_hit, p.total_occ,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS blocked_docs
+FROM per_term p LEFT JOIN blocked b USING (source)
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -8999,6 +9489,14 @@ QUERIES: dict[str, tuple] = {
     "script_detect": (q_script_detect, ORACLE_SCRIPT_DETECT),
     "trustrank": (q_trustrank, ORACLE_TRUSTRANK),
     "opic_priority": (q_opic_priority, ORACLE_OPIC_PRIORITY),
+    "ccnet_buckets": (q_ccnet_buckets, ORACLE_CCNET_BUCKETS),
+    "bpe_merge_ranks": (q_bpe_merge_ranks, ORACLE_BPE_MERGE_RANKS),
+    "doc_chunking": (q_doc_chunking, ORACLE_DOC_CHUNKING),
+    "embedding_int8_quant": (
+        q_embedding_int8_quant, ORACLE_EMBEDDING_INT8_QUANT
+    ),
+    "href_resolve": (q_href_resolve, ORACLE_HREF_RESOLVE),
+    "blocklist_filter": (q_blocklist_filter, ORACLE_BLOCKLIST_FILTER),
 }
 
 
