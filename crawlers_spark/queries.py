@@ -9307,6 +9307,477 @@ FROM per_term p LEFT JOIN blocked b USING (source)
 """
 
 
+def q_url_param_census(spark: SparkSession, sf: str) -> DataFrame:
+    """URL query-parameter strip-safety mining — the rule-learning pass
+    behind every crawler's "strip utm_*/session params" canonicalization
+    list (DUST family, Bar-Yossef et al. WWW 2007; Google's URL
+    Parameters tool is the operational twin, both public). Deterministic
+    URL synthesis per doc: host h{doc_id%7}.test, path /p/{doc_id%50},
+    params id={doc_id} (content key), ref={doc_id%4} (tracking), and
+    sess={mixed hash} on even doc_ids (session noise). The LAW: a param
+    is STRIP-SAFE iff grouping URLs by (host, path, remaining params)
+    after removing it never merges two DIFFERENT content keys — so
+    stripping sess/ref is provably safe (id still separates docs) while
+    stripping id merges colliding docs and is flagged unsafe. The param
+    dimension is DISCOVERED from the exploded kv pairs (not hardcoded),
+    each strip test is one lambda-filtered array rebuild + hash-agg —
+    at 100 TB this is |params| passes over (host, path, kv-array) rows,
+    each a plain shuffle-on-key agg, never all-pairs."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.concat(
+            F.lit("/p/"), (F.col("doc_id") % 50).cast("string")
+        ).alias("path"),
+        F.array_sort(
+            F.concat(
+                F.array(
+                    F.concat(F.lit("id="), F.col("doc_id").cast("string")),
+                    F.concat(
+                        F.lit("ref="), (F.col("doc_id") % 4).cast("string")
+                    ),
+                ),
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.array(F.concat(
+                        F.lit("sess="),
+                        ((F.col("doc_id") * 2654435761) % 1000000)
+                        .cast("string"),
+                    )),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("kvs"),
+    )
+    params = (
+        d.select(F.explode("kvs").alias("kv"))
+        .select(F.split_part(F.col("kv"), F.lit("="), F.lit(1)).alias("param"))
+        .groupBy("param")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )
+    vals = (
+        d.select("host", F.explode("kvs").alias("kv"))
+        .select(
+            F.split_part(F.col("kv"), F.lit("="), F.lit(1)).alias("param"),
+            F.split_part(F.col("kv"), F.lit("="), F.lit(2)).alias("val"),
+            "host",
+        )
+        .groupBy("param")
+        .agg(
+            F.countDistinct("val").cast("long").alias("n_distinct_values"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+    )
+    stripped = d.join(F.broadcast(params.select("param")), how="cross").select(
+        "param", "host", "path", "doc_id",
+        F.array_join(
+            F.filter(
+                "kvs",
+                lambda kv: F.split_part(kv, F.lit("="), F.lit(1))
+                != F.col("param"),
+            ),
+            "&",
+        ).alias("rest"),
+    )
+    merges = (
+        stripped.groupBy("param", "host", "path", "rest")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .groupBy("param")
+        .agg(
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long")
+            .alias("merged_groups")
+        )
+    )
+    return (
+        params.join(vals, "param").join(merges, "param")
+        .select(
+            "param", "n_urls", "n_distinct_values", "n_hosts",
+            "merged_groups",
+            (F.col("merged_groups") == 0).alias("strip_safe"),
+        )
+    )
+
+
+ORACLE_URL_PARAM_CENSUS = """
+WITH d AS (
+  SELECT doc_id,
+         'h' || (doc_id % 7)::VARCHAR || '.test' AS host,
+         '/p/' || (doc_id % 50)::VARCHAR AS path,
+         list_sort(
+           ['id=' || doc_id::VARCHAR, 'ref=' || (doc_id % 4)::VARCHAR]
+           || CASE WHEN doc_id % 2 = 0
+                THEN ['sess=' || ((doc_id * 2654435761) % 1000000)::VARCHAR]
+                ELSE [] END
+         ) AS kvs
+  FROM documents
+),
+kv AS (SELECT doc_id, host, unnest(kvs) AS kv FROM d),
+params AS (
+  SELECT split_part(kv, '=', 1) AS param, CAST(count(*) AS BIGINT) AS n_urls
+  FROM kv GROUP BY 1
+),
+vals AS (
+  SELECT split_part(kv, '=', 1) AS param,
+         CAST(count(DISTINCT split_part(kv, '=', 2)) AS BIGINT)
+           AS n_distinct_values,
+         CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+  FROM kv GROUP BY 1
+),
+stripped AS (
+  SELECT p.param, d.host, d.path, d.doc_id,
+         array_to_string(
+           list_filter(d.kvs, x -> split_part(x, '=', 1) <> p.param), '&'
+         ) AS rest
+  FROM d CROSS JOIN (SELECT param FROM params) p
+),
+merges AS (
+  SELECT param,
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS merged_groups
+  FROM (
+    SELECT param, host, path, rest, count(DISTINCT doc_id) AS nd
+    FROM stripped GROUP BY 1, 2, 3, 4
+  ) GROUP BY 1
+)
+SELECT p.param, p.n_urls, v.n_distinct_values, v.n_hosts,
+       m.merged_groups, m.merged_groups = 0 AS strip_safe
+FROM params p JOIN vals v USING (param) JOIN merges m USING (param)
+"""
+
+
+def q_dust_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """DUST rewrite-rule mining (Bar-Yossef, Keidar & Schonfeld, "Do not
+    crawl in the DUST: different URLs with similar text", WWW 2007,
+    public) — learn URL substitution rules from observed content-
+    duplicate pairs, so the canonicalizer collapses aliases BEFORE
+    fetching. Deterministic alias synthesis per doc: canonical
+    http://h{doc_id%7}.test/art/{doc_id} plus one alias by doc_id%3
+    (www. host prefix | ?print=1 query | /amp path prefix). Mining sees
+    only the (url_a, url_b) pair and derives the rule by component
+    comparison (host diff that is a www. prefix; query added to an
+    otherwise-equal URL; path gaining a leading segment) — the same
+    generalize-then-count-support shape as the paper. Census per rule:
+    pair support, distinct-host support, and the deploy flag DUST uses
+    (support across >= 3 hosts -> global rule). Shape: projection +
+    regexp component split + one hash-agg; pairs arrive keyed (never
+    all-pairs) — at 100 TB the pair source is the dedup stage's output,
+    and this is one map + one agg over it."""
+    d = load_table(spark, sf, "documents")
+    t = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".test/art/"), F.col("doc_id").cast("string"),
+        ).alias("url_a"),
+        (F.col("doc_id") % 3).alias("m"),
+    )
+    t = t.select(
+        "doc_id", "url_a",
+        F.when(
+            F.col("m") == 0,
+            F.regexp_replace("url_a", r"^http://", "http://www."),
+        )
+        .when(F.col("m") == 1, F.concat(F.col("url_a"), F.lit("?print=1")))
+        .otherwise(
+            F.regexp_replace("url_a", r"\.test/", ".test/amp/")
+        ).alias("url_b"),
+    )
+    comp = t.select(
+        "doc_id",
+        F.regexp_extract("url_a", r"^http://([^/]+)", 1).alias("host_a"),
+        F.regexp_extract("url_b", r"^http://([^/]+)", 1).alias("host_b"),
+        F.regexp_extract("url_a", r"^http://[^/]+([^?]*)", 1).alias("path_a"),
+        F.regexp_extract("url_b", r"^http://[^/]+([^?]*)", 1).alias("path_b"),
+        F.regexp_extract("url_a", r"\?(.*)$", 1).alias("query_a"),
+        F.regexp_extract("url_b", r"\?(.*)$", 1).alias("query_b"),
+    )
+    rule = (
+        F.when(
+            (F.col("host_b") == F.concat(F.lit("www."), F.col("host_a")))
+            & (F.col("path_a") == F.col("path_b"))
+            & (F.col("query_a") == F.col("query_b")),
+            F.lit("host:strip-www"),
+        )
+        .when(
+            (F.col("host_a") == F.col("host_b"))
+            & (F.col("path_a") == F.col("path_b"))
+            & (F.col("query_a") == "") & (F.col("query_b") != ""),
+            F.concat(
+                F.lit("query:strip-"),
+                F.split_part(F.col("query_b"), F.lit("="), F.lit(1)),
+            ),
+        )
+        .when(
+            (F.col("host_a") == F.col("host_b"))
+            & (F.col("query_a") == F.col("query_b"))
+            & (F.col("path_b") == F.concat(F.lit("/amp"), F.col("path_a"))),
+            F.lit("path:strip-/amp"),
+        )
+        .otherwise(F.lit("other"))
+    )
+    return (
+        comp.select(rule.alias("rule"), "host_a")
+        .groupBy("rule")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("host_a").cast("long").alias("n_hosts"),
+        )
+        .select(
+            "rule", "n_pairs", "n_hosts",
+            (F.col("n_hosts") >= 3).alias("global_rule"),
+        )
+    )
+
+
+ORACLE_DUST_RULES = """
+WITH t AS (
+  SELECT doc_id,
+         'http://h' || (doc_id % 7)::VARCHAR || '.test/art/'
+           || doc_id::VARCHAR AS url_a,
+         doc_id % 3 AS m
+  FROM documents
+),
+u AS (
+  SELECT doc_id, url_a,
+         CASE m
+           WHEN 0 THEN regexp_replace(url_a, '^http://', 'http://www.')
+           WHEN 1 THEN url_a || '?print=1'
+           ELSE regexp_replace(url_a, '\\.test/', '.test/amp/')
+         END AS url_b
+  FROM t
+),
+comp AS (
+  SELECT doc_id,
+         regexp_extract(url_a, '^http://([^/]+)', 1) AS host_a,
+         regexp_extract(url_b, '^http://([^/]+)', 1) AS host_b,
+         regexp_extract(url_a, '^http://[^/]+([^?]*)', 1) AS path_a,
+         regexp_extract(url_b, '^http://[^/]+([^?]*)', 1) AS path_b,
+         regexp_extract(url_a, '\\?(.*)$', 1) AS query_a,
+         regexp_extract(url_b, '\\?(.*)$', 1) AS query_b
+  FROM u
+),
+r AS (
+  SELECT host_a,
+         CASE
+           WHEN host_b = 'www.' || host_a AND path_a = path_b
+                AND query_a = query_b THEN 'host:strip-www'
+           WHEN host_a = host_b AND path_a = path_b AND query_a = ''
+                AND query_b <> ''
+             THEN 'query:strip-' || split_part(query_b, '=', 1)
+           WHEN host_a = host_b AND query_a = query_b
+                AND path_b = '/amp' || path_a THEN 'path:strip-/amp'
+           ELSE 'other'
+         END AS rule
+  FROM comp
+)
+SELECT rule, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT host_a) AS BIGINT) AS n_hosts,
+       count(DISTINCT host_a) >= 3 AS global_rule
+FROM r GROUP BY 1
+"""
+
+
+def q_sitemap_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap-protocol round-trip law (sitemaps.org XML format, public;
+    the seed source every polite crawler reads before expanding a host)
+    — serialize each host's URL set into a <urlset> document (entries
+    ordered by id, <loc> + <lastmod> per entry), then run the PARSER
+    side (regexp_extract_all over the XML blob) and verify the
+    round-trip: extracted loc count == doc count and the max extracted
+    lastmod equals the max computed date. Per-host output is the fetch
+    planner's sitemap summary: n_urls, max lastmod (the freshness signal
+    recrawl scheduling keys on), and the round-trip flag. Shape: one
+    ordered collect_list per host (bounded: sitemap protocol caps a file
+    at 50k URLs, the same bound that keeps this agg's state finite at
+    100 TB) + a regexp pass — shuffles once on host."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.date_format(
+            F.date_add(
+                F.to_date(F.lit("2024-01-01")),
+                (F.col("doc_id") % 365).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ).alias("lastmod"),
+    )
+    entries = d.select(
+        "host", "doc_id", "lastmod",
+        F.concat(
+            F.lit("<url><loc>http://"), F.col("host"), F.lit("/art/"),
+            F.col("doc_id").cast("string"), F.lit("</loc><lastmod>"),
+            F.col("lastmod"), F.lit("</lastmod></url>"),
+        ).alias("entry"),
+    )
+    xml = entries.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("lastmod").alias("expect_lastmod"),
+        F.concat(
+            F.lit("<urlset>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                    lambda x: x.entry,
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml"),
+    )
+    parsed = xml.select(
+        "host", "n_docs", "expect_lastmod",
+        F.size(
+            F.regexp_extract_all("xml", F.lit(r"<loc>([^<]*)</loc>"), F.lit(1))
+        ).cast("long").alias("n_locs"),
+        F.array_max(
+            F.regexp_extract_all(
+                "xml", F.lit(r"<lastmod>([^<]*)</lastmod>"), F.lit(1)
+            )
+        ).alias("max_lastmod"),
+        F.length("xml").cast("long").alias("xml_bytes"),
+    )
+    return parsed.select(
+        "host", "n_docs", "n_locs", "max_lastmod", "xml_bytes",
+        (
+            (F.col("n_locs") == F.col("n_docs"))
+            & (F.col("max_lastmod") == F.col("expect_lastmod"))
+        ).alias("roundtrip_ok"),
+    )
+
+
+ORACLE_SITEMAP_ROUNDTRIP = """
+WITH d AS (
+  SELECT doc_id,
+         'h' || (doc_id % 7)::VARCHAR || '.test' AS host,
+         strftime(DATE '2024-01-01' + CAST(doc_id % 365 AS INT), '%Y-%m-%d')
+           AS lastmod
+  FROM documents
+),
+e AS (
+  SELECT host, doc_id, lastmod,
+         '<url><loc>http://' || host || '/art/' || doc_id::VARCHAR
+           || '</loc><lastmod>' || lastmod || '</lastmod></url>' AS entry
+  FROM d
+),
+x AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         max(lastmod) AS expect_lastmod,
+         '<urlset>' || string_agg(entry, '' ORDER BY doc_id) || '</urlset>'
+           AS xml
+  FROM e GROUP BY 1
+),
+p AS (
+  SELECT host, n_docs, expect_lastmod,
+         CAST(len(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1))
+              AS BIGINT) AS n_locs,
+         list_max(regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1))
+           AS max_lastmod,
+         CAST(length(xml) AS BIGINT) AS xml_bytes
+  FROM x
+)
+SELECT host, n_docs, n_locs, max_lastmod, xml_bytes,
+       n_locs = n_docs AND max_lastmod = expect_lastmod AS roundtrip_ok
+FROM p
+"""
+
+
+def q_wand_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """WAND upper-bound pruning audit (Broder et al., "Efficient query
+    evaluation using a two-level retrieval process", CIKM 2003, public)
+    — the document-skipping law every top-k text-search engine applies
+    over the inverted index this repo already builds: precompute each
+    query term's MAX per-document impact; a document whose summed
+    upper bound (over the query terms it contains) is below the current
+    top-k threshold theta can be skipped without scoring. Integer
+    impact lane (score = sum of raw tf over query terms — the
+    impact-ordered-postings variant, Anh & Moffat) keeps every value
+    bit-exact cross-engine. theta = the k-th (k=10) highest exact score
+    with (score DESC, doc_id) tie-break. Output per query term: df,
+    max_tf, plus the audit scalars replicated (theta, candidate docs,
+    skippable docs, scored docs) — the fraction WAND never scores.
+    Shape: token explode + two hash-aggs + a broadcast of 3 scalar
+    rows; theta is a LIMIT-k agg, never a global sort."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    toks = docs.filter(F.length(norm) > 0).select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("term")
+    ).filter(F.col("term").isin("key", "scan", "batch"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    term_stats = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.max("tf").cast("long").alias("max_tf"),
+    )
+    scores = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("score"))
+    theta = (
+        scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+        .agg(F.min("score").cast("long").alias("theta"))
+    )
+    ub = (
+        tf.join(F.broadcast(term_stats.select("term", "max_tf")), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("max_tf").cast("long").alias("ub"))
+    )
+    audit = (
+        ub.crossJoin(F.broadcast(theta))
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("ub") < F.col("theta"), 1).otherwise(0))
+            .cast("long").alias("n_skippable"),
+            F.min("theta").cast("long").alias("theta"),
+        )
+    )
+    return term_stats.crossJoin(F.broadcast(audit)).select(
+        "term", "df", "max_tf", "theta", "n_candidates", "n_skippable",
+        (F.col("n_candidates") - F.col("n_skippable")).cast("long")
+        .alias("n_scored"),
+    )
+
+
+ORACLE_WAND_PRUNING = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(txt, ' ')) AS term
+  FROM norm WHERE length(txt) > 0
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term IN ('key', 'scan', 'batch') GROUP BY 1, 2
+),
+term_stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(max(tf) AS BIGINT) AS max_tf
+  FROM tf GROUP BY 1
+),
+scores AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf GROUP BY 1
+),
+theta AS (
+  SELECT CAST(min(score) AS BIGINT) AS theta
+  FROM (SELECT score FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+),
+ub AS (
+  SELECT doc_id, CAST(sum(max_tf) AS BIGINT) AS ub
+  FROM tf JOIN term_stats USING (term) GROUP BY 1
+),
+audit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN ub < theta THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_skippable,
+         CAST(min(theta) AS BIGINT) AS theta
+  FROM ub CROSS JOIN theta
+)
+SELECT t.term, t.df, t.max_tf, a.theta, a.n_candidates, a.n_skippable,
+       CAST(a.n_candidates - a.n_skippable AS BIGINT) AS n_scored
+FROM term_stats t CROSS JOIN audit a
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -9497,6 +9968,10 @@ QUERIES: dict[str, tuple] = {
     ),
     "href_resolve": (q_href_resolve, ORACLE_HREF_RESOLVE),
     "blocklist_filter": (q_blocklist_filter, ORACLE_BLOCKLIST_FILTER),
+    "url_param_census": (q_url_param_census, ORACLE_URL_PARAM_CENSUS),
+    "dust_rules": (q_dust_rules, ORACLE_DUST_RULES),
+    "sitemap_roundtrip": (q_sitemap_roundtrip, ORACLE_SITEMAP_ROUNDTRIP),
+    "wand_pruning": (q_wand_pruning, ORACLE_WAND_PRUNING),
 }
 
 

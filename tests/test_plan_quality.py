@@ -682,3 +682,51 @@ def test_minhash_calibration_no_cartesian(spark):
     plan = _plan(q_minhash_calibration(spark, SF))
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_url_param_census_broadcast_dim_hash_aggs(spark):
+    """url_param_census: the discovered param dimension rides a
+    broadcast (nested-loop over 3 rows, never a shuffled product) and
+    every strip-test grouping is a HashAggregate."""
+    from crawlers_spark.queries import q_url_param_census
+
+    plan = _plan(q_url_param_census(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_dust_rules_single_pass_no_join(spark):
+    """dust_rules: alias pairs arrive keyed, rule derivation is pure
+    projection — ONE hash-agg, zero joins, zero windows."""
+    from crawlers_spark.queries import q_dust_rules
+
+    plan = _plan(q_dust_rules(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_sitemap_roundtrip_one_shuffle_no_join(spark):
+    """sitemap_roundtrip: serialize + parse is one grouping on host
+    (ordered collect_list = ObjectHashAggregate) with the parse side a
+    projection over the agg output — no join back, no window."""
+    from crawlers_spark.queries import q_sitemap_roundtrip
+
+    plan = _plan(q_sitemap_roundtrip(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "ObjectHashAggregate" in plan
+
+
+def test_wand_pruning_takeordered_theta_broadcast_joins(spark):
+    """wand_pruning: theta is a TakeOrderedAndProject (LIMIT-k, never a
+    global sort), term stats broadcast onto postings, no all-pairs."""
+    from crawlers_spark.queries import q_wand_pruning
+
+    plan = _plan(q_wand_pruning(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
