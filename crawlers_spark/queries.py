@@ -9778,6 +9778,474 @@ FROM term_stats t CROSS JOIN audit a
 """
 
 
+def q_vit_patch_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """ViT patch-token packing budget (Dosovitskiy et al. 2020 patchify
+    law + NaViT sequence packing, Dehghani et al. 2023, both public) —
+    the batch-shaping arithmetic a vision-LM training pipeline runs over
+    every image+caption pair: an image costs (w div 16)·(h div 16)
+    patch tokens, its caption costs min(77, word count) text tokens
+    (the CLIP context cap), and a packed batch holds 16384 tokens.
+    Image dims derive deterministically from doc_id (the input_hint
+    (w, h) lane aspect_bucket_batching uses). Census per megapixel
+    bucket ((w·h) div 262144): pairs, patch/caption token totals,
+    min/max sample cost, oversize pairs (cost > budget — must be
+    downsampled before packing), and the fractional-packing lower bound
+    on batches (ceil of total cost / budget). All exact int64; one
+    projection + one hash-agg — map-side at 100 TB."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.coalesce("text", F.lit("")), r"\s+", " "))
+    n_words = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    )
+    t = d.select(
+        "doc_id",
+        (64 + (F.col("doc_id") * 37) % 1024).cast("long").alias("w"),
+        (64 + (F.col("doc_id") * 53) % 1024).cast("long").alias("h"),
+        F.least(F.lit(77), n_words).cast("long").alias("cap_tokens"),
+    ).select(
+        "doc_id", "w", "h", "cap_tokens",
+        (F.expr("w div 16") * F.expr("h div 16")).cast("long")
+        .alias("patches"),
+    ).select(
+        "*",
+        (F.col("patches") + F.col("cap_tokens")).alias("cost"),
+        F.expr("(w * h) div 262144").cast("long").alias("mp_bucket"),
+    )
+    budget = 16384
+    return t.groupBy("mp_bucket").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("patches").cast("long").alias("patch_tokens"),
+        F.sum("cap_tokens").cast("long").alias("caption_tokens"),
+        F.min("cost").cast("long").alias("min_cost"),
+        F.max("cost").cast("long").alias("max_cost"),
+        F.sum(F.when(F.col("cost") > budget, 1).otherwise(0)).cast("long")
+        .alias("n_oversize"),
+        F.expr(f"(sum(cost) + {budget - 1}) div {budget}").cast("long")
+        .alias("n_batches_lb"),
+    )
+
+
+ORACLE_VIT_PATCH_BUDGET = """
+WITH t AS (
+  SELECT doc_id,
+         64 + (doc_id * 37) % 1024 AS w,
+         64 + (doc_id * 53) % 1024 AS h,
+         least(77, CASE WHEN length(trim(regexp_replace(coalesce(text, ''),
+                                        '\\s+', ' ', 'g'))) = 0 THEN 0
+           ELSE len(string_split(trim(regexp_replace(coalesce(text, ''),
+                                      '\\s+', ' ', 'g')), ' ')) END)
+           AS cap_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w, h, cap_tokens,
+         (w // 16) * (h // 16) AS patches,
+         (w // 16) * (h // 16) + cap_tokens AS cost,
+         (w * h) // 262144 AS mp_bucket
+  FROM t
+)
+SELECT mp_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(patches) AS BIGINT) AS patch_tokens,
+       CAST(sum(cap_tokens) AS BIGINT) AS caption_tokens,
+       CAST(min(cost) AS BIGINT) AS min_cost,
+       CAST(max(cost) AS BIGINT) AS max_cost,
+       CAST(sum(CASE WHEN cost > 16384 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversize,
+       CAST((sum(cost) + 16383) // 16384 AS BIGINT) AS n_batches_lb
+FROM c GROUP BY 1
+"""
+
+
+def q_thumbnail_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Thumbnail mirror-sink byte budget — the storage-sizing law for
+    the image mirror every crawl pipeline maintains (serve a 256-px
+    preview, keep the original cold): aspect-preserving integer
+    downscale to max dimension 256 (w' = w·256 div max(w,h), floor —
+    the box-fit every thumbnailer applies), raw byte cost = 3 bytes/px
+    (RGB). Dims derive deterministically from doc_id (the input_hint
+    (w, h) lane); fmt cycles png/ppm/jpeg. Per-fmt census: images,
+    already-small count (no resize), original vs thumbnail pixel bytes,
+    and the integer-ppm byte reduction the mirror saves — guarded
+    against the empty group (no division evaluated at 0). Shape: one
+    projection + one hash-agg — map-side at 100 TB."""
+    d = load_table(spark, sf, "documents")
+    t = d.select(
+        "doc_id",
+        (64 + (F.col("doc_id") * 37) % 1024).cast("long").alias("w"),
+        (64 + (F.col("doc_id") * 53) % 1024).cast("long").alias("h"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("ppm"), F.lit("jpeg")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("fmt"),
+    ).select(
+        "*", F.greatest("w", "h").alias("mx"),
+    ).select(
+        "fmt", "w", "h",
+        F.when(F.col("mx") <= 256, F.col("w"))
+        .otherwise(F.expr("(w * 256) div mx")).alias("tw"),
+        F.when(F.col("mx") <= 256, F.col("h"))
+        .otherwise(F.expr("(h * 256) div mx")).alias("th"),
+        (F.col("mx") <= 256).alias("small"),
+    )
+    agg = t.groupBy("fmt").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum(F.when(F.col("small"), 1).otherwise(0)).cast("long")
+        .alias("n_already_small"),
+        F.sum(F.col("w") * F.col("h") * 3).cast("long").alias("orig_bytes"),
+        F.sum(F.col("tw") * F.col("th") * 3).cast("long").alias("thumb_bytes"),
+    )
+    return agg.select(
+        "fmt", "n_images", "n_already_small", "orig_bytes", "thumb_bytes",
+        F.when(F.col("orig_bytes") == 0, F.lit(0)).otherwise(
+            F.expr("((orig_bytes - thumb_bytes) * 1000000) div orig_bytes")
+        ).cast("long").alias("reduction_ppm"),
+    )
+
+
+ORACLE_THUMBNAIL_BUDGET = """
+WITH t AS (
+  SELECT doc_id,
+         64 + (doc_id * 37) % 1024 AS w,
+         64 + (doc_id * 53) % 1024 AS h,
+         (['png', 'ppm', 'jpeg'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt
+  FROM documents
+),
+s AS (
+  SELECT fmt, w, h, greatest(w, h) AS mx,
+         CASE WHEN greatest(w, h) <= 256 THEN w
+              ELSE (w * 256) // greatest(w, h) END AS tw,
+         CASE WHEN greatest(w, h) <= 256 THEN h
+              ELSE (h * 256) // greatest(w, h) END AS th
+  FROM t
+),
+a AS (
+  SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+         CAST(sum(CASE WHEN mx <= 256 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_already_small,
+         CAST(sum(w * h * 3) AS BIGINT) AS orig_bytes,
+         CAST(sum(tw * th * 3) AS BIGINT) AS thumb_bytes
+  FROM s GROUP BY 1
+)
+SELECT fmt, n_images, n_already_small, orig_bytes, thumb_bytes,
+       CAST(CASE WHEN orig_bytes = 0 THEN 0
+            ELSE ((orig_bytes - thumb_bytes) * 1000000) // orig_bytes END
+            AS BIGINT) AS reduction_ppm
+FROM a
+"""
+
+
+def q_length_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum-length cut operating curve — the report a corpus build
+    publishes BEFORE fixing its length gate (C4 drops <3-sentence
+    pages, Gopher drops <50-word docs; the right cut is chosen from
+    exactly this docs-vs-tokens retention curve, both public recipes).
+    Every candidate threshold sees every doc (broadcast 5-row sweep
+    dim × one hash-agg, no re-scan per threshold): per threshold t,
+    docs and word-tokens retained by `n_words >= t`, plus exact
+    integer-ppm retention of both — the total is summed inside the
+    same group so the curve needs ONE pass and no second join; ppm
+    divisions are CASE-guarded for the degenerate all-empty corpus
+    (ANSI-safe). At 100 TB this is a map-side projection, a 5x row
+    expansion, and a 5-row result."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.coalesce("text", F.lit("")), r"\s+", " "))
+    n_words = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    ).cast("long")
+    docs = d.select(n_words.alias("n_words"))
+    thr = spark.createDataFrame([(5,), (10,), (15,), (20,), (25,)], "t long")
+    j = docs.crossJoin(F.broadcast(thr))
+    agg = j.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("n_words") >= F.col("t"), 1).otherwise(0))
+        .cast("long").alias("docs_retained"),
+        F.sum(F.when(F.col("n_words") >= F.col("t"), F.col("n_words"))
+              .otherwise(0)).cast("long").alias("tokens_retained"),
+    )
+    return agg.select(
+        "t", "n_docs", "docs_retained", "tokens_retained",
+        F.when(F.col("n_docs") == 0, F.lit(0)).otherwise(
+            F.expr("(docs_retained * 1000000) div n_docs")
+        ).cast("long").alias("doc_retention_ppm"),
+        F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+            F.expr("(tokens_retained * 1000000) div n_tokens")
+        ).cast("long").alias("token_retention_ppm"),
+    )
+
+
+ORACLE_LENGTH_THRESHOLD_SWEEP = """
+WITH docs AS (
+  SELECT CAST(CASE WHEN length(trim(regexp_replace(coalesce(text, ''),
+                                    '\\s+', ' ', 'g'))) = 0 THEN 0
+         ELSE len(string_split(trim(regexp_replace(coalesce(text, ''),
+                                    '\\s+', ' ', 'g')), ' ')) END AS BIGINT)
+           AS n_words
+  FROM documents
+),
+thr(t) AS (VALUES (CAST(5 AS BIGINT)), (10), (15), (20), (25)),
+agg AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN n_words >= t THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_retained,
+         CAST(sum(CASE WHEN n_words >= t THEN n_words ELSE 0 END) AS BIGINT)
+           AS tokens_retained
+  FROM docs CROSS JOIN thr GROUP BY 1
+)
+SELECT t, n_docs, docs_retained, tokens_retained,
+       CAST(CASE WHEN n_docs = 0 THEN 0
+            ELSE (docs_retained * 1000000) // n_docs END AS BIGINT)
+         AS doc_retention_ppm,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (tokens_retained * 1000000) // n_tokens END AS BIGINT)
+         AS token_retention_ppm
+FROM agg
+"""
+
+
+def q_optout_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Robots-directive opt-out census — the compliance gate a
+    training-corpus build runs over X-Robots-Tag / meta-robots
+    directives (RFC 9309 ecosystem + the public noai/TDM-reservation
+    convention): 'noai' removes a page from the TRAINING corpus (it
+    stays crawlable), 'noindex' removes it from the SERVING index —
+    two different downstream sinks, audited per source the way a
+    release report quotes them. Header strings derive deterministically
+    (doc_id%11 -> 'noindex, noai'; else doc_id%7 -> 'noarchive';
+    else 'index, follow') and are parsed by token containment on the
+    comma-split directive list — never substring (so 'noai' can't
+    false-match inside another token). Census per source: docs, noai
+    docs, noindex docs, total vs trainable chars, and the exact
+    integer-ppm char retention after opt-outs (CASE-guarded, ANSI-safe).
+    Shape: projection + explode-free array containment + one hash-agg —
+    map-side at 100 TB."""
+    d = load_table(spark, sf, "documents")
+    header = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit("noindex, noai"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("noarchive"))
+        .otherwise(F.lit("index, follow"))
+    )
+    t = d.select(
+        "source", "n_chars",
+        F.split(header, ", ").alias("directives"),
+    ).select(
+        "source", "n_chars",
+        F.array_contains("directives", "noai").alias("noai"),
+        F.array_contains("directives", "noindex").alias("noindex"),
+    )
+    agg = t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("noai"), 1).otherwise(0)).cast("long")
+        .alias("n_noai"),
+        F.sum(F.when(F.col("noindex"), 1).otherwise(0)).cast("long")
+        .alias("n_noindex"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.when(~F.col("noai"), F.col("n_chars")).otherwise(0))
+        .cast("long").alias("trainable_chars"),
+    )
+    return agg.select(
+        "source", "n_docs", "n_noai", "n_noindex", "total_chars",
+        "trainable_chars",
+        F.when(F.col("total_chars") == 0, F.lit(0)).otherwise(
+            F.expr("(trainable_chars * 1000000) div total_chars")
+        ).cast("long").alias("trainable_ppm"),
+    )
+
+
+ORACLE_OPTOUT_CENSUS = """
+WITH t AS (
+  SELECT source, n_chars,
+         string_split(
+           CASE WHEN doc_id % 11 = 0 THEN 'noindex, noai'
+                WHEN doc_id % 7 = 0 THEN 'noarchive'
+                ELSE 'index, follow' END, ', ') AS directives
+  FROM documents
+),
+f AS (
+  SELECT source, n_chars,
+         list_contains(directives, 'noai') AS noai,
+         list_contains(directives, 'noindex') AS noindex
+  FROM t
+),
+a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN noai THEN 1 ELSE 0 END) AS BIGINT) AS n_noai,
+         CAST(sum(CASE WHEN noindex THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_noindex,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN NOT noai THEN n_chars ELSE 0 END) AS BIGINT)
+           AS trainable_chars
+  FROM f GROUP BY 1
+)
+SELECT source, n_docs, n_noai, n_noindex, total_chars, trainable_chars,
+       CAST(CASE WHEN total_chars = 0 THEN 0
+            ELSE (trainable_chars * 1000000) // total_chars END AS BIGINT)
+         AS trainable_ppm
+FROM a
+"""
+
+
+def q_postings_varint(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index varint compression audit (gap + variable-byte
+    encoding, Witten/Moffat/Bell "Managing Gigabytes", public — the
+    layout every postings store uses): per term, sort doc ids, delta-
+    encode (first gap = doc_id + 1 so every gap is positive), and cost
+    each gap at its variable-byte size (1 byte per 7 bits: <128 -> 1,
+    <16384 -> 2, <2097152 -> 3, else 4). Report per df band (1, 2-3,
+    4-7, 8-15, 16+): terms, postings, raw 8-byte cost vs varint cost,
+    and the exact integer-ppm compression — the index-sizing number a
+    100-TB build quotes before provisioning the posting shards. Shape:
+    distinct (term, doc) + one lag window partitioned BY TERM (bounded
+    partitions, shuffles once on term) + one hash-agg."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    postings = (
+        docs.filter(F.length(norm) > 0)
+        .select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = postings.select(
+        "term",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w),
+            F.col("doc_id") + 1,
+        ).cast("long").alias("gap"),
+    )
+    vb = gaps.select(
+        "term",
+        F.when(F.col("gap") < 128, 1)
+        .when(F.col("gap") < 16384, 2)
+        .when(F.col("gap") < 2097152, 3)
+        .otherwise(4).cast("long").alias("vbytes"),
+    )
+    per_term = vb.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("vbytes").cast("long").alias("term_vbytes"),
+    )
+    band = (
+        F.when(F.col("df") == 1, "df=1")
+        .when(F.col("df") <= 3, "df=2-3")
+        .when(F.col("df") <= 7, "df=4-7")
+        .when(F.col("df") <= 15, "df=8-15")
+        .otherwise("df>=16")
+    )
+    agg = per_term.groupBy(band.alias("df_band")).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        (F.sum("df") * 8).cast("long").alias("raw_bytes"),
+        F.sum("term_vbytes").cast("long").alias("varint_bytes"),
+    )
+    return agg.select(
+        "df_band", "n_terms", "n_postings", "raw_bytes", "varint_bytes",
+        F.when(F.col("raw_bytes") == 0, F.lit(0)).otherwise(
+            F.expr("((raw_bytes - varint_bytes) * 1000000) div raw_bytes")
+        ).cast("long").alias("savings_ppm"),
+    )
+
+
+ORACLE_POSTINGS_VARINT = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents
+),
+postings AS (
+  SELECT DISTINCT doc_id, unnest(string_split(txt, ' ')) AS term
+  FROM norm WHERE length(txt) > 0
+),
+gaps AS (
+  SELECT term,
+         CAST(coalesce(doc_id - lag(doc_id) OVER
+                         (PARTITION BY term ORDER BY doc_id),
+                       doc_id + 1) AS BIGINT) AS gap
+  FROM postings
+),
+vb AS (
+  SELECT term,
+         CAST(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+              WHEN gap < 2097152 THEN 3 ELSE 4 END AS BIGINT) AS vbytes
+  FROM gaps
+),
+per_term AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(vbytes) AS BIGINT) AS term_vbytes
+  FROM vb GROUP BY 1
+),
+agg AS (
+  SELECT CASE WHEN df = 1 THEN 'df=1' WHEN df <= 3 THEN 'df=2-3'
+              WHEN df <= 7 THEN 'df=4-7' WHEN df <= 15 THEN 'df=8-15'
+              ELSE 'df>=16' END AS df_band,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(df) AS BIGINT) AS n_postings,
+         CAST(sum(df) * 8 AS BIGINT) AS raw_bytes,
+         CAST(sum(term_vbytes) AS BIGINT) AS varint_bytes
+  FROM per_term GROUP BY 1
+)
+SELECT df_band, n_terms, n_postings, raw_bytes, varint_bytes,
+       CAST(CASE WHEN raw_bytes = 0 THEN 0
+            ELSE ((raw_bytes - varint_bytes) * 1000000) // raw_bytes END
+            AS BIGINT) AS savings_ppm
+FROM agg
+"""
+
+
+def q_frontier_drain(spark: SparkSession, sf: str) -> DataFrame:
+    """Frontier drain-time census — the capacity-planning law behind
+    per-host crawl budgets (Mercator/Heritrix queue design, public):
+    with politeness delay d(host) and q(host) URLs queued, a host's
+    queue drains in q·d ms regardless of cluster size (politeness
+    serializes per host), so hosts with drain beyond the recrawl
+    interval starve and need budget cuts or shard-level alerts.
+    Deterministic frontier: host = doc_id % 101, delay = 500 +
+    (host % 5)·250 ms (the engine's scheduler default ladder). Output:
+    top-20 hosts by (drain DESC, host) with queue depth, delay, exact
+    drain_ms, and the starved flag (drain > 60 s). Shape: one hash-agg
+    + a LIMIT-k ordered take (TakeOrderedAndProject, never a global
+    sort) — at 100 TB the agg is map-side-combined on host."""
+    d = load_table(spark, sf, "documents")
+    t = d.select((F.col("doc_id") % 101).cast("long").alias("host_id"))
+    agg = t.groupBy("host_id").agg(
+        F.count("*").cast("long").alias("queued")
+    ).select(
+        "host_id", "queued",
+        (500 + (F.col("host_id") % 5) * 250).cast("long")
+        .alias("crawl_delay_ms"),
+    ).select(
+        "*",
+        (F.col("queued") * F.col("crawl_delay_ms")).cast("long")
+        .alias("drain_ms"),
+    )
+    return (
+        agg.orderBy(F.desc("drain_ms"), F.asc("host_id")).limit(20)
+        .select(
+            "host_id", "queued", "crawl_delay_ms", "drain_ms",
+            (F.col("drain_ms") > 60000).alias("starved"),
+        )
+    )
+
+
+ORACLE_FRONTIER_DRAIN = """
+WITH t AS (
+  SELECT doc_id % 101 AS host_id FROM documents
+),
+agg AS (
+  SELECT host_id, CAST(count(*) AS BIGINT) AS queued,
+         CAST(500 + (host_id % 5) * 250 AS BIGINT) AS crawl_delay_ms
+  FROM t GROUP BY 1
+),
+d AS (
+  SELECT host_id, queued, crawl_delay_ms,
+         CAST(queued * crawl_delay_ms AS BIGINT) AS drain_ms
+  FROM agg
+)
+SELECT host_id, queued, crawl_delay_ms, drain_ms,
+       drain_ms > 60000 AS starved
+FROM d ORDER BY drain_ms DESC, host_id LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -9972,6 +10440,14 @@ QUERIES: dict[str, tuple] = {
     "dust_rules": (q_dust_rules, ORACLE_DUST_RULES),
     "sitemap_roundtrip": (q_sitemap_roundtrip, ORACLE_SITEMAP_ROUNDTRIP),
     "wand_pruning": (q_wand_pruning, ORACLE_WAND_PRUNING),
+    "vit_patch_budget": (q_vit_patch_budget, ORACLE_VIT_PATCH_BUDGET),
+    "thumbnail_budget": (q_thumbnail_budget, ORACLE_THUMBNAIL_BUDGET),
+    "length_threshold_sweep": (
+        q_length_threshold_sweep, ORACLE_LENGTH_THRESHOLD_SWEEP
+    ),
+    "optout_census": (q_optout_census, ORACLE_OPTOUT_CENSUS),
+    "postings_varint": (q_postings_varint, ORACLE_POSTINGS_VARINT),
+    "frontier_drain": (q_frontier_drain, ORACLE_FRONTIER_DRAIN),
 }
 
 

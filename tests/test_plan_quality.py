@@ -730,3 +730,67 @@ def test_wand_pruning_takeordered_theta_broadcast_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_vit_patch_budget_map_side_single_agg(spark):
+    """vit_patch_budget: pure projection + one hash-agg, no join."""
+    from crawlers_spark.queries import q_vit_patch_budget
+
+    plan = _plan(q_vit_patch_budget(spark, SF))
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_thumbnail_budget_map_side_single_agg(spark):
+    """thumbnail_budget: pure projection + one hash-agg, no join."""
+    from crawlers_spark.queries import q_thumbnail_budget
+
+    plan = _plan(q_thumbnail_budget(spark, SF))
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_length_threshold_sweep_broadcast_expansion(spark):
+    """length_threshold_sweep: the 5-row sweep dim broadcasts (nested
+    loop over a broadcast side, never a shuffled product) and the
+    curve is ONE hash-agg pass."""
+    from crawlers_spark.queries import q_length_threshold_sweep
+
+    plan = _plan(q_length_threshold_sweep(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_optout_census_single_agg_no_explode(spark):
+    """optout_census: directive parsing is array containment on a
+    projection (no Generate/explode) + one hash-agg."""
+    from crawlers_spark.queries import q_optout_census
+
+    plan = _plan(q_optout_census(spark, SF))
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_postings_varint_one_window_no_join(spark):
+    """postings_varint: gap encoding is one lag window partitioned by
+    term; everything else is hash-aggs — no join anywhere."""
+    from crawlers_spark.queries import q_postings_varint
+
+    plan = _plan(q_postings_varint(spark, SF))
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "HashAggregate" in plan
+
+
+def test_frontier_drain_takeordered_no_global_sort(spark):
+    """frontier_drain: the top-20 is a TakeOrderedAndProject over the
+    host agg — never a global Sort, no window, no join."""
+    from crawlers_spark.queries import q_frontier_drain
+
+    plan = _plan(q_frontier_drain(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
