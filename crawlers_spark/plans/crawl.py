@@ -688,13 +688,18 @@ class CrawlPlan:
             # hash-only — this loop only counts them / folds them into
             # the seen-set by url_hash, so the dropped majority's string
             # bytes never ride the worker→JVM hop
+            # lazy localCheckpoint: the counter collect right below is the
+            # FIRST action on fused_out and scans every partition, so it
+            # both materializes the checkpoint and cuts the lineage in the
+            # same job — one fewer driver job per generation than an eager
+            # cut followed by the collect
             fused_out = fused_filter_schedule(
                 spark, cand, None, self.robots, cfg.scheduler, emit_dropped=True,
                 total_budget_per_host=cfg.total_budget_per_host,
                 n_salts=cur_salts,
                 state=state,
                 emit_strings="frontier",
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
 
             # One small agg over the fused output drives every loop counter
             # (and materializes fetched + fused_out). Fetch ok/failed per
