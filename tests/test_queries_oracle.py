@@ -402,3 +402,28 @@ def test_all_oracle_queries_parallelism_deterministic(spark):
             bad = sum(1 for a, b in zip(c1, c2) if a != b)
             failures.append((name, f"{bad} rows differ across parallelism"))
     assert not failures, failures
+
+
+def test_all_oracle_queries_tolerate_megadoc(spark, tmp_path):
+    """Whole-registry size-outlier sweep: ONE ~200 KB document (doc 0's
+    text repeated 1600x — same vocabulary, so the stress is pure string
+    size) among normal rows. Guards every regexp/explode/shingle lane
+    against the long-tail page a real crawl always contains; all
+    pairing/shingle stages must stay df-capped rather than blowing up
+    on the outlier's token count."""
+    from pyspark.sql import functions as F
+
+    def mutate(df, t):
+        if t == "documents":
+            big = F.repeat(F.coalesce(F.col("text"), F.lit("x ")), 1600)
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") == 0, big).otherwise(F.col("text")),
+            ).withColumn(
+                "n_chars",
+                F.when(F.col("doc_id") == 0, F.length(big))
+                .otherwise(F.col("n_chars")).cast("long"),
+            )
+        return df
+
+    _run_registry_sweep(spark, tmp_path, mutate)
