@@ -10246,6 +10246,167 @@ FROM d ORDER BY drain_ms DESC, host_id LIMIT 20
 """
 
 
+def q_revisit_apportionment(spark: SparkSession, sf: str) -> DataFrame:
+    """Recrawl-budget apportionment by largest remainder (Hamilton's
+    method, public — the exact integer way to split a fixed revisit
+    budget proportionally to observed per-host change rates, the
+    allocation step in Cho & Garcia-Molina-style freshness scheduling):
+    visits_h = floor(B·c_h / Σc) plus one extra for the L hosts with
+    the largest remainders (L = B − Σ floors; ties to the lower
+    host_id), so Σ visits == B exactly — no float shares, no rounding
+    drift. Change weights derive deterministically (host = doc_id %
+    101; weight = 1 + docs with doc_id%3==0). The remainder ranking is
+    a single window over the HOST DIMENSION (bounded — 101 rows here,
+    at 10^7 hosts the engine's two-pass global_rank bucket ranking is
+    the same shape without the single partition). Output per host:
+    weight, floor quota, remainder, the +1 flag, final visits."""
+    d = load_table(spark, sf, "documents")
+    budget = 1000
+    c = (
+        d.select((F.col("doc_id") % 101).cast("long").alias("host_id"),
+                 (F.col("doc_id") % 3 == 0).alias("chg"))
+        .groupBy("host_id")
+        .agg((1 + F.sum(F.when(F.col("chg"), 1).otherwise(0))).cast("long")
+             .alias("weight"))
+    )
+    tot = c.agg(F.sum("weight").cast("long").alias("total_w"))
+    q = c.crossJoin(F.broadcast(tot)).select(
+        "host_id", "weight",
+        F.expr(f"({budget} * weight) div total_w").cast("long").alias("quota"),
+        F.expr(f"({budget} * weight) % total_w").cast("long").alias("rem"),
+    )
+    sq = q.agg(F.sum("quota").cast("long").alias("sum_quota"))
+    w = Window.orderBy(F.desc("rem"), F.asc("host_id"))
+    ranked = q.crossJoin(F.broadcast(sq)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return ranked.select(
+        "host_id", "weight", "quota", "rem",
+        (F.col("rn") <= budget - F.col("sum_quota")).alias("extra"),
+        (
+            F.col("quota")
+            + F.when(F.col("rn") <= budget - F.col("sum_quota"), 1)
+            .otherwise(0)
+        ).cast("long").alias("visits"),
+    )
+
+
+ORACLE_REVISIT_APPORTIONMENT = """
+WITH c AS (
+  SELECT doc_id % 101 AS host_id,
+         CAST(1 + sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS weight
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(weight) AS BIGINT) AS total_w FROM c),
+q AS (
+  SELECT host_id, weight,
+         CAST((1000 * weight) // total_w AS BIGINT) AS quota,
+         CAST((1000 * weight) % total_w AS BIGINT) AS rem
+  FROM c CROSS JOIN tot
+),
+sq AS (SELECT CAST(sum(quota) AS BIGINT) AS sum_quota FROM q),
+r AS (
+  SELECT q.*, sq.sum_quota,
+         row_number() OVER (ORDER BY rem DESC, host_id) AS rn
+  FROM q CROSS JOIN sq
+)
+SELECT host_id, weight, quota, rem,
+       rn <= 1000 - sum_quota AS extra,
+       CAST(quota + CASE WHEN rn <= 1000 - sum_quota THEN 1 ELSE 0 END
+            AS BIGINT) AS visits
+FROM r
+"""
+
+
+def q_host_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe held-out split by HOST (the eval-split law for web
+    corpora, public practice since C4/The Pile: near-duplicate pages
+    cluster within a host, so a doc-level split leaks train content
+    into eval — the split key must be the host): split = md5(host)
+    integer lane % 10 (0 -> eval, else train — the engine's md5-lane
+    convention, bit-identical cross-engine). Census per split: docs,
+    hosts, chars, exact char ppm of the corpus; plus the leakage
+    audit every release should print — the count of hosts present in
+    BOTH splits, structurally zero under a host-keyed hash and proven
+    zero here by computing it from the data (one distinct + one
+    hash-agg), not by assumption. Shape: projection + three bounded
+    aggs; nothing but (split, host) rows ever shuffle."""
+    d = load_table(spark, sf, "documents")
+    t = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 101).cast("string"))
+        .alias("host"),
+        "n_chars",
+    ).select(
+        "host", "n_chars",
+        F.when(
+            F.expr(
+                "cast(conv(substring(md5(host), 1, 15), 16, 10) as bigint)"
+            ) % 10 == 0,
+            "eval",
+        ).otherwise("train").alias("split"),
+    )
+    leak = (
+        t.select("host", "split").distinct()
+        .groupBy("host").agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).cast("long")
+            .alias("leaked_hosts")
+        )
+    )
+    tot = t.agg(F.sum("n_chars").cast("long").alias("corpus_chars"))
+    agg = t.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(leak))
+        .select(
+            "split", "n_docs", "n_hosts", "total_chars",
+            F.when(F.col("corpus_chars") == 0, F.lit(0)).otherwise(
+                F.expr("(total_chars * 1000000) div corpus_chars")
+            ).cast("long").alias("chars_ppm"),
+            "leaked_hosts",
+        )
+    )
+
+
+ORACLE_HOST_SPLIT_LEAKAGE = """
+WITH t AS (
+  SELECT 'h' || (doc_id % 101)::VARCHAR AS host, n_chars
+  FROM documents
+),
+s AS (
+  SELECT host, n_chars,
+         CASE WHEN ('0x' || substring(md5(host), 1, 15))::BIGINT % 10 = 0
+              THEN 'eval' ELSE 'train' END AS split
+  FROM t
+),
+leak AS (
+  SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS leaked_hosts
+  FROM (
+    SELECT host, count(DISTINCT split) AS ns
+    FROM (SELECT DISTINCT host, split FROM s) GROUP BY 1
+  )
+),
+tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS corpus_chars FROM s),
+agg AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM s GROUP BY 1
+)
+SELECT split, n_docs, n_hosts, total_chars,
+       CAST(CASE WHEN corpus_chars = 0 THEN 0
+            ELSE (total_chars * 1000000) // corpus_chars END AS BIGINT)
+         AS chars_ppm,
+       leaked_hosts
+FROM agg CROSS JOIN tot CROSS JOIN leak
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -10448,6 +10609,10 @@ QUERIES: dict[str, tuple] = {
     "optout_census": (q_optout_census, ORACLE_OPTOUT_CENSUS),
     "postings_varint": (q_postings_varint, ORACLE_POSTINGS_VARINT),
     "frontier_drain": (q_frontier_drain, ORACLE_FRONTIER_DRAIN),
+    "revisit_apportionment": (
+        q_revisit_apportionment, ORACLE_REVISIT_APPORTIONMENT
+    ),
+    "host_split_leakage": (q_host_split_leakage, ORACLE_HOST_SPLIT_LEAKAGE),
 }
 
 

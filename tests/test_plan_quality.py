@@ -794,3 +794,33 @@ def test_frontier_drain_takeordered_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_revisit_apportionment_sums_to_budget(spark):
+    """Largest-remainder invariant: the final visit allocation sums to
+    EXACTLY the budget (1000) — the property float-share rounding
+    schemes violate."""
+    from pyspark.sql import functions as F
+
+    from crawlers_spark.queries import q_revisit_apportionment
+
+    out = q_revisit_apportionment(spark, SF)
+    row = out.agg(
+        F.sum("visits").alias("v"), F.sum("quota").alias("q"),
+        F.count("*").alias("n"),
+    ).first()
+    assert row["v"] == 1000
+    assert row["q"] <= 1000 < row["q"] + row["n"]
+
+
+def test_host_split_leakage_zero_and_broadcast_scalars(spark):
+    """host_split_leakage: the leakage audit computes ZERO leaked hosts
+    from the data, and the corpus/leak scalars ride broadcasts."""
+    from crawlers_spark.queries import q_host_split_leakage
+
+    out = q_host_split_leakage(spark, SF)
+    rows = out.collect()
+    assert rows and all(r["leaked_hosts"] == 0 for r in rows)
+    assert sum(r["chars_ppm"] for r in rows) in (999999, 1000000)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
