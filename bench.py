@@ -7,7 +7,8 @@ Main mode (driver contract): runs the headline query suite at
 ``{"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}``.
 
 Scaling mode (north_rule evidence, BASELINE.json: efficiency >= 0.8 from
-N to 4N executors, evidenced in-sandbox as local[8] vs local[32] on the
+N to 4N executors, evidenced as local[4] vs local[16] threads AND as
+local-cluster[1,4] vs local-cluster[4,4] real executor JVMs on the
 same input): ``--crawl --cpus N`` runs the crawl-throughput workload in a
 fresh process and prints its own JSON. The main run spawns both levels as
 subprocesses (fresh JVM each, no cross-contamination), records
@@ -118,28 +119,41 @@ def _use_tmpfs_local_dir() -> None:
         st = os.statvfs("/dev/shm")
         if st.f_bavail * st.f_frsize >= (16 << 30):
             os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark-local"
+            # local-cluster workers take their shuffle dirs from the
+            # cluster manager env, not spark.local.dir
+            os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
     except OSError:
         pass
 
 
-def _get_spark(cpus: int, shuffle: int, extra_conf: dict | None = None):
+def _get_spark(cpus: int, shuffle: int, extra_conf: dict | None = None,
+               master: str | None = None):
     from crawlers_spark.session import get_spark
 
     return get_spark(
-        f"bench-{cpus}", master=f"local[{cpus}]", shuffle_partitions=shuffle,
-        extra_conf=extra_conf,
+        f"bench-{cpus}", master=master or f"local[{cpus}]",
+        shuffle_partitions=shuffle, extra_conf=extra_conf,
     )
 
 
 def run_crawl_bench(
-    cpus: int, reps: int | None = None, n_candidates: int | None = None
+    cpus: int, reps: int | None = None, n_candidates: int | None = None,
+    executors: int = 0, exec_cores: int = 4, skip_fetch: bool = False,
 ) -> dict:
     """Frontier mega-generation → throughput dict (fresh process per call).
 
     ``n_candidates`` overrides the candidate volume (data-size linearity
     evidence: same parallelism, 4x the input, seen-set/robots state held
     fixed — exactly the per-generation cost model, where state is
-    long-lived and only the candidate side moves)."""
+    long-lived and only the candidate side moves).
+
+    ``executors > 0`` runs the SAME workload on ``local-cluster[E,C,mem]``
+    — Spark's multi-executor test master: E separate executor JVMs, each
+    with its own task threads, Python UDF workers, and block manager,
+    shuffling over real sockets. This is the north rule's "N vs 4N
+    executors" shape measured literally (local[N] threads only stand in
+    for it); the package reaches executors via the session factory's
+    addPyFile shipping, identical to a spark-submit --py-files launch."""
     from pyspark.sql import functions as F
 
     from crawlers_spark.operators.fused_schedule import (
@@ -162,7 +176,12 @@ def run_crawl_bench(
         p["n_candidates"] = n_candidates
     reps = reps or p["reps"]
     _use_tmpfs_local_dir()
-    spark = _get_spark(cpus, shuffle=p["n_host_buckets"], extra_conf=CRAWL_BENCH_CONF)
+    master = None
+    if executors > 0:
+        cpus = executors * exec_cores  # total task slots drive partitioning
+        master = f"local-cluster[{executors},{exec_cores},6144]"
+    spark = _get_spark(cpus, shuffle=p["n_host_buckets"],
+                       extra_conf=CRAWL_BENCH_CONF, master=master)
     web = SynthWebConfig(n_hosts=p["n_hosts"], base_pages=p["base_pages"])
     robots = robots_pdf(web)
 
@@ -222,33 +241,38 @@ def run_crawl_bench(
     wall = min(walls)
     last_scheduled = last_out.filter("status = 'scheduled'")
 
-    # ---- timed separately: fetch stage (image synthesis+encode+phash)
-    # limit() collapses to one partition — redistribute before fetching
-    to_fetch = (
-        last_scheduled.withColumn("generation", F.lit(0))
-        .limit(p["fetch_cap"])
-        .repartition(p["n_host_buckets"])
-        .persist()
-    )
-    to_fetch.count()  # materialize the URL batch outside the fetch timing
-    fetch_walls, n_fetched = [], 0
-    for _rep in range(p["fetch_reps"]):
-        t1 = time.monotonic()
-        n_fetched = fetch_scheduled(to_fetch, web).filter("ok").count()
-        fetch_walls.append(time.monotonic() - t1)
-    fetch_wall = min(fetch_walls)
-
     out = {
         "cpus": cpus,
         "wall_s": round(wall, 2),
         "walls": [round(w, 2) for w in walls],
-        "fetch_wall_s": round(fetch_wall, 2),
         "candidates": p["n_candidates"],
         "scheduled": n_scheduled,
-        "fetched": n_fetched,
         "urls_per_sec": round(p["n_candidates"] / wall, 1),
-        "images_per_sec": round(n_fetched / fetch_wall, 1),
     }
+    if executors > 0:
+        out["executors"] = executors
+        out["exec_cores"] = exec_cores
+
+    if not skip_fetch:
+        # ---- timed separately: fetch stage (image synthesis+encode+phash)
+        # limit() collapses to one partition — redistribute before fetching
+        to_fetch = (
+            last_scheduled.withColumn("generation", F.lit(0))
+            .limit(p["fetch_cap"])
+            .repartition(p["n_host_buckets"])
+            .persist()
+        )
+        to_fetch.count()  # materialize the URL batch outside the fetch timing
+        fetch_walls, n_fetched = [], 0
+        for _rep in range(p["fetch_reps"]):
+            t1 = time.monotonic()
+            n_fetched = fetch_scheduled(to_fetch, web).filter("ok").count()
+            fetch_walls.append(time.monotonic() - t1)
+        fetch_wall = min(fetch_walls)
+        out["fetch_wall_s"] = round(fetch_wall, 2)
+        out["fetched"] = n_fetched
+        out["images_per_sec"] = round(n_fetched / fetch_wall, 1)
+
     spark.stop()
     return out
 
@@ -460,7 +484,8 @@ def _pair_rows(pair: tuple, tag: str) -> str:
 
 
 def update_baseline_md(
-    primary: tuple, secondary: tuple | None, levels: dict | None = None
+    primary: tuple, secondary: tuple | None, levels: dict | None = None,
+    cluster: dict | None = None,
 ) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -471,6 +496,13 @@ def update_baseline_md(
     elif os.path.exists(side):  # budget skipped 4v16: keep last measurement
         with open(side) as f:
             secondary = tuple(json.load(f))
+    cl_side = os.path.join(os.path.dirname(path), "cluster_pair.json")
+    if cluster is not None:
+        with open(cl_side, "w") as f:
+            json.dump(cluster, f)
+    elif os.path.exists(cl_side):  # keep the last good cluster measurement
+        with open(cl_side) as f:
+            cluster = json.load(f)
     p = CRAWL_BENCH
     rows = _pair_rows(primary, "4v16")
     if levels:
@@ -510,6 +542,30 @@ def update_baseline_md(
             "\nnumber therefore bounds engine+host-contention from below; the"
             "\n4v16 pair is the engine measurement."
         )
+    cluster_note = ""
+    if cluster is not None:
+        cluster_note = f"""
+
+## Multi-executor pair (local-cluster — REAL separate executor JVMs)
+
+The north rule asks for N vs 4N EXECUTORS. Beyond the thread-level
+stand-in above, the same byte-identical workload runs on Spark's
+multi-executor test master `local-cluster[E,4,6144]`: E separate
+executor JVMs, each with its own 4 task threads, Python UDF workers,
+block manager, and heap, shuffling over real sockets, the package
+shipped to executors exactly as a spark-submit --py-files launch would.
+Interleaved E=1 vs E=4 fresh-cluster subprocesses, min-of-reps:
+
+| metric | value | config |
+|---|---|---|
+| URLs scheduled+deduped/sec @ 1 executor | {cluster['executors_1_urls_per_sec']:,} | local-cluster[1,4,6144], wall {cluster['wall_1']} s (reps {cluster['walls_1']}) |
+| URLs scheduled+deduped/sec @ 4 executors | {cluster['executors_4_urls_per_sec']:,} | local-cluster[4,4,6144], wall {cluster['wall_4']} s (reps {cluster['walls_4']}) |
+| scaling efficiency (thr_4E/thr_1E)/4 | {cluster['efficiency']:.3f} | target >= 0.8 (BASELINE.json north_rule) |
+
+The process geometry matches the 4v16 thread pair (4 vs 16 task slots +
+as many Python workers), so the same hardware ceiling ladder applies:
+the bare-kernel pool's 4→16-proc speedup bounds what ANY engine can
+measure on this shared box."""
     body = f"""# BENCH/BASELINE — measured scaling evidence
 
 Workload: frontier mega-generation (`bench.py --crawl`), identical input
@@ -523,7 +579,9 @@ bucket-local dedup + Bloom/exact seen-filter + per-host politeness top-k
 (ONE candidate exchange; operators/fused_schedule.py).
 
 Protocol: local[N] vs local[4N] on the same input stands in for N vs 4N
-executors (no real cluster in this sandbox). The PRIMARY north-rule
+executors at full box width (and the Multi-executor section below runs
+the byte-identical workload on REAL separate executor JVMs via
+local-cluster, the north rule's literal shape). The PRIMARY north-rule
 evidence pair is local[4] vs local[16]: this box has 32 physical cores
 (1 thread/core), and a local[N] level runs N JVM task threads plus up
 to N Python UDF workers, so local[16] is the largest level whose 2N
@@ -544,7 +602,7 @@ default (session.py) keeps AQE on for real queries.{sec_note}
 
 | metric | value | config |
 |---|---|---|
-{rows}
+{rows}{cluster_note}
 Reading the numbers — the "ceiling" rows are a same-session
 hardware-probe ladder, all bare multiprocessing pools with ZERO Spark:
 
@@ -653,11 +711,19 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=None)
     ap.add_argument("--candidates", type=int, default=None,
                     help="override candidate volume (data-size linearity probe)")
+    ap.add_argument("--executors", type=int, default=0,
+                    help="run on local-cluster[E,--exec-cores,6144] (real "
+                         "separate executor JVMs) instead of local[N] threads")
+    ap.add_argument("--exec-cores", type=int, default=4)
+    ap.add_argument("--no-fetch", action="store_true",
+                    help="skip the image-fetch stage timing")
     args = ap.parse_args()
 
     if args.crawl:
         print(json.dumps(run_crawl_bench(
-            args.cpus, reps=args.reps, n_candidates=args.candidates)))
+            args.cpus, reps=args.reps, n_candidates=args.candidates,
+            executors=args.executors, exec_cores=args.exec_cores,
+            skip_fetch=args.no_fetch)))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -681,6 +747,61 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1900"))
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
+
+        # ---- multi-executor pair FIRST (north-rule literal): 1 vs 4
+        # SEPARATE executor JVMs via local-cluster[E,4,6144] — real
+        # socket shuffle, per-executor Python workers, package shipped
+        # as a --py-files launch would. Interleaved fresh-cluster
+        # subprocesses, reps=2 each, capped at ~480 s of the budget so
+        # the thread-level history/monotonicity evidence still fits.
+        if os.environ.get("SPARK_GRAFT_BENCH_CLUSTER", "1") != "0":
+            try:
+                cl_runs: dict[int, list] = {1: [], 4: []}
+                cl_est = {1: 115, 4: 60}
+                for e_ in (1, 4, 1, 4):
+                    if time.monotonic() - t_start + cl_est[e_] > min(budget, 480):
+                        break
+                    time.sleep(10)
+                    cmd = [sys.executable, os.path.abspath(__file__),
+                           "--crawl", "--executors", str(e_),
+                           "--exec-cores", "4", "--reps", "2", "--no-fetch"]
+                    proc = subprocess.run(
+                        cmd, capture_output=True, text=True, timeout=budget,
+                        env=env,
+                    )
+                    line = [l for l in proc.stdout.splitlines()
+                            if l.startswith("{")][-1]
+                    cl_runs[e_].append(json.loads(line))
+                if cl_runs[1] and cl_runs[4]:
+                    w1 = min(w for r in cl_runs[1] for w in r["walls"])
+                    w4 = min(w for r in cl_runs[4] for w in r["walls"])
+                    nc = CRAWL_BENCH["n_candidates"]
+                    cluster_pair = {
+                        "executors_1_urls_per_sec": round(nc / w1, 1),
+                        "executors_4_urls_per_sec": round(nc / w4, 1),
+                        "efficiency": round((w1 / w4) / 4, 3),
+                        "wall_1": round(w1, 2), "wall_4": round(w4, 2),
+                        "walls_1": [w for r in cl_runs[1] for w in r["walls"]],
+                        "walls_4": [w for r in cl_runs[4] for w in r["walls"]],
+                        "master": "local-cluster[E,4,6144]",
+                    }
+                    result["crawl_scaling_executors"] = {
+                        k: cluster_pair[k] for k in (
+                            "executors_1_urls_per_sec",
+                            "executors_4_urls_per_sec", "efficiency",
+                        )
+                    }
+                    detail_cluster = cluster_pair
+                else:
+                    detail_cluster = None
+            except Exception as ex:  # noqa: BLE001 — never block the line
+                result["crawl_scaling_executors"] = {
+                    "error": f"{type(ex).__name__}: {ex}"[:200]
+                }
+                detail_cluster = None
+        else:
+            detail_cluster = None
+
         # the stress pair's levels run one extra rep each (SYMMETRIC
         # within the pair): their walls are short, so a cold first rep
         # weighs more in the min — 4/16 keep 3 to fit the budget
@@ -778,7 +899,10 @@ def main() -> None:
                 }
                 detail["crawl_levels_urls_per_sec"] = levels_thr
                 result["crawl_levels_urls_per_sec"] = levels_thr
-                update_baseline_md(primary, secondary, levels_thr)
+                if detail_cluster is not None:
+                    detail["crawl_scaling_executors"] = detail_cluster
+                update_baseline_md(primary, secondary, levels_thr,
+                                   cluster=detail_cluster)
             else:
                 result["crawl_scaling"] = {"skipped": "budget exhausted"}
         except Exception as ex:  # noqa: BLE001 — bench must still report

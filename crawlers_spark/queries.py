@@ -10407,6 +10407,150 @@ FROM agg CROSS JOIN tot CROSS JOIN leak
 """
 
 
+def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE/rewrite law every
+    lakehouse table (Iceberg rewriteDataFiles / Delta OPTIMIZE, public)
+    runs against crawl output, which lands as one small parquet file
+    per (generation, bucket): bin-pack each partition's files into
+    merge groups of <= 128 MB by cumulative-sum bucketing (group =
+    (running_bytes - 1) div target — the streaming bin-packer that
+    never materializes the file list on the driver). File metadata
+    derives deterministically (file = doc row; partition = doc_id % 13;
+    bytes = 1 MB + (doc_id*97 % 40) MB). Report per partition: files
+    and small files (< 64 MB) before, merge groups after, total bytes,
+    and the largest group (must stay <= target + one file). Shape: one
+    window cumsum per partition + one hash-agg — the planner is a
+    metadata-only job even on a 10^7-file table."""
+    d = load_table(spark, sf, "documents")
+    mb = 1 << 20
+    files = d.select(
+        (F.col("doc_id") % 13).cast("long").alias("part"),
+        F.col("doc_id").alias("file_id"),
+        ((1 + (F.col("doc_id") * 97) % 40) * mb).cast("long").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("part").orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    target = 128 * mb
+    g = files.withColumn("run", F.sum("bytes").over(w)).withColumn(
+        "grp", F.expr(f"(run - 1) div {target}").cast("long")
+    )
+    per_group = g.groupBy("part", "grp").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("grp_bytes"),
+    )
+    return per_group.groupBy("part").agg(
+        F.sum("n_files").cast("long").alias("files_before"),
+        F.count("*").cast("long").alias("groups_after"),
+        F.sum("grp_bytes").cast("long").alias("total_bytes"),
+        F.max("grp_bytes").cast("long").alias("max_group_bytes"),
+        F.sum(F.when(F.col("grp_bytes") < 64 * mb, 1).otherwise(0))
+        .cast("long").alias("small_groups_after"),
+    )
+
+
+ORACLE_COMPACTION_PLAN = """
+WITH files AS (
+  SELECT doc_id % 13 AS part, doc_id AS file_id,
+         CAST((1 + (doc_id * 97) % 40) * 1048576 AS BIGINT) AS bytes
+  FROM documents
+),
+g AS (
+  SELECT part, file_id, bytes,
+         CAST((sum(bytes) OVER (PARTITION BY part ORDER BY file_id
+                                ROWS UNBOUNDED PRECEDING) - 1)
+              // 134217728 AS BIGINT) AS grp
+  FROM files
+),
+per_group AS (
+  SELECT part, grp, CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(bytes) AS BIGINT) AS grp_bytes
+  FROM g GROUP BY 1, 2
+)
+SELECT part,
+       CAST(sum(n_files) AS BIGINT) AS files_before,
+       CAST(count(*) AS BIGINT) AS groups_after,
+       CAST(sum(grp_bytes) AS BIGINT) AS total_bytes,
+       CAST(max(grp_bytes) AS BIGINT) AS max_group_bytes,
+       CAST(sum(CASE WHEN grp_bytes < 67108864 THEN 1 ELSE 0 END) AS BIGINT)
+         AS small_groups_after
+FROM per_group GROUP BY 1
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining census — the contrastive-training prep step
+    (CLIP/SimCLR-style pipelines, public): for each anchor vector, the
+    nearest neighbor with a DIFFERENT label is the hard negative the
+    batch sampler wants; its similarity is the margin report a training
+    run monitors. Anchors are bounded (vec_id < 20 — the per-batch
+    anchor set), candidates are the full table minus the anchor's own
+    label; exact cosine (zip_with/aggregate, same sequential fold both
+    engines), irrational output rounded to 6 dp with vec_id tie-break
+    (cosine_topk's exactness convention). At corpus scale the candidate
+    side rides the SRP-LSH bucket join (operators/similarity.py) — this
+    is its label-aware oracle baseline, anchors broadcast, one window
+    over per-anchor candidates."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("av"),
+    )
+    cand = emb.crossJoin(F.broadcast(anchors)).filter(
+        F.col("label") != F.col("anchor_label")
+    ).select(
+        "anchor_id", "anchor_label", "vec_id",
+        F.col("label").alias("neg_label"),
+        cosine(F.col("embedding"), F.col("av")).alias("cs"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id", "anchor_label",
+            F.col("vec_id").alias("negative_id"), "neg_label",
+            F.round("cs", 6).alias("neg_cos_sim"),
+        )
+    )
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS av
+  FROM embeddings WHERE vec_id < 20
+),
+ex AS (
+  SELECT a.anchor_id, a.anchor_label, d.vec_id, d.label AS neg_label,
+         CAST(unnest(d.embedding) AS DOUBLE) AS xd,
+         CAST(unnest(a.av) AS DOUBLE) AS xa
+  FROM embeddings d CROSS JOIN a
+  WHERE d.label <> a.anchor_label
+),
+s AS (
+  SELECT anchor_id, anchor_label, vec_id, neg_label,
+         sum(xd * xa) AS dot, sqrt(sum(xd * xd)) AS nd,
+         sqrt(sum(xa * xa)) AS na
+  FROM ex GROUP BY 1, 2, 3, 4
+),
+r AS (
+  SELECT anchor_id, anchor_label, vec_id, neg_label,
+         dot / (nd * na) AS cs,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY dot / (nd * na) DESC, vec_id) AS rn
+  FROM s
+)
+SELECT anchor_id, anchor_label, vec_id AS negative_id, neg_label,
+       round(cs, 6) AS neg_cos_sim
+FROM r WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -10613,6 +10757,8 @@ QUERIES: dict[str, tuple] = {
         q_revisit_apportionment, ORACLE_REVISIT_APPORTIONMENT
     ),
     "host_split_leakage": (q_host_split_leakage, ORACLE_HOST_SPLIT_LEAKAGE),
+    "compaction_plan": (q_compaction_plan, ORACLE_COMPACTION_PLAN),
+    "hard_negatives": (q_hard_negatives, ORACLE_HARD_NEGATIVES),
 }
 
 

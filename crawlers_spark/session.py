@@ -26,14 +26,22 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]).
     """
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
+        # honor a launcher-provided master (spark-submit --master sets
+        # spark.master through system properties; overriding it here
+        # would silently turn a cluster launch back into local mode)
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+    b = SparkSession.builder.appName(app_name)
+    if master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

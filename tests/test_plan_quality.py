@@ -824,3 +824,24 @@ def test_host_split_leakage_zero_and_broadcast_scalars(spark):
     assert sum(r["chars_ppm"] for r in rows) in (999999, 1000000)
     plan = _plan(out)
     assert "CartesianProduct" not in plan
+
+
+def test_compaction_plan_single_window_no_join(spark):
+    """compaction_plan: one cumsum window per partition + hash-aggs —
+    a metadata-only plan, no join anywhere."""
+    from crawlers_spark.queries import q_compaction_plan
+
+    plan = _plan(q_compaction_plan(spark, SF))
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "HashAggregate" in plan
+
+
+def test_hard_negatives_broadcast_anchors(spark):
+    """hard_negatives: the bounded anchor set broadcasts; candidates
+    never shuffle into a cartesian of the full table with itself."""
+    from crawlers_spark.queries import q_hard_negatives
+
+    plan = _plan(q_hard_negatives(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
