@@ -10551,6 +10551,85 @@ FROM r WHERE rn = 1
 """
 
 
+def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution union law — the read-side merge every long-lived
+    lakehouse table needs (Iceberg/Delta schema evolution, public): a
+    crawl that ran for years has v1 files without columns later versions
+    added; the reader unions BY NAME with missing columns defaulted,
+    never by position. Simulated from the corpus: docs with doc_id%3==0
+    are 'v1' rows (no lang, no n_chars — projected away, then defaulted
+    NULL/-1 at read), the rest 'v2'. Census per schema version the way a
+    table-health report quotes it: rows, rows with a defaulted lang,
+    chars accounted (v1 contributes 0 — its n_chars is the -1 sentinel,
+    excluded from sums by filter, not by abs), and the per-version char
+    share ppm. The union-by-name is the load-bearing op: Spark
+    unionByName(allowMissingColumns) == SQL UNION ALL of aligned
+    projections, proven equal cross-engine. One union + one hash-agg."""
+    d = load_table(spark, sf, "documents")
+    v1 = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "source")
+    v2 = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    v1_full = v1.select(
+        "doc_id", "source",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(-1).cast("long").alias("n_chars"),
+        F.lit("v1").alias("schema_version"),
+    )
+    v2_full = v2.select(
+        "doc_id", "source", "lang", F.col("n_chars").cast("long"),
+        F.lit("v2").alias("schema_version"),
+    )
+    merged = v1_full.unionByName(v2_full)
+    tot = merged.agg(
+        F.sum(F.when(F.col("n_chars") >= 0, F.col("n_chars")).otherwise(0))
+        .cast("long").alias("corpus_chars")
+    )
+    agg = merged.groupBy("schema_version").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).cast("long")
+        .alias("defaulted_lang"),
+        F.sum(F.when(F.col("n_chars") >= 0, F.col("n_chars")).otherwise(0))
+        .cast("long").alias("chars"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "schema_version", "n_rows", "defaulted_lang", "chars",
+        F.when(F.col("corpus_chars") == 0, F.lit(0)).otherwise(
+            F.expr("(chars * 1000000) div corpus_chars")
+        ).cast("long").alias("chars_ppm"),
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+WITH merged AS (
+  SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang,
+         CAST(-1 AS BIGINT) AS n_chars, 'v1' AS schema_version
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, source, lang, CAST(n_chars AS BIGINT), 'v2'
+  FROM documents WHERE doc_id % 3 <> 0
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN n_chars >= 0 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS corpus_chars
+  FROM merged
+),
+agg AS (
+  SELECT schema_version, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS defaulted_lang,
+         CAST(sum(CASE WHEN n_chars >= 0 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS chars
+  FROM merged GROUP BY 1
+)
+SELECT schema_version, n_rows, defaulted_lang, chars,
+       CAST(CASE WHEN corpus_chars = 0 THEN 0
+            ELSE (chars * 1000000) // corpus_chars END AS BIGINT)
+         AS chars_ppm
+FROM agg CROSS JOIN tot
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -10759,6 +10838,7 @@ QUERIES: dict[str, tuple] = {
     "host_split_leakage": (q_host_split_leakage, ORACLE_HOST_SPLIT_LEAKAGE),
     "compaction_plan": (q_compaction_plan, ORACLE_COMPACTION_PLAN),
     "hard_negatives": (q_hard_negatives, ORACLE_HARD_NEGATIVES),
+    "schema_evolution": (q_schema_evolution, ORACLE_SCHEMA_EVOLUTION),
 }
 
 

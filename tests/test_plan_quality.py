@@ -845,3 +845,15 @@ def test_hard_negatives_broadcast_anchors(spark):
     plan = _plan(q_hard_negatives(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_schema_evolution_union_no_shuffle_before_agg(spark):
+    """schema_evolution: the by-name union is a metadata op — no join,
+    one hash-agg pass over the merged scan."""
+    from crawlers_spark.queries import q_schema_evolution
+
+    plan = _plan(q_schema_evolution(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert "Union" in plan
