@@ -10630,6 +10630,90 @@ FROM agg CROSS JOIN tot
 """
 
 
+def q_retrieval_mrr(spark: SparkSession, sf: str) -> DataFrame:
+    """MRR@10 retrieval-quality audit (mean reciprocal rank — the
+    standard IR evaluation metric, public since TREC) over the engine's
+    own term-frequency ranking lane: for each of 5 probe terms, ground
+    truth derives FROM THE DATA (the relevant doc is the lowest doc_id
+    containing the term — deterministic, no labels needed), the system
+    ranks docs by (tf DESC, doc_id), and the reciprocal rank is emitted
+    in exact integer ppm (1e6 div rank within the top 10, 0 beyond —
+    the cutoff real dashboards use). Output per probe term: the
+    relevant doc, its rank (NULL when outside top-10), rr_ppm, and the
+    suite-level MRR ppm replicated (integer mean over probes). Shape:
+    token explode + hash-aggs + ONE per-term top-10 window over
+    df-bounded candidates + a broadcast scalar — nothing unbounded
+    shuffles; at 100 TB this audit reads the posting lists, not the
+    corpus."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    toks = docs.filter(F.length(norm) > 0).select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("term")
+    ).filter(F.col("term").isin("key", "scan", "batch", "merge", "window"))
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    truth = tf.groupBy("term").agg(F.min("doc_id").alias("relevant_doc"))
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    ranked = tf.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+    hit = truth.join(
+        ranked.select("term", F.col("doc_id").alias("relevant_doc"), "rank"),
+        ["term", "relevant_doc"], "left",
+    ).select(
+        "term", "relevant_doc", "rank",
+        F.coalesce(
+            F.expr("1000000 div rank"), F.lit(0)
+        ).cast("long").alias("rr_ppm"),
+    )
+    mrr = hit.agg(
+        F.expr(
+            "CASE WHEN count(*) = 0 THEN 0"
+            " ELSE sum(rr_ppm) div count(*) END"
+        ).cast("long").alias("mrr_ppm")
+    )
+    return hit.crossJoin(F.broadcast(mrr)).select(
+        "term", "relevant_doc", "rank", "rr_ppm", "mrr_ppm"
+    )
+
+
+ORACLE_RETRIEVAL_MRR = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(txt, ' ')) AS term
+  FROM norm WHERE length(txt) > 0
+),
+tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ('key', 'scan', 'batch', 'merge', 'window')
+  GROUP BY 1, 2
+),
+truth AS (SELECT term, min(doc_id) AS relevant_doc FROM tf GROUP BY 1),
+ranked AS (
+  SELECT term, doc_id, row_number() OVER
+           (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank
+  FROM tf QUALIFY rank <= 10
+),
+hit AS (
+  SELECT t.term, t.relevant_doc, r.rank,
+         CAST(coalesce(1000000 // r.rank, 0) AS BIGINT) AS rr_ppm
+  FROM truth t LEFT JOIN ranked r
+    ON t.term = r.term AND t.relevant_doc = r.doc_id
+),
+mrr AS (
+  SELECT CAST(CASE WHEN count(*) = 0 THEN 0
+              ELSE sum(rr_ppm) // count(*) END AS BIGINT) AS mrr_ppm
+  FROM hit
+)
+SELECT term, relevant_doc, rank, rr_ppm, mrr_ppm
+FROM hit CROSS JOIN mrr
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -10839,6 +10923,7 @@ QUERIES: dict[str, tuple] = {
     "compaction_plan": (q_compaction_plan, ORACLE_COMPACTION_PLAN),
     "hard_negatives": (q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "schema_evolution": (q_schema_evolution, ORACLE_SCHEMA_EVOLUTION),
+    "retrieval_mrr": (q_retrieval_mrr, ORACLE_RETRIEVAL_MRR),
 }
 
 

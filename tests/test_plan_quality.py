@@ -857,3 +857,14 @@ def test_schema_evolution_union_no_shuffle_before_agg(spark):
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
     assert "Union" in plan
+
+
+def test_retrieval_mrr_bounded_window_no_cartesian(spark):
+    """retrieval_mrr: one per-term top-10 window over df-bounded
+    candidates, keyed joins only, scalar MRR broadcast."""
+    from crawlers_spark.queries import q_retrieval_mrr
+
+    plan = _plan(q_retrieval_mrr(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "HashAggregate" in plan
