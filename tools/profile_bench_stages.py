@@ -5,7 +5,10 @@ the exact same setup (pre-bucketed state, blobs, CRAWL_BENCH_CONF).
 Stages per rep:
   gen    — distributed_candidates forced with a hash-only agg
   fused  — gen + exchange + fused cogroup + count (the bench's timed op)
-Prints one JSON line. Usage: profile_bench_stages.py CPUS [reps] [emit_strings]
+Prints one JSON line.
+Usage: profile_bench_stages.py CPUS [reps] [emit_strings] [executors]
+(executors > 0 switches to local-cluster[E,4,6144] — CPUS is ignored
+and becomes E*4, matching bench.run_crawl_bench.)
 """
 from __future__ import annotations
 
@@ -23,6 +26,7 @@ def main() -> None:
     cpus = int(sys.argv[1])
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     emit_strings = sys.argv[3] if len(sys.argv) > 3 else "all"
+    executors = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     from pyspark.sql import functions as F
 
     from crawlers_spark.operators.fused_schedule import (
@@ -47,7 +51,13 @@ def main() -> None:
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
     if extra:
         conf.update(json.loads(extra))
-    spark = _get_spark(cpus, shuffle=p["n_host_buckets"], extra_conf=conf)
+    master = None
+    if executors > 0:
+        cpus = executors * 4
+        mem = os.environ.get("SPARK_GRAFT_CLUSTER_MEM", "12288")
+        master = f"local-cluster[{executors},4,{mem}]"
+    spark = _get_spark(cpus, shuffle=p["n_host_buckets"], extra_conf=conf,
+                       master=master)
     web = SynthWebConfig(n_hosts=p["n_hosts"], base_pages=p["base_pages"])
     robots = robots_pdf(web)
     params = BloomParams.size_for(p["n_preseen"] * 2, n_buckets=p["n_host_buckets"])
@@ -70,7 +80,8 @@ def main() -> None:
     )
     state.count()
 
-    out = {"cpus": cpus, "emit_strings": emit_strings, "gen": [], "fused": []}
+    out = {"cpus": cpus, "executors": executors, "emit_strings": emit_strings,
+           "gen": [], "fused": []}
     for _ in range(reps):
         t0 = time.monotonic()
         raw = distributed_candidates(
