@@ -10714,6 +10714,264 @@ FROM hit CROSS JOIN mrr
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-30 collocations by pointwise mutual information (Church &
+    Hanks, Computational Linguistics 1990 — public): PMI(a,b) =
+    ln(P(a,b) / (P(a)·P(b))) over document-level co-occurrence. ln is
+    monotone, so the RANKING — the part a curation pipeline actually
+    consumes — needs no float at all: the rank key is the e6-scaled
+    exact rational (n_pair·N·1e6) div (df_a·df_b) with N = docs holding
+    at least one token, integer-exact cross-engine, and the (word_a,
+    word_b) tie-break keeps the top-k unique even where the integer key
+    collides. Extends word_cooccurrence (the counts lane) with the
+    information-theoretic ranking itself. The same df-band 2..50 that
+    bounds the co-occurrence self-join bounds it here (a stopword-grade
+    token would contribute O(docs) pair rows); the N scalar rides a
+    broadcast cross join; top-30 compiles to TakeOrderedAndProject
+    (per-partition k then merge — never a single-partition sort). At
+    10^10 docs n_pair·N·1e6 ≤ 50·1e10·1e6 — still inside int64."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = (
+        d.filter(F.length(norm) > 0)
+        .select("doc_id", F.explode(F.split(norm, " ")).alias("word"))
+        .distinct()
+    )
+    nd = words.agg(F.count_distinct("doc_id").alias("nd"))
+    dfc = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("wdf"))
+        .filter((F.col("wdf") >= 2) & (F.col("wdf") <= 50))
+    )
+    ww = words.join(dfc, "word")
+    a, b = ww.alias("a"), ww.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.word") < F.col("b.word"))
+        .groupBy(
+            F.col("a.word").alias("word_a"),
+            F.col("b.word").alias("word_b"),
+            F.col("a.wdf").alias("df_a"),
+            F.col("b.wdf").alias("df_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    return (
+        pairs.join(F.broadcast(nd))
+        .select(
+            "word_a",
+            "word_b",
+            "n_pair",
+            "df_a",
+            "df_b",
+            F.expr("(n_pair * nd * 1000000) DIV (df_a * df_b)")
+            .cast("long")
+            .alias("pmi_ratio_e6"),
+        )
+        .orderBy(F.desc("pmi_ratio_e6"), "word_a", "word_b")
+        .limit(30)
+    )
+
+
+ORACLE_PMI_COLLOCATIONS = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents
+),
+words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(txt, ' ')) AS word
+  FROM norm WHERE length(txt) > 0
+),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM words),
+dfc AS (
+  SELECT word, count(*) AS wdf FROM words GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND 50
+),
+ww AS (SELECT w.doc_id, w.word, dfc.wdf FROM words w JOIN dfc USING (word)),
+p AS (
+  SELECT a.word AS word_a, b.word AS word_b, a.wdf AS df_a, b.wdf AS df_b,
+         count(*) AS n_pair
+  FROM ww a JOIN ww b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+)
+SELECT word_a, word_b, n_pair, df_a, df_b,
+       CAST((n_pair * nd * 1000000) // (df_a * df_b) AS BIGINT)
+         AS pmi_ratio_e6
+FROM p CROSS JOIN nd
+ORDER BY pmi_ratio_e6 DESC, word_a, word_b
+LIMIT 30
+"""
+
+
+def q_shingle_df_spectrum(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-frequency spectrum of distinct word 5-gram spans — the
+    calibration law behind every df-capped dedup stage in this engine
+    (dedup_ngram_jaccard's df band, the MinHash banding input,
+    span_dup_fraction): for each df value, how many distinct spans
+    carry it, their share of the span vocabulary, and their share of
+    total span OCCURRENCE mass (df × spans — the shuffle bytes a cap of
+    that df admits downstream). Choosing a df cap = reading this table:
+    the vocabulary share says what fraction of spans a cap drops, the
+    occurrence share says what fraction of join fanout it saves. Shape:
+    span explode → two cascaded hash-aggs (span→df, df→spectrum) + a
+    broadcast totals scalar — output is ~max-df rows, so the spectrum
+    itself never shuffles meaningfully at any corpus size. Integer-exact
+    ppm shares (same e6-div lane as the other census queries)."""
+    from .operators.dedup import normalize_text
+
+    k = _SPAN_K
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    grams = (
+        t.filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {k}),"
+                    f" i -> concat_ws(' ', {', '.join(f'w[i+{j}]' for j in range(k))}))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    span_df = grams.groupBy("s").agg(F.count("*").alias("df"))
+    spec = span_df.groupBy("df").agg(F.count("*").cast("long").alias("n_spans"))
+    tot = spec.agg(
+        F.sum("n_spans").alias("tot_spans"),
+        F.sum(F.col("df") * F.col("n_spans")).alias("tot_occ"),
+    )
+    return spec.join(F.broadcast(tot)).select(
+        "df",
+        "n_spans",
+        (F.col("df") * F.col("n_spans")).cast("long").alias("occ_mass"),
+        F.expr("(n_spans * 1000000) DIV tot_spans")
+        .cast("long")
+        .alias("span_share_ppm"),
+        F.expr("(df * n_spans * 1000000) DIV tot_occ")
+        .cast("long")
+        .alias("occ_share_ppm"),
+    )
+
+
+ORACLE_SHINGLE_DF_SPECTRUM = f"""
+WITH t AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(w) - {_SPAN_K - 2}),
+                     i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(_SPAN_K))})) AS s
+       FROM t WHERE len(w) >= {_SPAN_K}),
+sdf AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+spec AS (SELECT df, CAST(count(*) AS BIGINT) AS n_spans FROM sdf GROUP BY 1),
+tot AS (SELECT sum(n_spans) AS tot_spans, sum(df * n_spans) AS tot_occ FROM spec)
+SELECT df, n_spans, CAST(df * n_spans AS BIGINT) AS occ_mass,
+       CAST((n_spans * 1000000) // tot_spans AS BIGINT) AS span_share_ppm,
+       CAST((df * n_spans * 1000000) // tot_occ AS BIGINT) AS occ_share_ppm
+FROM spec CROSS JOIN tot
+"""
+
+
+def q_token_budget_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget Pareto curve (who holds the tokens): docs ranked by
+    whitespace-token count descending, bucketed into 10 equal-population
+    deciles, each decile reporting doc count, token sum, cumulative
+    tokens, and exact cumulative ppm share of the corpus token budget.
+    This is the concentration curve that decides shard sizing and
+    length-based subsampling budgets (length_threshold_sweep sweeps a
+    cut; this reports how skewed the budget is before choosing one).
+    Scale shape: the corpus-wide ranking uses operators/ranking.
+    global_rank (range-partitioned two-phase rank — never a
+    single-partition window over the corpus); the decile bucket is pure
+    arithmetic on that rank; the one ordered cumulative window runs on
+    the AGGREGATED 10-row decile table, bounded at 10 rows forever."""
+    from .operators.ranking import global_rank
+
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    toks = d.select(
+        "doc_id",
+        F.when(F.length(norm) > 0, F.size(F.split(norm, " ")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    ranked, n = global_rank(
+        toks.withColumn("neg_t", -F.col("n_tokens")),
+        order_cols=["neg_t", "doc_id"],
+        out_col="rk",
+        with_count=True,
+    )
+    agg = (
+        ranked.select(
+            F.expr(f"(rk * 10) DIV {max(n, 1)}").cast("long").alias("decile"),
+            "n_tokens",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+        )
+    )
+    tot = agg.agg(F.sum("tokens").alias("tot_tokens"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.withColumn("cum_tokens", F.sum("tokens").over(w).cast("long"))
+        .join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_docs",
+            "tokens",
+            "cum_tokens",
+            F.expr(
+                "CASE WHEN tot_tokens = 0 THEN 0"
+                " ELSE (cum_tokens * 1000000) DIV tot_tokens END"
+            )
+            .cast("long")
+            .alias("cum_share_ppm"),
+        )
+    )
+
+
+ORACLE_TOKEN_BUDGET_PARETO = """
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(txt) > 0 THEN len(string_split(txt, ' '))
+              ELSE 0 END AS BIGINT) AS n_tokens
+  FROM t
+),
+n AS (SELECT count(*) AS n FROM tok),
+r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+  FROM tok
+),
+dec AS (
+  SELECT CAST((rk * 10) // greatest(n, 1) AS BIGINT) AS decile, n_tokens
+  FROM r CROSS JOIN n
+),
+agg AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens
+  FROM dec GROUP BY 1
+),
+tot AS (SELECT sum(tokens) AS tot_tokens FROM agg)
+SELECT decile, n_docs, tokens,
+       CAST(sum(tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+       CAST(CASE WHEN tot_tokens = 0 THEN 0
+            ELSE (sum(tokens) OVER (ORDER BY decile) * 1000000) // tot_tokens
+            END AS BIGINT) AS cum_share_ppm
+FROM agg CROSS JOIN tot
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -10924,6 +11182,9 @@ QUERIES: dict[str, tuple] = {
     "hard_negatives": (q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "schema_evolution": (q_schema_evolution, ORACLE_SCHEMA_EVOLUTION),
     "retrieval_mrr": (q_retrieval_mrr, ORACLE_RETRIEVAL_MRR),
+    "pmi_collocations": (q_pmi_collocations, ORACLE_PMI_COLLOCATIONS),
+    "shingle_df_spectrum": (q_shingle_df_spectrum, ORACLE_SHINGLE_DF_SPECTRUM),
+    "token_budget_pareto": (q_token_budget_pareto, ORACLE_TOKEN_BUDGET_PARETO),
 }
 
 

