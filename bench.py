@@ -624,7 +624,7 @@ default (session.py) keeps AQE on for real queries.{sec_note}
 
 | metric | value | config |
 |---|---|---|
-{rows}{cluster_note}
+{rows}{cluster_note}{_datasize_section()}
 Reading the numbers — the "ceiling" rows are a same-session
 hardware-probe ladder, all bare multiprocessing pools with ZERO Spark:
 
@@ -755,6 +755,91 @@ window, later rows inside the thread cycle.)
 {rows}{range_note}"""
 
 
+def run_datasize_probe(cpus: int = 16, factor: int = 4, reps: int = 2) -> dict:
+    """Data-size linearity probe (axis B): same parallelism, same
+    long-lived state (seen-set/robots), 1x vs ``factor``x the CANDIDATE
+    volume — the per-generation cost model at a growing frontier, where
+    state is resident and only the candidate side moves. Ideal linear
+    behavior keeps URLs/sec constant as data grows; ``retention`` =
+    thr(big)/thr(base). Spawns are fresh-JVM subprocesses interleaved
+    base/big/base/big so host-VM drift cancels (the scaling-pair
+    protocol); fetch is skipped — the metric is scheduled+deduped URLs.
+    Persists BENCH/datasize.json, which update_baseline_md renders as
+    the axis-B section on every subsequent bench run."""
+    import datetime
+
+    base_nc = CRAWL_BENCH["n_candidates"]
+    big_nc = base_nc * factor
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
+    walls: dict[int, list] = {base_nc: [], big_nc: []}
+    for _round in range(2):
+        for nc in (base_nc, big_nc):
+            time.sleep(10)
+            cmd = [sys.executable, os.path.abspath(__file__), "--crawl",
+                   "--cpus", str(cpus), "--reps", str(reps), "--no-fetch",
+                   "--candidates", str(nc)]
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=1800, env=env)
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            walls[nc].extend(json.loads(line)["walls"])
+    w_base, w_big = min(walls[base_nc]), min(walls[big_nc])
+    thr_base, thr_big = base_nc / w_base, big_nc / w_big
+    out = {
+        "utc": datetime.datetime.now(datetime.timezone.utc)
+        .strftime("%Y-%m-%d %H:%M"),
+        "cpus": cpus,
+        "base_candidates": base_nc,
+        "big_candidates": big_nc,
+        "base_urls_per_sec": round(thr_base, 1),
+        "big_urls_per_sec": round(thr_big, 1),
+        "retention": round(thr_big / thr_base, 3),
+        "wall_base": round(w_base, 2), "wall_big": round(w_big, 2),
+        "walls_base": [round(w, 2) for w in walls[base_nc]],
+        "walls_big": [round(w, 2) for w in walls[big_nc]],
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "datasize.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        pass
+    return out
+
+
+def _datasize_section() -> str:
+    """Render BENCH/datasize.json (if present) for BASELINE.md."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "datasize.json")) as fh:
+            d = json.load(fh)
+    except (OSError, ValueError):
+        return ""
+    try:
+        return _render_datasize(d)
+    except (KeyError, TypeError, ZeroDivisionError):
+        return ""
+
+
+def _render_datasize(d: dict) -> str:
+    return f"""
+
+## Data-size linearity (axis B — measured {d['utc']} UTC via `python bench.py --datasize`)
+
+Same parallelism (local[{d['cpus']}]), same resident seen-set/robots
+state, candidate volume grown {d['big_candidates'] // d['base_candidates']}x
+— the per-generation cost model at a growing frontier. Ideal linear
+behavior keeps URLs/sec constant; spawns interleaved base/big/base/big
+(fresh JVMs, min-of-reps):
+
+| metric | value | config |
+|---|---|---|
+| URLs scheduled+deduped/sec @ {d['base_candidates']:,} candidates | {d['base_urls_per_sec']:,} | wall {d['wall_base']} s (reps {d['walls_base']}) |
+| URLs scheduled+deduped/sec @ {d['big_candidates']:,} candidates | {d['big_urls_per_sec']:,} | wall {d['wall_big']} s (reps {d['walls_big']}) |
+| throughput retention at {d['big_candidates'] // d['base_candidates']}x data | {d['retention']:.3f} | 1.0 = perfectly linear; sub-linear residue is the bigger shuffle's memory footprint on this shared box |
+"""
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--crawl", action="store_true", help="crawl bench only (one level)")
@@ -768,7 +853,16 @@ def main() -> None:
     ap.add_argument("--exec-cores", type=int, default=4)
     ap.add_argument("--no-fetch", action="store_true",
                     help="skip the image-fetch stage timing")
+    ap.add_argument("--datasize", action="store_true",
+                    help="data-size linearity probe (axis B): 1x vs 4x "
+                         "candidates at fixed local[16], interleaved; "
+                         "persists BENCH/datasize.json")
     args = ap.parse_args()
+
+    if args.datasize:
+        print(json.dumps(run_datasize_probe(cpus=args.cpus if args.cpus != 32
+                                            else 16, reps=args.reps or 2)))
+        return
 
     if args.crawl:
         print(json.dumps(run_crawl_bench(

@@ -10972,6 +10972,171 @@ FROM agg CROSS JOIN tot
 """
 
 
+def q_laion_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """LAION-400M-style image+caption admission funnel (Schuhmann et al.
+    2021, public — the filter set behind the largest public image-text
+    corpora, reused by DataComp 2023): drop pairs whose image min-side
+    < 256 px, whose aspect ratio exceeds 3:1 either way, whose caption
+    is shorter than 16 characters or longer than 640, or whose
+    image-text similarity is below 0.280 (LAION's CLIP threshold).
+    Dims derive deterministically from doc_id (the input_hint (w, h)
+    lane shared with vit_patch_budget/thumbnail_budget); the similarity
+    is a PLANTED integer milli-score lane (Knuth multiplicative hash of
+    doc_id mod 1000 — the pii_scrub_census planting convention; a real
+    pipeline plugs a CLIP pandas_udf into exactly this column). Census
+    per image format: pairs, one failure count per rule (rules compose
+    as AND — a conjunction audit, not a funnel order claim), admitted
+    pairs, and the RGB pixel bytes the admitted set costs (the mirror
+    sizing number thumbnail_budget refines). All exact int64; one
+    projection + one hash-agg — map-side-combinable at 100 TB."""
+    d = load_table(spark, sf, "documents")
+    cap = F.trim(F.regexp_replace(F.coalesce("text", F.lit("")), r"\s+", " "))
+    t = d.select(
+        (64 + (F.col("doc_id") * 37) % 1024).cast("long").alias("w"),
+        (64 + (F.col("doc_id") * 53) % 1024).cast("long").alias("h"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("ppm"), F.lit("jpeg")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("fmt"),
+        F.length(cap).cast("long").alias("cap_chars"),
+        ((F.col("doc_id") * 2654435761) % 1000).cast("long").alias("sim_milli"),
+    ).select(
+        "fmt", "w", "h",
+        (F.least("w", "h") < 256).cast("int").alias("f_size"),
+        (F.greatest("w", "h") > F.least("w", "h") * 3).cast("int")
+        .alias("f_aspect"),
+        (F.col("cap_chars") < 16).cast("int").alias("f_cap_short"),
+        (F.col("cap_chars") > 640).cast("int").alias("f_cap_long"),
+        (F.col("sim_milli") < 280).cast("int").alias("f_clip"),
+    )
+    ok = (
+        F.col("f_size") + F.col("f_aspect") + F.col("f_cap_short")
+        + F.col("f_cap_long") + F.col("f_clip")
+    ) == 0
+    return t.groupBy("fmt").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("f_size").cast("long").alias("fail_size"),
+        F.sum("f_aspect").cast("long").alias("fail_aspect"),
+        F.sum("f_cap_short").cast("long").alias("fail_cap_short"),
+        F.sum("f_cap_long").cast("long").alias("fail_cap_long"),
+        F.sum("f_clip").cast("long").alias("fail_clip"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_admitted"),
+        F.sum(F.when(ok, F.col("w") * F.col("h") * 3).otherwise(0))
+        .cast("long").alias("admitted_px_bytes"),
+    )
+
+
+ORACLE_LAION_FILTERS = """
+WITH t AS (
+  SELECT 64 + (doc_id * 37) % 1024 AS w,
+         64 + (doc_id * 53) % 1024 AS h,
+         (['png', 'ppm', 'jpeg'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt,
+         length(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))
+           AS cap_chars,
+         (doc_id * 2654435761) % 1000 AS sim_milli
+  FROM documents
+),
+f AS (
+  SELECT fmt, w, h,
+         CASE WHEN least(w, h) < 256 THEN 1 ELSE 0 END AS f_size,
+         CASE WHEN greatest(w, h) > 3 * least(w, h) THEN 1 ELSE 0 END
+           AS f_aspect,
+         CASE WHEN cap_chars < 16 THEN 1 ELSE 0 END AS f_cap_short,
+         CASE WHEN cap_chars > 640 THEN 1 ELSE 0 END AS f_cap_long,
+         CASE WHEN sim_milli < 280 THEN 1 ELSE 0 END AS f_clip
+  FROM t
+)
+SELECT fmt,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(f_size) AS BIGINT) AS fail_size,
+       CAST(sum(f_aspect) AS BIGINT) AS fail_aspect,
+       CAST(sum(f_cap_short) AS BIGINT) AS fail_cap_short,
+       CAST(sum(f_cap_long) AS BIGINT) AS fail_cap_long,
+       CAST(sum(f_clip) AS BIGINT) AS fail_clip,
+       CAST(sum(CASE WHEN f_size + f_aspect + f_cap_short + f_cap_long
+                          + f_clip = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_admitted,
+       CAST(sum(CASE WHEN f_size + f_aspect + f_cap_short + f_cap_long
+                          + f_clip = 0 THEN w * h * 3 ELSE 0 END) AS BIGINT)
+         AS admitted_px_bytes
+FROM f GROUP BY 1
+"""
+
+
+def q_caption_image_dup_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modal duplication decision matrix — the census behind the
+    dedup-strategy choice every image-text corpus build publishes
+    (DataComp 2023 ablates image-based vs caption-based vs pair-based
+    dedup, public): the SAME image recrawled under many captions (stock
+    photos, thumbnails) and the SAME caption attached to many images
+    (SEO boilerplate) are different failure modes with different fixes.
+    Identity lanes are PLANTED deterministically (pii_scrub_census
+    convention): every 4th pair reuses one of 97 stock image keys,
+    every 5th pair one of 31 boilerplate caption keys (md5-lane), all
+    others are unique (caption key = md5 of the text, image key =
+    offset doc_id). Bucket ids are (doc_id div step) mod m — div
+    before mod, so the planted keys actually collide at EVERY corpus
+    scale (step and m coprime would make plain doc_id mod m injective
+    over the planted ids at small scale). Each pair is classified dup/unique per modality by
+    a per-key count; output is the 2x2 contingency: pairs, distinct
+    captions / images / (caption, image) pairs per cell — the numbers
+    that decide how much pair-level vs modality-level dedup each
+    removes. Scale shape: two per-key counts = two key-partitioned
+    window shuffles (never a driver-side distinct; keys are unbounded
+    so no broadcast), then one tiny hash-agg to <= 4 rows."""
+    d = load_table(spark, sf, "documents")
+    pairs = d.select(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.md5(F.concat(F.lit("cap"), F.expr("(doc_id div 5) % 31")
+                           .cast("string"))),
+        ).otherwise(F.md5(F.coalesce("text", F.lit("")))).alias("cap_key"),
+        F.when(F.col("doc_id") % 4 == 0, F.expr("(doc_id div 4) % 97"))
+        .otherwise(100000 + F.col("doc_id")).cast("long").alias("img_key"),
+    )
+    wc = Window.partitionBy("cap_key")
+    wi = Window.partitionBy("img_key")
+    flagged = pairs.select(
+        "cap_key", "img_key",
+        (F.count("*").over(wc) > 1).cast("long").alias("cap_dup"),
+        (F.count("*").over(wi) > 1).cast("long").alias("img_dup"),
+    )
+    pair_key = F.concat_ws("|", "cap_key", F.col("img_key").cast("string"))
+    return flagged.groupBy("cap_dup", "img_dup").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.countDistinct("cap_key").cast("long").alias("n_captions"),
+        F.countDistinct("img_key").cast("long").alias("n_images"),
+        F.countDistinct(pair_key).cast("long").alias("n_pair_keys"),
+    )
+
+
+ORACLE_CAPTION_IMAGE_DUP_MATRIX = """
+WITH p AS (
+  SELECT CASE WHEN doc_id % 5 = 0
+              THEN md5('cap' || CAST((doc_id // 5) % 31 AS VARCHAR))
+              ELSE md5(coalesce(text, '')) END AS cap_key,
+         CASE WHEN doc_id % 4 = 0 THEN (doc_id // 4) % 97
+              ELSE 100000 + doc_id END AS img_key
+  FROM documents
+),
+f AS (
+  SELECT cap_key, img_key,
+         CAST(CASE WHEN count(*) OVER (PARTITION BY cap_key) > 1
+              THEN 1 ELSE 0 END AS BIGINT) AS cap_dup,
+         CAST(CASE WHEN count(*) OVER (PARTITION BY img_key) > 1
+              THEN 1 ELSE 0 END AS BIGINT) AS img_dup
+  FROM p
+)
+SELECT cap_dup, img_dup,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT cap_key) AS BIGINT) AS n_captions,
+       CAST(count(DISTINCT img_key) AS BIGINT) AS n_images,
+       CAST(count(DISTINCT cap_key || '|' || CAST(img_key AS VARCHAR))
+            AS BIGINT) AS n_pair_keys
+FROM f GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -11185,6 +11350,11 @@ QUERIES: dict[str, tuple] = {
     "pmi_collocations": (q_pmi_collocations, ORACLE_PMI_COLLOCATIONS),
     "shingle_df_spectrum": (q_shingle_df_spectrum, ORACLE_SHINGLE_DF_SPECTRUM),
     "token_budget_pareto": (q_token_budget_pareto, ORACLE_TOKEN_BUDGET_PARETO),
+    "laion_filters": (q_laion_filters, ORACLE_LAION_FILTERS),
+    "caption_image_dup_matrix": (
+        q_caption_image_dup_matrix,
+        ORACLE_CAPTION_IMAGE_DUP_MATRIX,
+    ),
 }
 
 

@@ -914,3 +914,32 @@ def test_token_budget_pareto_no_corpus_single_partition_window(spark):
     # produces `tokens`; cheap structural check: exactly one Window node.
     assert plan.count("Window") >= 1
     assert "HashAggregate" in plan
+
+
+def test_laion_filters_single_hash_agg_no_join(spark):
+    """laion_filters: one projection + one hash-agg — no join, no
+    window, no sort anywhere; map-side-combinable at 100 TB."""
+    from crawlers_spark.queries import q_laion_filters
+
+    plan = _plan(q_laion_filters(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_caption_image_dup_matrix_two_key_windows_then_tiny_agg(spark):
+    """caption_image_dup_matrix: per-key dup flags are two
+    key-partitioned Window counts (cap_key, img_key — two shuffles, as
+    designed; keys are unbounded so neither side broadcasts), then one
+    hash-agg down to <= 4 contingency rows. No cartesian, no
+    single-partition (empty PARTITION BY) window."""
+    from crawlers_spark.queries import q_caption_image_dup_matrix
+
+    plan = _plan(q_caption_image_dup_matrix(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2
+    assert "HashAggregate" in plan
+    # both windows are keyed: every hashpartitioning in the plan carries
+    # a key column, never a round-robin/single partition for the windows
+    assert "SinglePartition" not in plan.split("HashAggregate")[0]
