@@ -11137,6 +11137,384 @@ FROM f GROUP BY 1, 2
 """
 
 
+def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct-word
+    vocabulary vs cumulative token count, sampled at fixed checkpoints
+    of the doc_id ingest order (Heaps 1978, public). This is the curve
+    that predicts tokenizer-vocab saturation and how much NEW text a
+    marginal crawl generation buys — read together with ngram_novelty
+    (span-level) it answers "is this corpus slice exhausted". Shape:
+    each word contributes ONE row to the growth curve (its first doc,
+    a min-agg — never a cumulative distinct over the token stream);
+    the only ordered window runs on the CHECKPOINT table (docs/10
+    rows here; the width is a parameter — at 100 TB you set it so the
+    checkpoint table is bounded ~1e4 rows and the cumsum is trivially
+    single-partition-safe). Integer-exact cross-engine."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = docs.filter(F.length(norm) > 0).select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("word")
+    )
+    tok = words.groupBy(F.expr("doc_id DIV 10").alias("ckpt")).agg(
+        F.count("*").alias("toks")
+    )
+    first = words.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    new = first.groupBy(F.expr("first_doc DIV 10").alias("ckpt")).agg(
+        F.count("*").alias("new_words")
+    )
+    j = tok.join(new, "ckpt", "left").select(
+        "ckpt", "toks", F.coalesce("new_words", F.lit(0)).alias("new_words")
+    )
+    w = (
+        Window.orderBy("ckpt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "ckpt",
+        F.sum("toks").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
+    )
+
+
+ORACLE_HEAPS_LAW = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(string_split(txt, ' ')) AS word
+  FROM norm WHERE length(txt) > 0
+),
+tok AS (SELECT doc_id // 10 AS ckpt, count(*) AS toks FROM words GROUP BY 1),
+fw AS (SELECT word, min(doc_id) AS first_doc FROM words GROUP BY 1),
+nw AS (SELECT first_doc // 10 AS ckpt, count(*) AS new_words FROM fw GROUP BY 1)
+SELECT t.ckpt,
+       CAST(sum(t.toks) OVER (ORDER BY t.ckpt) AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(n.new_words, 0)) OVER (ORDER BY t.ckpt) AS BIGINT)
+         AS cum_vocab
+FROM tok t LEFT JOIN nw n ON t.ckpt = n.ckpt
+"""
+
+
+def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top-500 corpus vocabulary: OLS
+    slope/intercept of ln(freq) on ln(rank) (Zipf 1949; natural text
+    sits near slope -1, templated or machine-generated text flattens
+    or steepens it — a corpus-level generation/boilerplate alarm that
+    costs two hash-aggs). Shape: vocab is a bounded TakeOrdered (500
+    rows — the only ordered window runs on those 500 rows forever);
+    the fit is closed-form from five sums, never an iterative solver.
+    Cross-engine: identical int64 counts -> identical doubles through
+    ln; 6-dp rounding absorbs summation-order ulps (char_entropy
+    convention)."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = docs.filter(F.length(norm) > 0).select(
+        F.explode(F.split(norm, " ")).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(500)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "word")
+    r = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = r.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_words"),
+        F.round(slope, 6).alias("slope_q6"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept_q6"
+        ),
+    )
+
+
+ORACLE_ZIPF_SLOPE = """
+WITH norm AS (
+  SELECT trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt FROM documents
+),
+words AS (
+  SELECT unnest(string_split(txt, ' ')) AS word
+  FROM norm WHERE length(txt) > 0
+),
+vocab AS (
+  SELECT word, count(*) AS cnt FROM words GROUP BY 1
+  ORDER BY cnt DESC, word LIMIT 500
+),
+r AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, word) AS DOUBLE)) AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y
+  FROM vocab
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_words,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_q6,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept_q6
+FROM s
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-value decay: per ingest generation (doc_id DIV 64 — the
+    frontier-generation stand-in), what fraction of its distinct word
+    5-gram spans is NEW to the corpus (first seen in that generation).
+    This is the marginal-content curve a crawl scheduler reads to
+    decide when a source is exhausted and recrawl budget should move
+    elsewhere (the span lane matches shingle_df_spectrum / the dedup
+    df-cap family, so "new spans" is exactly "spans the dedup stage
+    would keep"). Shape: span explode -> distinct -> min-agg for the
+    first generation -> two bounded hash-aggs; the per-generation
+    report is ~n_generations rows, no window anywhere. Integer-exact
+    ppm."""
+    from .operators.dedup import normalize_text
+
+    k = _SPAN_K
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    grams = (
+        t.filter(F.size("w") >= k)
+        .select(
+            F.expr("doc_id DIV 64").alias("gen"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {k}),"
+                    f" i -> concat_ws(' ', {', '.join(f'w[i+{j}]' for j in range(k))}))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("s").agg(F.min("gen").alias("first_gen"))
+    per_gen = grams.groupBy("gen").agg(F.count("*").alias("n_spans"))
+    new = first.groupBy(F.col("first_gen").alias("gen")).agg(
+        F.count("*").alias("n_new")
+    )
+    return (
+        per_gen.join(new, "gen", "left")
+        .select(
+            "gen",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .select(
+            "gen",
+            "n_spans",
+            "n_new",
+            F.expr("(n_new * 1000000) DIV n_spans").cast("long").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH t AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id // 64 AS gen,
+              unnest(list_transform(range(1, len(w) - {_SPAN_K - 2}),
+                     i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(_SPAN_K))})) AS s
+       FROM t WHERE len(w) >= {_SPAN_K}),
+fg AS (SELECT s, min(gen) AS first_gen FROM sh GROUP BY 1),
+pg AS (SELECT gen, count(*) AS n_spans FROM sh GROUP BY 1),
+nw AS (SELECT first_gen AS gen, count(*) AS n_new FROM fg GROUP BY 1)
+SELECT pg.gen, CAST(pg.n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new,
+       CAST((coalesce(nw.n_new, 0) * 1000000) // pg.n_spans AS BIGINT)
+         AS novelty_ppm
+FROM pg LEFT JOIN nw ON pg.gen = nw.gen
+"""
+
+
+def q_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al. TPAMI 2011,
+    public): split each 64-d embedding into M=4 subvectors of 16 dims,
+    assign each to the nearest of K=16 codebook centroids per
+    subspace, and report the code plus the squared reconstruction
+    error — the compression stage every billion-vector ANN index runs
+    before search (IVF-PQ). The codebook here is the first 16 vectors
+    by vec_id (a deterministic training sample; real training is
+    k-means — label_centroids holds that lane). Exactness lane: every
+    float is quantized to floor(x·1e6) int64 FIRST, so distances and
+    the argmin tie-break (sqdist, then code) are pure integer math,
+    bit-identical cross-engine. Scale shape: the codebook is 16×64
+    ints collected once and burned into the plan as literals (IVF
+    centroid convention) — assignment is 4×16 codegen'd
+    zip_with/aggregate expressions per row, NO join, NO shuffle; the
+    oracle's N·64·16 elementwise join is the audit lane only."""
+    emb = load_table(spark, sf, "embeddings")
+    qe = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    d = emb.select("vec_id", qe.alias("qe"))
+    cents = {
+        int(r["vec_id"]): [int(v) for v in r["qe"]]
+        for r in d.filter(F.col("vec_id") < 16).collect()
+    }
+    sub_dim, n_sub, n_codes = 16, 4, 16
+    rows = []
+    for m in range(n_sub):
+        sub = F.slice("qe", m * sub_dim + 1, sub_dim)
+        cands = []
+        for k in range(n_codes):
+            cvec = F.array(
+                *[F.lit(v) for v in cents[k][m * sub_dim : (m + 1) * sub_dim]]
+            )
+            dist = F.aggregate(
+                F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            cands.append(
+                F.struct(
+                    dist.alias("sqdist"), F.lit(k).cast("long").alias("code")
+                )
+            )
+        best = F.array_min(F.array(*cands))
+        rows.append(
+            F.struct(
+                F.lit(m).cast("long").alias("subspace"),
+                best["code"].alias("code"),
+                best["sqdist"].alias("sqdist"),
+            )
+        )
+    return d.select(
+        "vec_id", F.explode(F.array(*rows)).alias("r")
+    ).select("vec_id", "r.subspace", "r.code", "r.sqdist")
+
+
+ORACLE_PQ_CODES = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+  FROM embeddings
+),
+el AS (
+  SELECT vec_id, (i - 1) // 16 AS subspace, i AS pos, qe[i] AS v
+  FROM q, range(1, 65) t(i)
+),
+cents AS (
+  SELECT vec_id AS code, subspace, pos, v AS cv FROM el WHERE vec_id < 16
+),
+dist AS (
+  SELECT e.vec_id, e.subspace, c.code,
+         sum((e.v - c.cv) * (e.v - c.cv)) AS sqdist
+  FROM el e JOIN cents c ON e.subspace = c.subspace AND e.pos = c.pos
+  GROUP BY 1, 2, 3
+),
+pick AS (
+  SELECT vec_id, subspace, code, sqdist,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY sqdist, code) AS rn
+  FROM dist
+)
+SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+       CAST(code AS BIGINT) AS code, CAST(sqdist AS BIGINT) AS sqdist
+FROM pick WHERE rn = 1
+"""
+
+
+def q_mojibake_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding-damage (mojibake) detection census: flag documents
+    whose text carries the UTF-8-read-as-CP1252 digraph signatures
+    (Ã., â€., Â) or the replacement character U+FFFD — the curation
+    gate that catches double-encoded or transcoding-damaged pages
+    before they poison a tokenizer vocabulary (public practice: W3C
+    i18n checker heuristics, ftfy's badness model). The synthetic
+    corpus is clean ASCII, so damage is PLANTED on a deterministic
+    md5 lane (doc_id % 23's md5-lane convention, same as pii_redact's
+    planted matches): the query proves the detector flags exactly the
+    planted lane and nothing else (n_flagged == n_planted, natural
+    false-positive count provably zero by the census equality).
+    Shape: projection + one regex + one hash-agg per lang — the
+    detector is a single JVM-side regexp_count, scale-free."""
+    d = load_table(spark, sf, "documents")
+    lane = (
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+            " as bigint)"
+        )
+        % 23
+        == 0
+    )
+    damaged = F.concat(F.col("text"), F.lit(" cafÃ© â€™ �"))
+    t = d.select(
+        "lang",
+        lane.cast("long").alias("planted"),
+        F.when(lane, damaged).otherwise(F.col("text")).alias("text"),
+    )
+    flagged = (
+        F.regexp_count("text", F.lit(r"(Ã|â€|�)")) > 0
+    ).cast("long")
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("planted").cast("long").alias("n_planted"),
+            F.sum(flagged).cast("long").alias("n_flagged"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_planted",
+            "n_flagged",
+            F.expr("(n_flagged * 1000000) DIV n_docs").cast("long").alias(
+                "flag_ppm"
+            ),
+        )
+    )
+
+
+ORACLE_MOJIBAKE_CENSUS = """
+WITH t AS (
+  SELECT lang,
+         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 23 = 0 THEN 1 ELSE 0 END AS planted,
+         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 23 = 0
+              THEN text || ' caf' || chr(195) || chr(169) || ' ' || chr(226)
+                   || chr(8364) || chr(8482) || ' ' || chr(65533)
+              ELSE text END AS text
+  FROM documents
+),
+f AS (
+  SELECT lang, planted,
+         CASE WHEN regexp_matches(text,
+                '(' || chr(195) || '|' || chr(226) || chr(8364) || '|'
+                    || chr(65533) || ')')
+              THEN 1 ELSE 0 END AS flagged
+  FROM t
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(planted) AS BIGINT) AS n_planted,
+       CAST(sum(flagged) AS BIGINT) AS n_flagged,
+       CAST((sum(flagged) * 1000000) // count(*) AS BIGINT) AS flag_ppm
+FROM f GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -11355,6 +11733,11 @@ QUERIES: dict[str, tuple] = {
         q_caption_image_dup_matrix,
         ORACLE_CAPTION_IMAGE_DUP_MATRIX,
     ),
+    "heaps_law": (q_heaps_law, ORACLE_HEAPS_LAW),
+    "zipf_slope": (q_zipf_slope, ORACLE_ZIPF_SLOPE),
+    "ngram_novelty": (q_ngram_novelty, ORACLE_NGRAM_NOVELTY),
+    "pq_codes": (q_pq_codes, ORACLE_PQ_CODES),
+    "mojibake_census": (q_mojibake_census, ORACLE_MOJIBAKE_CENSUS),
 }
 
 

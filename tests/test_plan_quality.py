@@ -943,3 +943,76 @@ def test_caption_image_dup_matrix_two_key_windows_then_tiny_agg(spark):
     # both windows are keyed: every hashpartitioning in the plan carries
     # a key column, never a round-robin/single partition for the windows
     assert "SinglePartition" not in plan.split("HashAggregate")[0]
+
+
+def test_heaps_law_window_on_checkpoint_table_only(spark):
+    """heaps_law: first-occurrence is a min-agg over words (never a
+    cumulative distinct over the token stream), the ckpt-ckpt join of
+    the two aggregated tables broadcasts, and the only ordered window
+    runs on the checkpoint table (docs/10 rows — bounded by the
+    checkpoint width parameter, not the corpus)."""
+    from crawlers_spark.queries import q_heaps_law
+
+    df = q_heaps_law(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert _simple_plan(df).count("Window") == 1
+    assert "HashAggregate" in plan
+
+
+def test_zipf_slope_takeordered_bounded_window(spark):
+    """zipf_slope: the vocabulary is a TakeOrderedAndProject (bounded
+    top-500, never a global sort), the rank window runs on those 500
+    rows, the fit is one closed-form agg — and there is NO join
+    anywhere."""
+    from crawlers_spark.queries import q_zipf_slope
+
+    df = q_zipf_slope(spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert _simple_plan(df).count("Window") == 1
+    assert "HashAggregate" in plan
+
+
+def test_ngram_novelty_broadcast_join_no_window(spark):
+    """ngram_novelty: span explode -> distinct -> two hash-agg lanes
+    joined on the tiny generation key (broadcast) — no window, no
+    sort-merge, no cartesian anywhere."""
+    from crawlers_spark.queries import q_ngram_novelty
+
+    plan = _plan(q_ngram_novelty(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_pq_codes_zero_shuffle_zero_join(spark):
+    """pq_codes: the codebook is burned into the plan as literals (IVF
+    centroid convention), so assignment is scan -> project -> explode —
+    NO join, NO exchange, NO aggregate: the single best physical shape
+    Spark can give a per-row operator at 100 TB."""
+    from crawlers_spark.queries import q_pq_codes
+
+    plan = _plan(q_pq_codes(spark, SF))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Generate" in plan
+
+
+def test_mojibake_census_single_hash_agg(spark):
+    """mojibake_census: projection + one regex + one hash-agg per lang —
+    no join, no window, no explode; map-side-combinable at 100 TB."""
+    from crawlers_spark.queries import q_mojibake_census
+
+    plan = _plan(q_mojibake_census(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan
+    assert "HashAggregate" in plan
