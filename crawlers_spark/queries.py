@@ -11515,6 +11515,338 @@ FROM f GROUP BY 1
 """
 
 
+def q_bloom_saturation(spark: SparkSession, sf: str) -> DataFrame:
+    """Partitioned-Bloom-filter saturation census + epoch split plan —
+    the capacity law behind the engine's URL-seen set (one filter per
+    hash bucket, `operators/seen_set.py:71`; reference analog: the
+    crawler's global seen dict, /root/reference/utils/crawl_byted.py).
+    A bucket filter of m bits with k probes holds at most m·ln2/k keys
+    before FPR degrades; the scalable-Bloom answer (Almeida et al.,
+    "Scalable Bloom Filters", IPL 2007) is to freeze the epoch and open
+    a new filter with doubled capacity. Exact integer form: load_ppm =
+    k·n·10^6 div m (linearized fill, the sizing quantity), split when
+    load_ppm > 480000 (≈ the ln2-optimal half-full point), and the next
+    epoch's size multiplier is the smallest power of two that brings
+    the load back under threshold (capped at 16×). Buckets derive
+    deterministically (bucket = doc_id % 8, m = 1024 bits, k = 7).
+    Shape: one map-side-combined hash-agg on an 8-row dimension + pure
+    projection — at 10^10 URLs this is the same per-partition counter
+    the seen-set maintains incrementally; no shuffle grows with corpus
+    size beyond the agg."""
+    d = load_table(spark, sf, "documents")
+    m_bits, k = 1024, 7
+    agg = (
+        d.select((F.col("doc_id") % 8).cast("long").alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(F.count("*").cast("long").alias("n_inserts"))
+    )
+    t = agg.select(
+        "bucket_id", "n_inserts",
+        F.lit(m_bits).cast("long").alias("m_bits"),
+        (F.col("n_inserts") * k).cast("long").alias("kn"),
+        F.expr(f"(n_inserts * {k} * 1000000) div {m_bits}").cast("long")
+        .alias("load_ppm"),
+    )
+    return t.select(
+        "*",
+        (F.col("load_ppm") > 480000).alias("needs_split"),
+        F.when(F.col("load_ppm") <= 480000, 1)
+        .when(F.col("load_ppm") <= 960000, 2)
+        .when(F.col("load_ppm") <= 1920000, 4)
+        .when(F.col("load_ppm") <= 3840000, 8)
+        .otherwise(16)
+        .cast("long")
+        .alias("next_epoch_scale"),
+    ).orderBy("bucket_id")
+
+
+ORACLE_BLOOM_SATURATION = """
+WITH agg AS (
+  SELECT doc_id % 8 AS bucket_id, CAST(count(*) AS BIGINT) AS n_inserts
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT bucket_id, n_inserts,
+         CAST(1024 AS BIGINT) AS m_bits,
+         CAST(n_inserts * 7 AS BIGINT) AS kn,
+         CAST((n_inserts * 7 * 1000000) // 1024 AS BIGINT) AS load_ppm
+  FROM agg
+)
+SELECT bucket_id, n_inserts, m_bits, kn, load_ppm,
+       load_ppm > 480000 AS needs_split,
+       CAST(CASE WHEN load_ppm <= 480000 THEN 1
+                 WHEN load_ppm <= 960000 THEN 2
+                 WHEN load_ppm <= 1920000 THEN 4
+                 WHEN load_ppm <= 3840000 THEN 8
+                 ELSE 16 END AS BIGINT) AS next_epoch_scale
+FROM t ORDER BY bucket_id
+"""
+
+
+def q_byte_budget_admission(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host byte-budget admission — the egress-cap law every large
+    crawler enforces (IRLbot's budget enforcement, Lee et al. WWW'08;
+    reference analog: per-site page caps in the serial crawl loops,
+    /root/reference/crawlers). Candidates are ranked per host by
+    (priority DESC, doc_id ASC) and admitted while the running byte
+    total stays within the host's per-generation budget (1 KiB here,
+    sized so the cutoff actually fires at test scale); the first page
+    that would overflow is rejected along with everything after it —
+    a prefix-sum cutoff, not a knapsack. Deterministic candidates:
+    host = doc_id % 101, page_bytes = length(text), priority =
+    doc_id % 17. Output per host: candidate count, admitted count and
+    bytes, rejected count, spilled bytes. Shape: ONE partitioned
+    window (cumsum within host, never a global sort) + one hash-agg —
+    at 100 TB the window partitions by host hash and the per-host
+    budget itself bounds any admitted skew; rejected tails prune at
+    the scan once budgets feed back into the frontier."""
+    d = load_table(spark, sf, "documents")
+    budget = 1024
+    t = d.select(
+        (F.col("doc_id") % 101).cast("long").alias("host_id"),
+        F.col("doc_id").cast("long").alias("page_id"),
+        F.coalesce(F.length("text"), F.lit(0)).cast("long")
+        .alias("page_bytes"),
+        (F.col("doc_id") % 17).cast("long").alias("priority"),
+    )
+    w = (
+        Window.partitionBy("host_id")
+        .orderBy(F.desc("priority"), F.asc("page_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_bytes", F.sum("page_bytes").over(w)).withColumn(
+        "admitted", F.col("cum_bytes") <= budget
+    )
+    return (
+        c.groupBy("host_id")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("admitted"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_admitted"),
+            F.sum(F.when(F.col("admitted"), F.col("page_bytes")).otherwise(0))
+            .cast("long")
+            .alias("admitted_bytes"),
+            F.sum(F.when(F.col("admitted"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_rejected"),
+            F.sum(F.when(F.col("admitted"), 0).otherwise(F.col("page_bytes")))
+            .cast("long")
+            .alias("spilled_bytes"),
+        )
+        .orderBy("host_id")
+    )
+
+
+ORACLE_BYTE_BUDGET_ADMISSION = """
+WITH t AS (
+  SELECT doc_id % 101 AS host_id, doc_id AS page_id,
+         CAST(coalesce(length(text), 0) AS BIGINT) AS page_bytes,
+         doc_id % 17 AS priority
+  FROM documents
+),
+c AS (
+  SELECT host_id, page_bytes,
+         sum(page_bytes) OVER (
+           PARTITION BY host_id ORDER BY priority DESC, page_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) <= 1024 AS admitted
+  FROM t
+)
+SELECT host_id,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       CAST(sum(CASE WHEN admitted THEN page_bytes ELSE 0 END) AS BIGINT)
+         AS admitted_bytes,
+       CAST(sum(CASE WHEN admitted THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
+       CAST(sum(CASE WHEN admitted THEN 0 ELSE page_bytes END) AS BIGINT)
+         AS spilled_bytes
+FROM c GROUP BY 1 ORDER BY host_id
+"""
+
+
+def q_image_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-best-resolution representative per exact-duplicate image
+    group — the standard admission rule when the same image arrives
+    from many URLs at different sizes (LAION-5B dedup practice,
+    Schuhmann et al. 2022: keep the largest copy, drop the rest;
+    reference analog: first-wins image dedup by URL in
+    /root/reference/crawlers). Image metadata derives deterministically
+    in the input-hint shape (image_id, w, h, fmt implied by size_bytes):
+    content group = doc_id % 199 (same content hash ⇒ same group),
+    w = 32·(1 + doc_id % 24), h = 32·(1 + doc_id % 17), size_bytes =
+    w·h·3 div 2 (lossy estimate). The representative is row_number()=1
+    by (pixels DESC, page id ASC) within the group; only groups with
+    ≥2 members appear (singletons need no dedup decision). Output:
+    group, member count, representative id/dims, bytes reclaimed =
+    Σ size − rep size. Shape: one partitioned window + one hash-agg,
+    both keyed on the content-hash group — exactly how the engine's
+    phash cluster retirement picks canonical images at 100 TB (group
+    cardinality is bounded by true duplication, not corpus size)."""
+    d = load_table(spark, sf, "documents")
+    t = d.select(
+        (F.col("doc_id") % 199).cast("long").alias("group_id"),
+        F.concat(F.lit("img_"), F.col("doc_id").cast("string"))
+        .alias("image_id"),
+        F.col("doc_id").cast("long").alias("page_id"),
+        (32 * (1 + F.col("doc_id") % 24)).cast("long").alias("w"),
+        (32 * (1 + F.col("doc_id") % 17)).cast("long").alias("h"),
+    ).select(
+        "*",
+        (F.col("w") * F.col("h")).cast("long").alias("pixels"),
+        F.expr("(w * h * 3) div 2").cast("long").alias("size_bytes"),
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("pixels"), F.asc("page_id")
+    )
+    r = t.withColumn("rn", F.row_number().over(w))
+    agg = r.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("image_id"))).alias("rep_image_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("w"))).cast("long").alias("rep_w"),
+        F.max(F.when(F.col("rn") == 1, F.col("h"))).cast("long").alias("rep_h"),
+        (
+            F.sum("size_bytes")
+            - F.max(F.when(F.col("rn") == 1, F.col("size_bytes")))
+        ).cast("long").alias("saved_bytes"),
+    )
+    return agg.filter(F.col("n_members") >= 2).orderBy("group_id")
+
+
+ORACLE_IMAGE_KEEP_BEST = """
+WITH t AS (
+  SELECT doc_id % 199 AS group_id,
+         'img_' || CAST(doc_id AS VARCHAR) AS image_id,
+         doc_id AS page_id,
+         CAST(32 * (1 + doc_id % 24) AS BIGINT) AS w,
+         CAST(32 * (1 + doc_id % 17) AS BIGINT) AS h
+  FROM documents
+),
+e AS (
+  SELECT *, w * h AS pixels, (w * h * 3) // 2 AS size_bytes FROM t
+),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY group_id ORDER BY pixels DESC, page_id ASC
+         ) AS rn
+  FROM e
+),
+agg AS (
+  SELECT group_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         max(CASE WHEN rn = 1 THEN image_id END) AS rep_image_id,
+         CAST(max(CASE WHEN rn = 1 THEN w END) AS BIGINT) AS rep_w,
+         CAST(max(CASE WHEN rn = 1 THEN h END) AS BIGINT) AS rep_h,
+         CAST(sum(size_bytes) - max(CASE WHEN rn = 1 THEN size_bytes END)
+              AS BIGINT) AS saved_bytes
+  FROM r GROUP BY 1
+)
+SELECT * FROM agg WHERE n_members >= 2 ORDER BY group_id
+"""
+
+
+def q_rendezvous_churn(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous-hashing minimal-disruption law under worker removal —
+    the reason the frontier shards hosts by HRW (Thaler & Ravishankar,
+    IEEE/ACM ToN 1998) instead of mod-N: when worker 7 of 8 drains, the
+    ONLY hosts that move are the ones worker 7 owned; every other
+    host's argmax is untouched because removing a non-winning candidate
+    can't change a max. This query computes ownership under 8 and
+    under 7 workers from the same md5 score lane as
+    `worker_assignment` and emits the churn census per original owner
+    with a self-certifying `invariant` column (true on every row ⇔
+    moved == all of worker 7's hosts and nobody else's). Shape: one
+    8-candidate plan-side explode, two host-partitioned top-1 windows,
+    one co-partitioned self-join on host_id, one hash-agg — ownership
+    is a pure function of ids, so at 10^7 hosts any executor recomputes
+    it without coordination and the windows stay 8 rows per host."""
+    hosts = (
+        load_table(spark, sf, "events")
+        .groupBy(F.col("user_id").alias("host_id"))
+        .agg(F.count("*").cast("long").alias("demand"))
+    )
+    cand = hosts.select(
+        "host_id",
+        F.explode(F.expr("sequence(0, 7)")).alias("worker"),
+    ).withColumn(
+        "score",
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(host_id as string), '|',"
+            " cast(worker as string))), 1, 15), 16, 10) as bigint)"
+        ),
+    )
+    w = Window.partitionBy("host_id").orderBy(
+        F.col("score").desc(), F.col("worker")
+    )
+    o8 = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("host_id", F.col("worker").alias("owner8"))
+    )
+    o7 = (
+        cand.filter(F.col("worker") < 7)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("host_id", F.col("worker").alias("owner7"))
+    )
+    j = o8.join(o7, "host_id")
+    agg = j.groupBy("owner8").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum(F.when(F.col("owner7") != F.col("owner8"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+    )
+    return agg.select(
+        "owner8", "n_hosts", "n_moved",
+        F.when(F.col("owner8") == 7, F.col("n_moved") == F.col("n_hosts"))
+        .otherwise(F.col("n_moved") == 0)
+        .alias("invariant"),
+    ).orderBy("owner8")
+
+
+ORACLE_RENDEZVOUS_CHURN = """
+WITH hosts AS (
+  SELECT user_id AS host_id, CAST(count(*) AS BIGINT) AS demand
+  FROM events GROUP BY 1
+),
+cand AS (
+  SELECT host_id, w.worker,
+         ('0x' || substring(md5(host_id::VARCHAR || '|' || w.worker::VARCHAR),
+                            1, 15))::BIGINT AS score
+  FROM hosts CROSS JOIN (SELECT unnest(range(0, 8)) AS worker) w
+),
+o8 AS (
+  SELECT host_id, worker AS owner8 FROM (
+    SELECT host_id, worker,
+           row_number() OVER (PARTITION BY host_id
+                              ORDER BY score DESC, worker) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+o7 AS (
+  SELECT host_id, worker AS owner7 FROM (
+    SELECT host_id, worker,
+           row_number() OVER (PARTITION BY host_id
+                              ORDER BY score DESC, worker) AS rn
+    FROM cand WHERE worker < 7
+  ) WHERE rn = 1
+),
+j AS (
+  SELECT o8.owner8, o7.owner7 FROM o8 JOIN o7 USING (host_id)
+),
+agg AS (
+  SELECT owner8, CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(sum(CASE WHEN owner7 <> owner8 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved
+  FROM j GROUP BY 1
+)
+SELECT owner8, n_hosts, n_moved,
+       CASE WHEN owner8 = 7 THEN n_moved = n_hosts
+            ELSE n_moved = 0 END AS invariant
+FROM agg ORDER BY owner8
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -11738,6 +12070,13 @@ QUERIES: dict[str, tuple] = {
     "ngram_novelty": (q_ngram_novelty, ORACLE_NGRAM_NOVELTY),
     "pq_codes": (q_pq_codes, ORACLE_PQ_CODES),
     "mojibake_census": (q_mojibake_census, ORACLE_MOJIBAKE_CENSUS),
+    "bloom_saturation": (q_bloom_saturation, ORACLE_BLOOM_SATURATION),
+    "byte_budget_admission": (
+        q_byte_budget_admission,
+        ORACLE_BYTE_BUDGET_ADMISSION,
+    ),
+    "image_keep_best": (q_image_keep_best, ORACLE_IMAGE_KEEP_BEST),
+    "rendezvous_churn": (q_rendezvous_churn, ORACLE_RENDEZVOUS_CHURN),
 }
 
 

@@ -1016,3 +1016,65 @@ def test_mojibake_census_single_hash_agg(spark):
     assert "Window" not in plan
     assert "Generate" not in plan
     assert "HashAggregate" in plan
+
+
+def test_bloom_saturation_single_hash_agg_no_join(spark):
+    """bloom_saturation: projection + one 8-key hash-agg + projection —
+    no join, no window, no explode; the per-bucket insert counter is
+    map-side-combined, so the shuffle carries 8 rows regardless of
+    corpus size (the same shape the seen-set keeps incrementally)."""
+    from crawlers_spark.queries import q_bloom_saturation
+
+    plan = _plan(q_bloom_saturation(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_byte_budget_admission_partitioned_window_no_global_sort(spark):
+    """byte_budget_admission: ONE window partitioned by host_id (the
+    cumsum) feeding ONE hash-agg — no join, and critically no
+    SinglePartition exchange anywhere: the admission cutoff must stay
+    a per-host-partition computation or it serializes at 100 TB."""
+    from crawlers_spark.queries import q_byte_budget_admission
+
+    plan = _plan(q_byte_budget_admission(spark, SF))
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+    assert "Window" in plan and "host_id" in plan
+    assert "HashAggregate" in plan
+
+
+def test_image_keep_best_partitioned_window_no_global_sort(spark):
+    """image_keep_best: representative selection is a row_number window
+    partitioned by the content group + one hash-agg on the same key —
+    no join, no SinglePartition exchange; group cardinality is bounded
+    by true duplication, so the window partitions stay small at
+    100 TB."""
+    from crawlers_spark.queries import q_image_keep_best
+
+    plan = _plan(q_image_keep_best(spark, SF))
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+    assert "Window" in plan and "group_id" in plan
+    # Catalyst rides the window's existing (group_id) sort order into a
+    # SortAggregate — better than re-hashing: zero extra exchange.
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+    # two physical exchanges only (each named twice in the formatted
+    # plan): the group_id hash partition + the final presentation sort
+    assert plan.count("Exchange") <= 4
+
+
+def test_rendezvous_churn_no_cartesian_no_global_window(spark):
+    """rendezvous_churn: candidate fan-out is a plan-side explode (no
+    CartesianProduct), both top-1 windows partition by host_id (no
+    SinglePartition exchange), and the 8-vs-7 comparison is an
+    equi-join on host_id feeding one hash-agg."""
+    from crawlers_spark.queries import q_rendezvous_churn
+
+    plan = _plan(q_rendezvous_churn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "Window" in plan and "host_id" in plan
+    assert "HashAggregate" in plan
