@@ -11354,7 +11354,10 @@ def q_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     error — the compression stage every billion-vector ANN index runs
     before search (IVF-PQ). The codebook here is the first 16 vectors
     by vec_id (a deterministic training sample; real training is
-    k-means — label_centroids holds that lane). Exactness lane: every
+    k-means — label_centroids holds that lane); null vectors can't be
+    quantized and a degenerate corpus (fewer/no codebook vectors)
+    degrades to the available codes — 0 rows when none exist,
+    identically in both lanes. Exactness lane: every
     float is quantized to floor(x·1e6) int64 FIRST, so distances and
     the argmin tie-break (sqdist, then code) are pure integer math,
     bit-identical cross-engine. Scale shape: the codebook is 16×64
@@ -11367,17 +11370,26 @@ def q_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
         "embedding",
         lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
     )
-    d = emb.select("vec_id", qe.alias("qe"))
+    d = emb.select("vec_id", qe.alias("qe")).filter(F.col("qe").isNotNull())
     cents = {
         int(r["vec_id"]): [int(v) for v in r["qe"]]
         for r in d.filter(F.col("vec_id") < 16).collect()
     }
-    sub_dim, n_sub, n_codes = 16, 4, 16
+    if not cents:
+        # degenerate corpus (empty, or all-null embeddings): no codebook
+        # can be trained, so no vector gets a code — 0 rows, same schema
+        return d.select(
+            "vec_id",
+            F.lit(0).cast("long").alias("subspace"),
+            F.lit(0).cast("long").alias("code"),
+            F.lit(0).cast("long").alias("sqdist"),
+        ).filter(F.lit(False))
+    sub_dim, n_sub = 16, 4
     rows = []
     for m in range(n_sub):
         sub = F.slice("qe", m * sub_dim + 1, sub_dim)
         cands = []
-        for k in range(n_codes):
+        for k in sorted(cents):
             cvec = F.array(
                 *[F.lit(v) for v in cents[k][m * sub_dim : (m + 1) * sub_dim]]
             )
@@ -11410,6 +11422,7 @@ WITH q AS (
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
   FROM embeddings
+  WHERE embedding IS NOT NULL
 ),
 el AS (
   SELECT vec_id, (i - 1) // 16 AS subspace, i AS pos, qe[i] AS v
@@ -11459,15 +11472,21 @@ def q_mojibake_census(spark: SparkSession, sf: str) -> DataFrame:
         % 23
         == 0
     )
-    damaged = F.concat(F.col("text"), F.lit(" cafÃ© â€™ �"))
+    damaged = F.concat(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(" cafÃ© â€™ �")
+    )
     t = d.select(
         "lang",
         lane.cast("long").alias("planted"),
         F.when(lane, damaged).otherwise(F.col("text")).alias("text"),
     )
-    flagged = (
-        F.regexp_count("text", F.lit(r"(Ã|â€|�)")) > 0
-    ).cast("long")
+    # null-safe: a NULL text can't be flagged (and planting on
+    # coalesce(text,'') keeps n_flagged == n_planted even when the
+    # whole payload column is NULL — null-payload sweep)
+    flagged = F.coalesce(
+        (F.regexp_count("text", F.lit(r"(Ã|â€|�)")) > 0).cast("long"),
+        F.lit(0),
+    )
     return (
         t.groupBy("lang")
         .agg(
@@ -11494,8 +11513,8 @@ WITH t AS (
                    % 23 = 0 THEN 1 ELSE 0 END AS planted,
          CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                    % 23 = 0
-              THEN text || ' caf' || chr(195) || chr(169) || ' ' || chr(226)
-                   || chr(8364) || chr(8482) || ' ' || chr(65533)
+              THEN coalesce(text, '') || ' caf' || chr(195) || chr(169) || ' '
+                   || chr(226) || chr(8364) || chr(8482) || ' ' || chr(65533)
               ELSE text END AS text
   FROM documents
 ),
@@ -11847,6 +11866,485 @@ FROM agg ORDER BY owner8
 """
 
 
+def q_freshness_policy(spark: SparkSession, sf: str) -> DataFrame:
+    """Cho–Garcia-Molina revisit-policy law (ACM TODS 28(4) 2003): with
+    pages changing as Poisson processes (rate λ) and a fixed total
+    revisit budget, UNIFORM allocation beats change-PROPORTIONAL for
+    expected freshness E[fresh] = (f/λ)·(1 − e^(−λ/f)) — proportional
+    wastes visits on pages that are stale again before the next visit
+    (reference analog: the fixed per-site revisit cadence hard-coded in
+    /root/reference/crawlers' serial loops). Hosts derive as doc_id %
+    101 with 13 change-rate classes λ = (1+class)/4 changes/day; the
+    fleet budget is 2 revisits/host/day, so uniform gives f=2 and
+    proportional gives f = 202·λ/Σλ. Output per class: host count, λ,
+    proportional rate, both freshness values (6 dp — ulp convention),
+    and which policy wins the class. Shape: two bounded hash-aggs (101
+    hosts → 13 classes) + one broadcast scalar for Σλ — at 10^8 hosts
+    this is the same two-agg plan; nothing scales with corpus size but
+    the first agg's keys."""
+    d = load_table(spark, sf, "documents")
+    hosts = (
+        d.select((F.col("doc_id") % 101).cast("long").alias("host_id"))
+        .distinct()
+        .select("host_id", (F.col("host_id") % 13).cast("long").alias("lam_class"))
+    )
+    classes = hosts.groupBy("lam_class").agg(
+        F.count("*").cast("long").alias("n_hosts")
+    ).withColumn(
+        "lam", ((F.col("lam_class") + 1) / F.lit(4.0)).cast("double")
+    )
+    tot = classes.agg(
+        F.sum(F.col("n_hosts") * F.col("lam")).alias("sum_lam"),
+        F.sum("n_hosts").cast("double").alias("n_total"),
+    )
+    t = classes.crossJoin(F.broadcast(tot)).select(
+        "lam_class", "n_hosts", "lam",
+        (F.lit(2.0) * F.col("n_total") * F.col("lam") / F.col("sum_lam"))
+        .alias("f_prop"),
+    )
+
+    def fresh(lam, f):
+        return (f / lam) * (F.lit(1.0) - F.exp(-lam / f))
+
+    out = t.select(
+        "lam_class", "n_hosts", "lam",
+        F.round("f_prop", 6).alias("f_prop_q6"),
+        F.round(fresh(F.col("lam"), F.lit(2.0)), 6).alias("fresh_uni_q6"),
+        F.round(fresh(F.col("lam"), F.col("f_prop")), 6).alias("fresh_prop_q6"),
+    )
+    return out.select(
+        "*",
+        (F.col("fresh_uni_q6") > F.col("fresh_prop_q6")).alias("uniform_wins"),
+    ).orderBy("lam_class")
+
+
+ORACLE_FRESHNESS_POLICY = """
+WITH hosts AS (
+  SELECT DISTINCT doc_id % 101 AS host_id FROM documents
+),
+classes AS (
+  SELECT host_id % 13 AS lam_class, CAST(count(*) AS BIGINT) AS n_hosts
+  FROM hosts GROUP BY 1
+),
+c2 AS (
+  SELECT lam_class, n_hosts, (lam_class + 1) / 4.0 AS lam FROM classes
+),
+tot AS (
+  SELECT sum(n_hosts * lam) AS sum_lam, CAST(sum(n_hosts) AS DOUBLE) AS n_total
+  FROM c2
+),
+t AS (
+  SELECT lam_class, n_hosts, lam,
+         2.0 * n_total * lam / sum_lam AS f_prop
+  FROM c2 CROSS JOIN tot
+),
+o AS (
+  SELECT lam_class, n_hosts, lam,
+         round(f_prop, 6) AS f_prop_q6,
+         round((2.0 / lam) * (1.0 - exp(-lam / 2.0)), 6) AS fresh_uni_q6,
+         round((f_prop / lam) * (1.0 - exp(-lam / f_prop)), 6) AS fresh_prop_q6
+  FROM t
+)
+SELECT *, fresh_uni_q6 > fresh_prop_q6 AS uniform_wins
+FROM o ORDER BY lam_class
+"""
+
+
+def q_host_locality(spark: SparkSession, sf: str) -> DataFrame:
+    """Frontier partition-locality law: the fraction of discovered
+    links that stay on the source host — exactly the rows a host-hash-
+    partitioned frontier expands WITHOUT an exchange (the engine
+    partitions candidates by host bucket, operators/fused_schedule.py;
+    reference analog: the per-site crawl loops in /root/reference/
+    crawlers never leave their host at all). Deterministic link synth:
+    each page emits 3 links — link 0 is same-host navigation, links
+    1-2 land on an md5-derived host out of 101 (so cross-host links
+    re-hit the source host only at the 1/101 background rate). Output
+    per source host: out-degree, intra-host links, locality ratio
+    (6 dp), and shuffle rows saved = intra links. Shape: a plan-side
+    3-way explode + ONE hash-agg, no join — at 10^10 edges this is a
+    map-side-combined count per host; the law it measures is why the
+    fused frontier's single exchange moves only ~2/3 of candidates."""
+    d = load_table(spark, sf, "documents")
+    links = d.select(
+        F.col("doc_id").cast("long").alias("src_page"),
+        (F.col("doc_id") % 101).cast("long").alias("src_host"),
+        F.explode(F.expr("sequence(0, 2)")).alias("k"),
+    ).withColumn(
+        "dst_host",
+        F.when(F.col("k") == 0, F.col("src_host")).otherwise(
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(src_page as string), '#',"
+                " cast(k as string))), 1, 15), 16, 10) as bigint) % 101"
+            )
+        ).cast("long"),
+    )
+    agg = links.groupBy("src_host").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.sum((F.col("dst_host") == F.col("src_host")).cast("long"))
+        .cast("long")
+        .alias("intra_links"),
+    )
+    return agg.select(
+        "src_host", "n_links", "intra_links",
+        F.when(
+            F.col("n_links") > 0,
+            F.round(F.col("intra_links") / F.col("n_links"), 6),
+        ).alias("locality_q6"),
+        F.col("intra_links").alias("shuffle_rows_saved"),
+    ).orderBy("src_host")
+
+
+ORACLE_HOST_LOCALITY = """
+WITH links AS (
+  SELECT doc_id AS src_page, doc_id % 101 AS src_host, k.k,
+         CASE WHEN k.k = 0 THEN doc_id % 101
+              ELSE ('0x' || substring(md5(doc_id::VARCHAR || '#' || k.k::VARCHAR),
+                                      1, 15))::BIGINT % 101
+         END AS dst_host
+  FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k
+),
+agg AS (
+  SELECT src_host, CAST(count(*) AS BIGINT) AS n_links,
+         CAST(sum(CASE WHEN dst_host = src_host THEN 1 ELSE 0 END) AS BIGINT)
+           AS intra_links
+  FROM links GROUP BY 1
+)
+SELECT src_host, n_links, intra_links,
+       CASE WHEN n_links > 0
+            THEN round(intra_links / CAST(n_links AS DOUBLE), 6) END
+         AS locality_q6,
+       intra_links AS shuffle_rows_saved
+FROM agg ORDER BY src_host
+"""
+
+
+def q_phash_threshold_roc(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash threshold ROC — precision/recall of banded
+    hamming dedup at every admission threshold t = 0..5, against exact
+    duplicate-group ground truth (the curve LAION-style pipelines read
+    before picking the phash cutoff; the engine's image dedup uses the
+    same banded join, operators/dedup.py:217). Synthetic 60-bit phashes
+    in the input-hint image shape: 67 content groups share 9 md5 "scene"
+    hashes, each group plants 2 signature bits on its scene (so same-
+    scene groups sit 2-4 bits apart — the REAL false-positive source),
+    and each copy flips 0-3 md5-chosen noise bits. Candidate pairs come
+    from 6 bands × 10 bits (pigeonhole-complete for hamming ≤ 5, so the
+    ROC is exact, not sampled); truth pairs per group are C(n,2).
+    Output per threshold: pairs admitted, true/false positives,
+    precision and recall (6 dp). Shape: explode-band equi-self-join →
+    distinct pair → 36-row histogram → threshold join; at 10^10 images
+    the only corpus-sized stages are the banded join and one hash-agg —
+    identical to the production dedup's cost."""
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        F.col("doc_id").cast("long").alias("img"),
+        (F.col("doc_id") % 67).cast("long").alias("grp"),
+        (F.col("doc_id") % 4).cast("long").alias("nf"),
+    ).withColumn(
+        "phash",
+        F.expr(
+            """
+            cast(conv(substring(md5(concat('scene|',
+                cast(grp div 8 as string))), 1, 15), 16, 10) as bigint)
+            ^ shiftleft(cast(1 as bigint), cast(grp % 60 as int))
+            ^ shiftleft(cast(1 as bigint), cast((grp * 7 + 13) % 60 as int))
+            ^ (case when nf > 0 then shiftleft(cast(1 as bigint),
+                 cast(cast(conv(substring(md5(concat(cast(img as string),
+                   '#0')), 1, 15), 16, 10) as bigint) % 60 as int))
+               else cast(0 as bigint) end)
+            ^ (case when nf > 1 then shiftleft(cast(1 as bigint),
+                 cast(cast(conv(substring(md5(concat(cast(img as string),
+                   '#1')), 1, 15), 16, 10) as bigint) % 60 as int))
+               else cast(0 as bigint) end)
+            ^ (case when nf > 2 then shiftleft(cast(1 as bigint),
+                 cast(cast(conv(substring(md5(concat(cast(img as string),
+                   '#2')), 1, 15), 16, 10) as bigint) % 60 as int))
+               else cast(0 as bigint) end)
+            """
+        ),
+    )
+    bands = base.select(
+        "img", "grp", "phash",
+        F.explode(F.expr("sequence(0, 5)")).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.expr("shiftright(phash, cast(band * 10 as int)) & 1023"),
+    )
+    a = bands.select(
+        "band", "band_key",
+        F.col("img").alias("id_a"), F.col("grp").alias("grp_a"),
+        F.col("phash").alias("ph_a"),
+    )
+    b = bands.select(
+        "band", "band_key",
+        F.col("img").alias("id_b"), F.col("grp").alias("grp_b"),
+        F.col("phash").alias("ph_b"),
+    )
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (F.col("grp_a") == F.col("grp_b")).alias("same_grp"),
+            F.expr("bit_count(ph_a ^ ph_b)").cast("long").alias("hamm"),
+        )
+        .filter(F.col("hamm") <= 5)
+        .distinct()
+    )
+    hist = pairs.groupBy("hamm", "same_grp").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    truth = (
+        base.groupBy("grp").agg(F.count("*").cast("long").alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("truth_pairs"))
+    )
+    thr = spark.range(6).select(F.col("id").cast("long").alias("t"))
+    roc = (
+        thr.join(hist, hist["hamm"] <= thr["t"], "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.sum(F.when(F.col("same_grp"), F.col("cnt"))), F.lit(0))
+            .cast("long").alias("tp"),
+        )
+        .withColumn("fp", (F.col("n_pairs") - F.col("tp")).cast("long"))
+    )
+    out = roc.crossJoin(F.broadcast(truth)).select(
+        "t", "n_pairs", "tp", "fp",
+        F.when(
+            F.col("n_pairs") > 0, F.round(F.col("tp") / F.col("n_pairs"), 6)
+        ).alias("precision_q6"),
+        F.when(
+            F.col("truth_pairs") > 0,
+            F.round(F.col("tp") / F.col("truth_pairs"), 6),
+        ).alias("recall_q6"),
+    )
+    return out.orderBy("t")
+
+
+ORACLE_PHASH_THRESHOLD_ROC = """
+WITH base AS (
+  SELECT doc_id AS img, doc_id % 67 AS grp, doc_id % 4 AS nf,
+         xor(xor(xor(xor(xor(
+           ('0x' || substring(md5('scene|' || (doc_id % 67 // 8)::VARCHAR),
+                              1, 15))::BIGINT,
+           1::BIGINT << CAST(doc_id % 67 % 60 AS INTEGER)),
+           1::BIGINT << CAST(((doc_id % 67) * 7 + 13) % 60 AS INTEGER)),
+           CASE WHEN doc_id % 4 > 0 THEN 1::BIGINT << CAST(
+             ('0x' || substring(md5(doc_id::VARCHAR || '#0'), 1, 15))::BIGINT
+             % 60 AS INTEGER) ELSE 0::BIGINT END),
+           CASE WHEN doc_id % 4 > 1 THEN 1::BIGINT << CAST(
+             ('0x' || substring(md5(doc_id::VARCHAR || '#1'), 1, 15))::BIGINT
+             % 60 AS INTEGER) ELSE 0::BIGINT END),
+           CASE WHEN doc_id % 4 > 2 THEN 1::BIGINT << CAST(
+             ('0x' || substring(md5(doc_id::VARCHAR || '#2'), 1, 15))::BIGINT
+             % 60 AS INTEGER) ELSE 0::BIGINT END) AS phash
+  FROM documents
+),
+bands AS (
+  SELECT img, grp, phash, b.band,
+         (phash >> CAST(b.band * 10 AS INTEGER)) & 1023 AS band_key
+  FROM base CROSS JOIN (SELECT unnest(range(0, 6)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.img AS id_a, b.img AS id_b,
+         a.grp = b.grp AS same_grp,
+         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamm
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.img < b.img
+  WHERE bit_count(xor(a.phash, b.phash)) <= 5
+),
+hist AS (
+  SELECT hamm, same_grp, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY 1, 2
+),
+truth AS (
+  SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS truth_pairs
+  FROM (SELECT count(*) AS n FROM base GROUP BY grp)
+),
+thr AS (SELECT unnest(range(0, 6)) AS t),
+roc AS (
+  SELECT t, CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_pairs,
+         CAST(coalesce(sum(CASE WHEN same_grp THEN cnt END), 0) AS BIGINT) AS tp
+  FROM thr LEFT JOIN hist ON hist.hamm <= thr.t
+  GROUP BY t
+)
+SELECT t, n_pairs, tp, CAST(n_pairs - tp AS BIGINT) AS fp,
+       CASE WHEN n_pairs > 0
+            THEN round(tp / CAST(n_pairs AS DOUBLE), 6) END AS precision_q6,
+       CASE WHEN truth_pairs > 0
+            THEN round(tp / CAST(truth_pairs AS DOUBLE), 6) END AS recall_q6
+FROM roc CROSS JOIN truth ORDER BY t
+"""
+
+
+def q_unimax_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """UniMax multilingual budget allocation (Chung et al., ICLR 2023):
+    given a token budget B and a per-language epoch cap C, allocate
+    ascending by corpus size — a language is CAPPED at C·size while
+    C·size·(languages left) still fits the remaining budget, and every
+    larger language splits the leftover evenly (temperature sampling's
+    principled replacement; the engine's sampling layer is
+    operators/sampling.py). Exact integer form: sizes are token counts,
+    B = 2·total, C = 4; the capped set is a prefix of the ascending
+    order (running-AND of the prefix-feasibility test), the even split
+    is integer div with the remainder assigned Hamilton-style to the
+    largest languages (revisit_apportionment convention), so Σalloc ==
+    B exactly — emitted as a self-certifying budget_ok column on every
+    row. Languages derive as floor(sqrt(doc_id % 529)) (triangular
+    skew, sizes span ~45×); size = Σ token-ish length(text). Output per
+    language: size, capped flag, allocation, achieved epochs (6 dp).
+    Shape: one corpus-sized hash-agg — the ONLY stage that sees the
+    data (plan-asserted: a single scan) — then every scalar (total,
+    capped sum, leftover, final Σalloc check) derives via full-frame
+    windows over the 23 aggregated rows, all riding ONE ascending sort
+    (desc_rank is n−idx+1, not a second ordering)."""
+    d = load_table(spark, sf, "documents")
+    langs = (
+        d.select(
+            F.expr("cast(floor(sqrt(cast(doc_id % 529 as double))) as bigint)")
+            .alias("lang"),
+            F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("toks"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("toks").cast("long").alias("size_toks"))
+    )
+    cap = 4
+    asc = Window.orderBy(F.asc("size_toks"), F.asc("lang"))
+    full = asc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = langs.select(
+        "*",
+        (F.sum("size_toks").over(full) * 2).cast("long").alias("budget"),
+        F.count("*").over(full).cast("long").alias("n_langs"),
+        F.row_number().over(asc).cast("long").alias("idx"),
+        F.coalesce(
+            F.sum(F.col("size_toks") * cap).over(
+                asc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long").alias("cum_prev"),
+    )
+    t = t.select(
+        "*",
+        (
+            F.col("size_toks") * cap * (F.col("n_langs") - F.col("idx") + 1)
+            + F.col("cum_prev")
+            <= F.col("budget")
+        ).cast("int").alias("feasible"),
+    )
+    t = t.select(
+        "*",
+        (
+            F.min("feasible").over(
+                asc.rowsBetween(Window.unboundedPreceding, 0)
+            ) == 1
+        ).alias("capped"),
+    )
+    t = t.select(
+        "*",
+        F.sum(F.when(F.col("capped"), F.col("size_toks") * cap).otherwise(0))
+        .over(full).cast("long").alias("capped_sum"),
+        F.sum(F.when(F.col("capped"), 0).otherwise(1)).over(full)
+        .cast("long").alias("n_uncapped"),
+        (F.col("n_langs") - F.col("idx") + 1).cast("long").alias("desc_rank"),
+    )
+    t = t.select(
+        "*",
+        (F.col("budget") - F.col("capped_sum")).cast("long").alias("leftover"),
+    ).select(
+        "*",
+        F.when(F.col("capped"), F.col("size_toks") * cap)
+        .otherwise(
+            F.when(
+                F.col("n_uncapped") > 0,
+                F.expr("leftover div n_uncapped")
+                + F.when(
+                    F.col("desc_rank") <= F.expr("leftover % n_uncapped"), 1
+                ).otherwise(0),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("alloc_toks"),
+    )
+    out = t.select(
+        "*",
+        F.sum("alloc_toks").over(full).cast("long").alias("alloc_total"),
+    ).select(
+        "lang", "size_toks", "capped", "alloc_toks",
+        F.when(
+            F.col("size_toks") > 0,
+            F.round(F.col("alloc_toks") / F.col("size_toks"), 6),
+        ).alias("epochs_q6"),
+        (F.col("alloc_total") == F.col("budget")).alias("budget_ok"),
+    )
+    return out.orderBy("lang")
+
+
+ORACLE_UNIMAX_ALLOCATION = """
+WITH langs AS (
+  SELECT CAST(floor(sqrt(CAST(doc_id % 529 AS DOUBLE))) AS BIGINT) AS lang,
+         CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS size_toks
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(size_toks) AS BIGINT) AS total_toks,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(sum(size_toks) * 2 AS BIGINT) AS budget
+  FROM langs
+),
+t1 AS (
+  SELECT l.*, tot.n_langs, tot.budget,
+         CAST(row_number() OVER (ORDER BY size_toks ASC, lang ASC) AS BIGINT)
+           AS idx,
+         CAST(coalesce(sum(size_toks * 4) OVER (
+                ORDER BY size_toks ASC, lang ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM langs l CROSS JOIN tot
+),
+t2 AS (
+  SELECT *, CASE WHEN size_toks * 4 * (n_langs - idx + 1) + cum_prev <= budget
+                 THEN 1 ELSE 0 END AS feasible
+  FROM t1
+),
+t3 AS (
+  SELECT *, min(feasible) OVER (ORDER BY size_toks ASC, lang ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
+  FROM t2
+),
+fleet AS (
+  SELECT CAST(coalesce(sum(CASE WHEN capped THEN size_toks * 4 END), 0)
+              AS BIGINT) AS capped_sum,
+         CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS n_uncapped
+  FROM t3
+),
+t4 AS (
+  SELECT t3.*, fleet.n_uncapped,
+         CAST(t3.budget - fleet.capped_sum AS BIGINT) AS leftover,
+         CAST(row_number() OVER (ORDER BY size_toks DESC, lang DESC) AS BIGINT)
+           AS desc_rank
+  FROM t3 CROSS JOIN fleet
+),
+t5 AS (
+  SELECT lang, size_toks, capped, budget,
+         CAST(CASE WHEN capped THEN size_toks * 4
+                   WHEN n_uncapped > 0 THEN leftover // n_uncapped
+                     + CASE WHEN desc_rank <= leftover % n_uncapped
+                            THEN 1 ELSE 0 END
+                   ELSE 0 END AS BIGINT) AS alloc_toks
+  FROM t4
+),
+chk AS (SELECT CAST(sum(alloc_toks) AS BIGINT) AS alloc_total FROM t5)
+SELECT lang, size_toks, capped, alloc_toks,
+       CASE WHEN size_toks > 0
+            THEN round(alloc_toks / CAST(size_toks AS DOUBLE), 6) END
+         AS epochs_q6,
+       alloc_total = budget AS budget_ok
+FROM t5 CROSS JOIN chk ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -12077,6 +12575,10 @@ QUERIES: dict[str, tuple] = {
     ),
     "image_keep_best": (q_image_keep_best, ORACLE_IMAGE_KEEP_BEST),
     "rendezvous_churn": (q_rendezvous_churn, ORACLE_RENDEZVOUS_CHURN),
+    "freshness_policy": (q_freshness_policy, ORACLE_FRESHNESS_POLICY),
+    "host_locality": (q_host_locality, ORACLE_HOST_LOCALITY),
+    "phash_threshold_roc": (q_phash_threshold_roc, ORACLE_PHASH_THRESHOLD_ROC),
+    "unimax_allocation": (q_unimax_allocation, ORACLE_UNIMAX_ALLOCATION),
 }
 
 

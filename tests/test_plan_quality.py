@@ -1078,3 +1078,63 @@ def test_rendezvous_churn_no_cartesian_no_global_window(spark):
     assert "SinglePartition" not in plan
     assert "Window" in plan and "host_id" in plan
     assert "HashAggregate" in plan
+
+
+def test_freshness_policy_bounded_aggs_broadcast_scalar(spark):
+    """freshness_policy: two hash-aggs (hosts -> 13 classes) plus a
+    broadcast of the 1-row Σλ scalar — no sort-merge join and no
+    corpus-sized window; only the first agg's keys scale with data."""
+    from crawlers_spark.queries import q_freshness_policy
+
+    plan = _plan(q_freshness_policy(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "HashAggregate" in plan
+
+
+def test_host_locality_explode_single_agg_no_join(spark):
+    """host_locality: plan-side 3-way explode (Generate) feeding ONE
+    map-side-combined hash-agg — no join of any kind; the per-host
+    counter is the whole plan, so the shuffle carries one row per
+    host regardless of edge count."""
+    from crawlers_spark.queries import q_host_locality
+
+    plan = _plan(q_host_locality(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" in plan
+    assert "HashAggregate" in plan
+
+
+def test_phash_threshold_roc_banded_equijoin_no_cartesian(spark):
+    """phash_threshold_roc: candidate pairs come from the banded
+    equi-self-join on (band, band_key) — never a CartesianProduct on
+    the corpus side; the only nested-loop joins are the 6-row
+    threshold<= join and the 1-row truth scalar broadcast. The
+    corpus-sized stages are the band join + one hash-agg, identical to
+    the production banded dedup."""
+    from crawlers_spark.queries import q_phash_threshold_roc
+
+    plan = _plan(q_phash_threshold_roc(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "band_key" in plan  # equi-join keyed on the band hash
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "HashAggregate" in plan
+
+
+def test_unimax_allocation_one_corpus_agg_then_23_rows(spark):
+    """unimax_allocation: exactly ONE corpus-sized hash-agg (the
+    per-language token count); every window after it runs on the 23
+    aggregated rows (the global-order windows are bounded by the
+    language alphabet, zipf_slope's 500-row convention), and the three
+    scalar frames broadcast."""
+    from crawlers_spark.queries import q_unimax_allocation
+
+    plan = _plan(q_unimax_allocation(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan
+    # corpus touches the plan once: a single scan of documents
+    assert plan.count("documents.parquet") <= 2
