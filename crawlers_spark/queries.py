@@ -12345,6 +12345,397 @@ FROM t5 CROSS JOIN chk ORDER BY lang
 """
 
 
+_BAND_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8)]  # (bands, rows), b*r = 16
+
+
+def q_minhash_band_roc(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash banding-config ROC — the S-curve tuning every LSH dedup
+    runs before committing to a (bands × rows) split (Broder 1997;
+    Leskovec-Rajaraman-Ullman ch.3, public): more rows per band
+    sharpens the collision threshold but costs recall below it. Over
+    the mutant corpus the 16 md5 lanes of dedup_minhash_md5 are
+    re-banded four ways — 16×1, 8×2, 4×4, 2×8 — in ONE explode +
+    ONE (cfg, band, key) equi-self-join; truth = exact shingle Jaccard
+    ≥ 0.5 via the df-capped gram join (ORACLE_DEDUP_NGRAM's convention,
+    integer cross-multiply 2·ni ≥ n_a+n_b−ni so no float threshold).
+    Output per config: candidate pairs, true/false positives, truth
+    size, precision/recall in exact-integer ppm, plus the theoretical
+    P(collide | J=0.5) = (2^16 − (2^r−1)^b·…) — with b·r = 16 this is
+    exactly (65536 − (2^r−1)^b)/65536, emitted as (1000000·num) DIV
+    65536: pure int64, bit-identical cross-engine. Shape: the sig agg
+    and the band join are the production dedup's cost; the config axis
+    multiplies band rows 30/16×, never the corpus."""
+    docs = _docs_with_mutants(spark, sf)
+    t = docs.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("w"))
+    grams = (
+        t.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+            )).alias("s"),
+        )
+        .distinct()
+    )
+    mins = [
+        F.min(F.expr(
+            f"cast(conv(substring(md5(concat('{p}|', s)), 1, 15), 16, 10) as bigint)"
+        )).alias(f"m{p}")
+        for p in range(_MH_PERMS)
+    ]
+    sigs = grams.groupBy("doc_id").agg(*mins)
+    band_structs = []
+    for b, r in _BAND_CONFIGS:
+        for bi in range(b):
+            band_structs.append(F.struct(
+                F.lit(f"{b}x{r}").alias("cfg"),
+                F.lit(bi).cast("long").alias("bi"),
+                F.concat_ws(",", *[
+                    F.col(f"m{r * bi + j}").cast("string") for j in range(r)
+                ]).alias("bv"),
+            ))
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.cfg", "b.bi", "b.bv")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.cfg") == F.col("b.cfg")) & (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.cfg").alias("cfg"),
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # truth: exact Jaccard >= 0.5 on df-capped gram candidates, integer
+    # cross-multiplied (2*ni >= n_a + n_b - ni  <=>  J >= 0.5)
+    sz = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hot = grams.groupBy("s").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= NGRAM_DF_CAP
+    )
+    cold = grams.join(hot.select("s"), "s")
+    tpairs = (
+        cold.alias("a")
+        .join(cold.alias("b"),
+              (F.col("a.s") == F.col("b.s"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("ni"))
+    )
+    truth = (
+        tpairs
+        .join(sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
+              "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
+              "id_b")
+        .filter(2 * F.col("ni") >= F.col("n_a") + F.col("n_b") - F.col("ni"))
+        .select("id_a", "id_b", F.lit(1).cast("long").alias("is_true"))
+    )
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    scored = cand.join(truth, ["id_a", "id_b"], "left")
+    agg = scored.groupBy("cfg").agg(
+        F.count("*").cast("long").alias("n_cand"),
+        F.sum(F.coalesce(F.col("is_true"), F.lit(0))).cast("long").alias("tp"),
+    )
+    theory = spark.createDataFrame(
+        [(f"{b}x{r}", b, r,
+          (1_000_000 * (65536 - (2 ** r - 1) ** b)) // 65536)
+         for b, r in _BAND_CONFIGS],
+        "cfg string, bands long, rows_per_band long, theory_ppm long",
+    )
+    return (
+        agg.join(F.broadcast(theory), "cfg")
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "cfg", "bands", "rows_per_band", "n_cand", "tp",
+            (F.col("n_cand") - F.col("tp")).cast("long").alias("fp"),
+            "n_truth",
+            F.when(F.col("n_cand") > 0,
+                   F.expr("(1000000 * tp) div n_cand")).cast("long")
+            .alias("precision_ppm"),
+            F.when(F.col("n_truth") > 0,
+                   F.expr("(1000000 * tp) div n_truth")).cast("long")
+            .alias("recall_ppm"),
+            "theory_ppm",
+        )
+        .orderBy("rows_per_band")
+    )
+
+
+def _minhash_band_roc_oracle() -> str:
+    mins = ",\n       ".join(
+        f"min(('0x' || substring(md5('{p}|' || s), 1, 15))::BIGINT) AS m{p}"
+        for p in range(_MH_PERMS)
+    )
+    band_arms = []
+    for b, r in _BAND_CONFIGS:
+        for bi in range(b):
+            bv = " || ',' || ".join(
+                f"m{r * bi + j}::VARCHAR" for j in range(r)
+            )
+            band_arms.append(
+                f"SELECT doc_id, '{b}x{r}' AS cfg, CAST({bi} AS BIGINT) AS bi,"
+                f" {bv} AS bv FROM sigs"
+            )
+    bands = "\n  UNION ALL ".join(band_arms)
+    theory = ",\n  ".join(
+        f"('{b}x{r}', CAST({b} AS BIGINT), CAST({r} AS BIGINT),"
+        f" CAST({(1_000_000 * (65536 - (2 ** r - 1) ** b)) // 65536} AS BIGINT))"
+        for b, r in _BAND_CONFIGS
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+alldocs AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_MUTANT_OFFSET}, regexp_replace(text, ' \\w+$', '') FROM base
+),
+t AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM alldocs),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       FROM t WHERE len(w) >= 3),
+sigs AS (
+  SELECT doc_id,
+       {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.cfg, a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.cfg = b.cfg AND a.bi = b.bi AND a.bv = b.bv
+             AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+cold AS (SELECT sh.doc_id, sh.s FROM sh
+         JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}) f
+           USING (s)),
+tp0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+        FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+truth AS (
+  SELECT id_a, id_b
+  FROM tp0
+  JOIN sz za ON za.doc_id = id_a
+  JOIN sz zb ON zb.doc_id = id_b
+  WHERE 2 * ni >= za.n + zb.n - ni
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+agg AS (
+  SELECT c.cfg, CAST(count(*) AS BIGINT) AS n_cand,
+         CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM cand c LEFT JOIN truth t USING (id_a, id_b)
+  GROUP BY 1
+),
+theory(cfg, bands, rows_per_band, theory_ppm) AS (VALUES
+  {theory}
+)
+SELECT a.cfg, bands, rows_per_band, n_cand, tp,
+       CAST(n_cand - tp AS BIGINT) AS fp, n_truth,
+       CAST(CASE WHEN n_cand > 0 THEN (1000000 * tp) // n_cand END AS BIGINT)
+         AS precision_ppm,
+       CAST(CASE WHEN n_truth > 0 THEN (1000000 * tp) // n_truth END AS BIGINT)
+         AS recall_ppm,
+       theory_ppm
+FROM agg a JOIN theory USING (cfg) CROSS JOIN nt
+ORDER BY rows_per_band
+"""
+
+
+ORACLE_MINHASH_BAND_ROC = _minhash_band_roc_oracle()
+
+
+def q_jaccard_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-aggressiveness Pareto — how much corpus each Jaccard
+    cutoff retires (the third axis after length_threshold_sweep and
+    token_budget_pareto: the knob Lee et al. 2022 and every near-dup
+    pipeline sweeps before fixing a threshold). Pairs come from the
+    df-capped exact gram join (ORACLE_DEDUP_NGRAM's convention); a doc
+    is RETIRED at cutoff t% when it is the larger id of any pair with
+    100·ni ≥ t·(n_a+n_b−ni) — the min-id keeper rule, integer
+    cross-multiplied so no float threshold anywhere. Output per t in
+    30..90 step 10: qualifying pairs, docs retired, chars retired,
+    retired corpus share in exact ppm, and a self-certifying
+    monotone_ok (retirement can only shrink as t rises — lag window
+    over the 7 output rows, never the corpus). Shape: ONE gram
+    self-join + one pair agg, then a broadcast 7-row threshold join;
+    the corpus-sized stages are exactly the production dedup's. Unlike
+    _docs_with_mutants (every mutant at J≈0.9), the mutant here drops
+    k = 1 + (doc_id DIV 5) % 24 trailing WORDS (array slice, no
+    per-row regex), grading true Jaccard from ~0.97 down past 0.3 so
+    the curve actually bends across the sweep."""
+    base = (
+        load_table(spark, sf, "documents")
+        .filter(F.pmod("doc_id", F.lit(5)) == 0)
+        .select(
+            "doc_id",
+            F.split(normalize_text(F.col("text")), " ").alias("w"),
+        )
+    )
+    mut = base.select(
+        (F.col("doc_id") + _MUTANT_OFFSET).alias("doc_id"),
+        F.slice(
+            "w", F.lit(1),
+            F.greatest(
+                F.size("w")
+                - (1 + F.pmod(F.expr("doc_id div 5"), F.lit(24))).cast("int"),
+                F.lit(0),
+            ),
+        ).alias("w"),
+    )
+    t = base.unionByName(mut)
+    grams = (
+        t.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+            )).alias("s"),
+        )
+        .distinct()
+    )
+    sz = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hot = grams.groupBy("s").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= NGRAM_DF_CAP
+    )
+    cold = grams.join(hot.select("s"), "s")
+    pairs = (
+        cold.alias("a")
+        .join(cold.alias("b"),
+              (F.col("a.s") == F.col("b.s"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("ni"))
+        .join(sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
+              "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
+              "id_b")
+    )
+    thresholds = spark.range(3, 10).select(
+        (F.col("id") * 10).cast("long").alias("t_pct")
+    )
+    qual = pairs.join(
+        F.broadcast(thresholds),
+        100 * F.col("ni") >= F.col("t_pct") * (F.col("n_a") + F.col("n_b")
+                                               - F.col("ni")),
+    )
+    lens = t.select(
+        "doc_id",
+        F.length(F.concat_ws(" ", "w")).cast("long").alias("chars"),
+    )
+    tot = lens.agg(F.sum("chars").cast("long").alias("total_chars"))
+    retired = (
+        qual.select("t_pct", F.col("id_b").alias("doc_id")).distinct()
+        .join(lens, "doc_id")
+        .groupBy("t_pct")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_retired"),
+            F.sum("chars").cast("long").alias("chars_retired"),
+        )
+    )
+    npairs = qual.groupBy("t_pct").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    out = (
+        thresholds.join(npairs, "t_pct", "left")
+        .join(retired, "t_pct", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t_pct",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_retired", F.lit(0)).cast("long")
+            .alias("n_docs_retired"),
+            F.coalesce("chars_retired", F.lit(0)).cast("long")
+            .alias("chars_retired"),
+            F.expr(
+                "(1000000 * coalesce(chars_retired, 0)) div total_chars"
+            ).cast("long").alias("retired_ppm"),
+        )
+    )
+    w7 = Window.orderBy("t_pct")
+    return out.select(
+        "*",
+        (F.col("n_docs_retired")
+         <= F.coalesce(F.lag("n_docs_retired").over(w7),
+                       F.col("n_docs_retired"))).alias("monotone_ok"),
+    ).orderBy("t_pct")
+
+
+ORACLE_JACCARD_THRESHOLD_SWEEP = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE doc_id % 5 = 0
+),
+t AS (
+  SELECT doc_id, w FROM base
+  UNION ALL
+  SELECT doc_id + {_MUTANT_OFFSET},
+         list_slice(w, 1, greatest(len(w) - (1 + (doc_id // 5) % 24), 0))
+  FROM base
+),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       FROM t WHERE len(w) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+cold AS (SELECT sh.doc_id, sh.s FROM sh
+         JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}) f
+           USING (s)),
+p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+       FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b, ni, za.n AS n_a, zb.n AS n_b
+  FROM p0
+  JOIN sz za ON za.doc_id = id_a
+  JOIN sz zb ON zb.doc_id = id_b
+),
+thresholds AS (SELECT CAST(unnest(range(3, 10)) * 10 AS BIGINT) AS t_pct),
+qual AS (
+  SELECT t_pct, id_a, id_b, ni
+  FROM pairs JOIN thresholds
+    ON 100 * ni >= t_pct * (n_a + n_b - ni)
+),
+lens AS (SELECT doc_id, CAST(length(array_to_string(w, ' ')) AS BIGINT) AS chars
+         FROM t),
+tot AS (SELECT CAST(sum(chars) AS BIGINT) AS total_chars FROM lens),
+retired AS (
+  SELECT t_pct, CAST(count(*) AS BIGINT) AS n_docs_retired,
+         CAST(sum(chars) AS BIGINT) AS chars_retired
+  FROM (SELECT DISTINCT t_pct, id_b FROM qual) r
+  JOIN lens ON lens.doc_id = r.id_b
+  GROUP BY 1
+),
+np AS (SELECT t_pct, CAST(count(*) AS BIGINT) AS n_pairs FROM qual GROUP BY 1),
+o AS (
+  SELECT th.t_pct,
+         CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         CAST(coalesce(n_docs_retired, 0) AS BIGINT) AS n_docs_retired,
+         CAST(coalesce(chars_retired, 0) AS BIGINT) AS chars_retired,
+         CAST((1000000 * coalesce(chars_retired, 0)) // total_chars AS BIGINT)
+           AS retired_ppm
+  FROM thresholds th
+  LEFT JOIN np USING (t_pct)
+  LEFT JOIN retired USING (t_pct)
+  CROSS JOIN tot
+)
+SELECT *,
+       n_docs_retired <= coalesce(lag(n_docs_retired) OVER (ORDER BY t_pct),
+                                  n_docs_retired) AS monotone_ok
+FROM o ORDER BY t_pct
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -12579,6 +12970,11 @@ QUERIES: dict[str, tuple] = {
     "host_locality": (q_host_locality, ORACLE_HOST_LOCALITY),
     "phash_threshold_roc": (q_phash_threshold_roc, ORACLE_PHASH_THRESHOLD_ROC),
     "unimax_allocation": (q_unimax_allocation, ORACLE_UNIMAX_ALLOCATION),
+    "minhash_band_roc": (q_minhash_band_roc, ORACLE_MINHASH_BAND_ROC),
+    "jaccard_threshold_sweep": (
+        q_jaccard_threshold_sweep,
+        ORACLE_JACCARD_THRESHOLD_SWEEP,
+    ),
 }
 
 

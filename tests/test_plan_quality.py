@@ -1138,3 +1138,31 @@ def test_unimax_allocation_one_corpus_agg_then_23_rows(spark):
     assert "HashAggregate" in plan
     # corpus touches the plan once: a single scan of documents
     assert plan.count("documents.parquet") <= 2
+
+
+def test_minhash_band_roc_one_band_join_no_cartesian(spark):
+    """minhash_band_roc: all four (bands x rows) configs ride ONE
+    explode + ONE (cfg, bi, bv) equi-self-join — no CartesianProduct
+    anywhere on the corpus side; the 4-row theory table and the 1-row
+    truth count broadcast. The sig agg and the band join are the
+    production dedup's cost."""
+    from crawlers_spark.queries import q_minhash_band_roc
+
+    plan = _plan(q_minhash_band_roc(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "HashAggregate" in plan
+    assert "bv" in plan  # band-value equi-join key
+
+
+def test_jaccard_threshold_sweep_dfcap_join_small_window(spark):
+    """jaccard_threshold_sweep: candidates come from the df-capped gram
+    equi-self-join (never all-pairs); the threshold axis is a
+    broadcast 7-row range join; the only window is the monotone_ok
+    lag over the 7 output rows (bounded, not corpus-sized)."""
+    from crawlers_spark.queries import q_jaccard_threshold_sweep
+
+    plan = _plan(q_jaccard_threshold_sweep(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
