@@ -12736,6 +12736,386 @@ FROM o ORDER BY t_pct
 """
 
 
+def q_dsir_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR data selection (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every
+    non-target document by its importance weight under hashed-unigram
+    bag-of-words models of a target distribution (here the ``en``
+    slice) vs the raw pool, then keep the top-k. Features are md5-lane
+    hashed unigrams in B=64 buckets; both distributions are add-one
+    smoothed (ct+1)/(nt+B); a token's log-ratio collapses to ONE ln of
+    an exact-int64 rational ((ct+1)·(nr+B)) / ((cr+1)·(nt+B)), and the
+    per-doc sum is 6-dp rounded (transcendental: summation-order ulps
+    absorbed, repo convention — ties at 6 dp are broken by doc_id).
+    Shape: the token stream joins two 64-row bucket dims and two
+    1-row total dims (all broadcast), one hash-agg per doc, and the
+    selection is an ORDER BY+LIMIT 50 that lands as
+    TakeOrderedAndProject — at 100 TB the corpus is never globally
+    sorted and the "model" shipped to executors is 64 numbers per
+    side, which is the entire point of DSIR over classifier scoring."""
+    B = 64
+    docs = load_table(spark, sf, "documents")
+    toks = (
+        docs.filter(F.length(normalize_text(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            "lang",
+            (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("is_target"),
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+        )
+        .withColumn(
+            "b",
+            F.expr(
+                "pmod(cast(conv(substring(md5(word), 1, 15), 16, 10)"
+                f" as bigint), {B})"
+            ),
+        )
+    )
+    tgt = toks.filter("is_target")
+    raw = toks.filter(~F.col("is_target"))
+    ct = tgt.groupBy("b").agg(F.count("*").cast("long").alias("ct"))
+    cr = raw.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
+    nt = tgt.agg(F.count("*").cast("long").alias("nt"))
+    nr = raw.agg(F.count("*").cast("long").alias("nr"))
+    scored = (
+        raw.join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(cr), "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "doc_id",
+            "lang",
+            F.log(
+                (
+                    (F.coalesce("ct", F.lit(0)) + 1) * (F.col("nr") + B)
+                ).cast("double")
+                / (
+                    (F.coalesce("cr", F.lit(0)) + 1) * (F.col("nt") + B)
+                ).cast("double")
+            ).alias("lw"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum("lw"), 6).alias("logw_q6"),
+        )
+        .orderBy(F.desc("logw_q6"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+ORACLE_DSIR_SELECTION = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         coalesce(lang, '') = 'en' AS is_target,
+         ('0x' || substring(md5(word), 1, 15))::BIGINT % 64 AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+    WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0
+  )
+),
+ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM toks WHERE is_target GROUP BY 1),
+cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM toks WHERE NOT is_target GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM toks WHERE is_target),
+nr AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM toks WHERE NOT is_target),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         ln(CAST((coalesce(ct.ct, 0) + 1) * (nr.nr + 64) AS DOUBLE)
+            / CAST((coalesce(cr.cr, 0) + 1) * (nt.nt + 64) AS DOUBLE)) AS lw
+  FROM toks t
+  LEFT JOIN ct USING (b)
+  LEFT JOIN cr USING (b)
+  CROSS JOIN nt CROSS JOIN nr
+  WHERE NOT t.is_target
+)
+SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(lw), 6) AS logw_q6
+FROM scored
+GROUP BY 1, 2
+ORDER BY logw_q6 DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate retirement with the pairwise cosine check bounded to
+    k-means clusters — the published trick that makes embedding dedup
+    tractable at LAION scale (pairs grow with cluster size, not corpus
+    size). The quantizer here is a fixed deterministic codebook (the
+    first 8 vectors — the converged-centroid stand-in, same convention
+    as ivf_topk's oracle lane); corpus = the vec_id%5==0 slice plus
+    planted mutants (first-16-dims damped ×0.4, true cosine ≈0.95 vs
+    a ≤0.38 background, so τ=0.6 separates cleanly). Every vector is
+    assigned to its argmax-cosine centroid (centroid-id tie-break);
+    within a cluster, pairs with cosine ≥ 0.6 retire the larger id
+    (min-id keeper). Output per cluster: member count, checked-pair
+    count (self-certifying n·(n−1)/2), duplicate pairs, retired count
+    and id-sum. Exactness: cosine is one division of
+    identically-ordered sums (cosine_topk pattern). Shape: centroids
+    broadcast, assignment is an 8-row window per vector, and the
+    pairwise stage is a cluster-keyed self-join — the 100-TB cost
+    model is Σ|cluster|², exactly SemDeDup's."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = emb.filter(F.pmod("vec_id", F.lit(5)) == 0)
+    mut = base.filter(F.pmod("vec_id", F.lit(35)) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.transform(F.slice("v", 1, 16), lambda x: x * F.lit(0.4)),
+            F.slice("v", 17, 10000),
+        ).alias("v"),
+    )
+    corpus = base.unionByName(mut)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("cid", "vec_id", "v")
+    )
+    pairs = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cs"),
+        )
+    )
+    dup = pairs.filter(F.col("cs") >= 0.6)
+    members = assigned.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    dstats = dup.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_dup_pairs")
+    )
+    retired = (
+        dup.select("cid", F.col("id_b").alias("rid")).distinct()
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_retired"),
+            F.sum("rid").cast("long").alias("sum_retired"),
+        )
+    )
+    return (
+        members.join(dstats, "cid", "left")
+        .join(retired, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            F.expr("n_members * (n_members - 1) div 2").cast("long")
+            .alias("n_pairs_checked"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long")
+            .alias("n_dup_pairs"),
+            F.coalesce("n_retired", F.lit(0)).cast("long").alias("n_retired"),
+            F.coalesce("sum_retired", F.lit(0)).cast("long")
+            .alias("sum_retired"),
+        )
+        .orderBy("cid")
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+mut AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_concat(list_transform(v[1:16], x -> x * 0.4), v[17:]) AS v
+  FROM base WHERE vec_id % 35 = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+cents AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+ex AS (
+  SELECT c.vec_id, c.v, k.cid, unnest(c.v) AS x, unnest(k.cv) AS y
+  FROM corpus c CROSS JOIN cents k
+),
+s AS (
+  SELECT vec_id, cid,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cs
+  FROM ex GROUP BY 1, 2
+),
+assigned AS (
+  SELECT c.cid, c.vec_id, co.v
+  FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cid ASC) AS rn
+    FROM s
+  ) c
+  JOIN corpus co USING (vec_id)
+  WHERE rn = 1
+),
+px AS (
+  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+         unnest(a.v) AS xa, unnest(b.v) AS xb
+  FROM assigned a
+  JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+ps AS (
+  SELECT cid, id_a, id_b,
+         sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))) AS cs
+  FROM px GROUP BY 1, 2, 3
+),
+dup AS (SELECT * FROM ps WHERE cs >= 0.6),
+members AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+            FROM assigned GROUP BY 1),
+dstats AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dup_pairs
+           FROM dup GROUP BY 1),
+retired AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_retired,
+         CAST(sum(rid) AS BIGINT) AS sum_retired
+  FROM (SELECT DISTINCT cid, id_b AS rid FROM dup)
+  GROUP BY 1
+)
+SELECT m.cid, m.n_members,
+       CAST(m.n_members * (m.n_members - 1) // 2 AS BIGINT) AS n_pairs_checked,
+       CAST(coalesce(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(coalesce(r.n_retired, 0) AS BIGINT) AS n_retired,
+       CAST(coalesce(r.sum_retired, 0) AS BIGINT) AS sum_retired
+FROM members m
+LEFT JOIN dstats d USING (cid)
+LEFT JOIN retired r USING (cid)
+ORDER BY cid
+"""
+
+
+def q_rel_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """rel=canonical consolidation — the crawler-side dedup lane that
+    collapses URL variants onto the page's self-declared canonical
+    (RFC 6596; treated as a consolidation hint by every major crawler,
+    distinct from redirect_chains' 3xx transport layer). Canonical
+    edges derive deterministically from doc_id (last-digit role: 0-5
+    self-canonical, 6 one hop, 7 two hops, 8 three hops, 9 two hops;
+    in every 5th decade 8↔9 form a genuine canonical 2-CYCLE). The
+    resolver follows at most 3 hops through the materialized edge
+    table (4 bounded left self-joins — a hint target that was never
+    crawled is terminal by coalesce); a page still unstable after 3
+    hops is a cycle and REVERTS TO SELF (hint ignored — the spec'd
+    crawler behavior, unlike a redirect loop which errors). Output per
+    page: resolved canonical, hops, cycle flag, and the consolidated
+    cluster size (window count over the resolved id). All-integer
+    exact. Shape: the edge table is joined on its own key 4 times
+    (co-partitioned, no growth) and the census window is keyed on the
+    resolved id — at 10^10 URLs each hop is one shuffle-free lookup
+    join against a bucketed canonical-map table."""
+    pages = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("u")
+    )
+    c = (
+        "CASE WHEN u % 10 <= 5 THEN u "
+        "WHEN u % 10 = 6 THEN u - 6 "
+        "WHEN u % 10 = 7 THEN u - 1 "
+        "WHEN u % 10 = 8 THEN "
+        "  CASE WHEN (u div 10) % 5 = 4 THEN u + 1 ELSE u - 1 END "
+        "ELSE CASE WHEN (u div 10) % 5 = 4 THEN u - 1 ELSE u - 3 END END"
+    )
+    e = pages.select("u", F.expr(c).cast("long").alias("t"))
+
+    def hop(df, src, dst):
+        step = e.select(
+            F.col("u").alias(f"__k{dst}"), F.col("t").alias(f"__t{dst}")
+        )
+        return df.join(
+            step, F.col(src) == F.col(f"__k{dst}"), "left"
+        ).select(
+            df["*"],
+            F.coalesce(F.col(f"__t{dst}"), F.col(src)).alias(dst),
+        )
+
+    r = e.select("u", F.col("t").alias("t0"))
+    r = hop(r, "t0", "t1")
+    r = hop(r, "t1", "t2")
+    r = hop(r, "t2", "t3")
+    resolved = r.select(
+        F.col("u").alias("page_id"),
+        F.when(F.col("t0") == F.col("u"), F.col("u"))
+        .when(F.col("t1") == F.col("t0"), F.col("t0"))
+        .when(F.col("t2") == F.col("t1"), F.col("t1"))
+        .when(F.col("t3") == F.col("t2"), F.col("t2"))
+        .otherwise(F.col("u")).cast("long").alias("canon_id"),
+        F.when(F.col("t0") == F.col("u"), F.lit(0))
+        .when(F.col("t1") == F.col("t0"), F.lit(1))
+        .when(F.col("t2") == F.col("t1"), F.lit(2))
+        .when(F.col("t3") == F.col("t2"), F.lit(3))
+        .otherwise(F.lit(0)).cast("long").alias("hops"),
+        (
+            (F.col("t0") != F.col("u"))
+            & (F.col("t1") != F.col("t0"))
+            & (F.col("t2") != F.col("t1"))
+            & (F.col("t3") != F.col("t2"))
+        ).alias("is_cycle"),
+    )
+    wc = Window.partitionBy("canon_id")
+    return resolved.select(
+        "*", F.count("*").over(wc).cast("long").alias("cluster_n")
+    )
+
+
+ORACLE_REL_CANONICAL = """
+WITH pages AS (SELECT CAST(doc_id AS BIGINT) AS u FROM documents),
+e AS (
+  SELECT u,
+         CAST(CASE WHEN u % 10 <= 5 THEN u
+              WHEN u % 10 = 6 THEN u - 6
+              WHEN u % 10 = 7 THEN u - 1
+              WHEN u % 10 = 8 THEN
+                CASE WHEN (u // 10) % 5 = 4 THEN u + 1 ELSE u - 1 END
+              ELSE CASE WHEN (u // 10) % 5 = 4 THEN u - 1 ELSE u - 3 END
+         END AS BIGINT) AS t
+  FROM pages
+),
+r AS (
+  SELECT e.u, e.t AS t0,
+         coalesce(e1.t, e.t) AS t1,
+         coalesce(e2.t, coalesce(e1.t, e.t)) AS t2,
+         coalesce(e3.t, coalesce(e2.t, coalesce(e1.t, e.t))) AS t3
+  FROM e
+  LEFT JOIN e e1 ON e1.u = e.t
+  LEFT JOIN e e2 ON e2.u = coalesce(e1.t, e.t)
+  LEFT JOIN e e3 ON e3.u = coalesce(e2.t, coalesce(e1.t, e.t))
+),
+resolved AS (
+  SELECT u AS page_id,
+         CAST(CASE WHEN t0 = u THEN u
+              WHEN t1 = t0 THEN t0
+              WHEN t2 = t1 THEN t1
+              WHEN t3 = t2 THEN t2
+              ELSE u END AS BIGINT) AS canon_id,
+         CAST(CASE WHEN t0 = u THEN 0
+              WHEN t1 = t0 THEN 1
+              WHEN t2 = t1 THEN 2
+              WHEN t3 = t2 THEN 3
+              ELSE 0 END AS BIGINT) AS hops,
+         (t0 != u AND t1 != t0 AND t2 != t1 AND t3 != t2) AS is_cycle
+  FROM r
+)
+SELECT *, CAST(count(*) OVER (PARTITION BY canon_id) AS BIGINT) AS cluster_n
+FROM resolved
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -12975,6 +13355,9 @@ QUERIES: dict[str, tuple] = {
         q_jaccard_threshold_sweep,
         ORACLE_JACCARD_THRESHOLD_SWEEP,
     ),
+    "dsir_selection": (q_dsir_selection, ORACLE_DSIR_SELECTION),
+    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
+    "rel_canonical": (q_rel_canonical, ORACLE_REL_CANONICAL),
 }
 
 

@@ -1166,3 +1166,42 @@ def test_jaccard_threshold_sweep_dfcap_join_small_window(spark):
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dsir_selection_broadcast_dims_takeordered(spark):
+    """dsir_selection: the bucket/total "model" dims broadcast to the
+    token stream (64+1 rows per side — DSIR's whole scale advantage),
+    the per-doc score is a hash-agg, and the top-50 selection lands as
+    TakeOrderedAndProject, never a global sort of the corpus."""
+    from crawlers_spark.queries import q_dsir_selection
+
+    plan = _plan(q_dsir_selection(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_semantic_dedup_pairs_cluster_keyed(spark):
+    """semantic_dedup: centroids broadcast to the assignment stage; the
+    pairwise stage is a cid-keyed equi-join (SortMergeJoin/ShuffledHash
+    on cid — SemDeDup's Σ|cluster|² cost model), NEVER a cartesian
+    product over the corpus."""
+    from crawlers_spark.queries import q_semantic_dedup
+
+    plan = _plan(q_semantic_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_rel_canonical_bounded_hop_joins(spark):
+    """rel_canonical: the resolver is 4 bounded left equi-joins of the
+    edge table on its own key plus one census window — no cartesian
+    products, no unbounded iteration, and the window is keyed (never
+    Exchange SinglePartition)."""
+    from crawlers_spark.queries import q_rel_canonical
+
+    plan = _plan(q_rel_canonical(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
