@@ -13116,6 +13116,290 @@ FROM resolved
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility census per language — the multilingual budget
+    law (XLM-R, Conneau et al. 2020; NLLB 2022): how many tokens a
+    tokenizer spends per character/byte of each language decides both
+    training cost and the temperature mix (a high-fertility language
+    burns context window). Both repo token lanes are reported
+    (whitespace words and the BPE-ish regex of token_counts), plus
+    UTF-8 byte volume (octet_length — CJK pays ~3 bytes/char, the
+    reason byte-fallback BPEs over-fragment it). Fertility ratios are
+    exact integer ppm (1e6·chars DIV tokens etc., nullif-guarded).
+    The synthetic corpus is pure ASCII for every lang value, so the
+    law would be degenerate on the raw text; each doc is therefore
+    decorated with a deterministic native-script snippet for its lang
+    (repeated 1+doc_id%4 times — the planted-mutant convention), which
+    makes the census real: zh pays 3 bytes/char and one BPE token per
+    ideograph, de/fr/es pay 2-byte vowels, en stays 1:1. Shape: one
+    row-local projection + one hash-agg keyed on lang — at 100 TB
+    this is a single map-side-combinable pass."""
+    d = load_table(spark, sf, "documents")
+    deco = (
+        "CASE lang WHEN 'zh' THEN '统一码中文字符示例 '"
+        " WHEN 'de' THEN 'straße größe übergang '"
+        " WHEN 'fr' THEN 'déjà château écouté '"
+        " WHEN 'es' THEN 'señal año corazón '"
+        " ELSE 'plain ascii filler ' END"
+    )
+    txt = F.concat(
+        F.expr(f"repeat({deco}, cast(1 + doc_id % 4 as int))"),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    d = d.select("lang", txt.alias("text"))
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    ws = F.when(F.length(norm) == 0, 0).otherwise(F.size(F.split(norm, " ")))
+    per = d.select(
+        "lang",
+        F.coalesce(ws, F.lit(0)).cast("long").alias("ws_tokens"),
+        F.coalesce(F.regexp_count("text", F.lit(BPE_TOKEN_RE)), F.lit(0))
+        .cast("long").alias("bpe_tokens"),
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce(F.octet_length("text"), F.lit(0)).cast("long")
+        .alias("n_bytes"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+        F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+    )
+    return agg.select(
+        "*",
+        F.expr("(1000000 * n_chars) div nullif(bpe_tokens, 0)").cast("long")
+        .alias("chars_per_bpe_ppm"),
+        F.expr("(1000000 * n_bytes) div nullif(bpe_tokens, 0)").cast("long")
+        .alias("bytes_per_bpe_ppm"),
+        F.expr("(1000000 * bpe_tokens) div nullif(ws_tokens, 0)").cast("long")
+        .alias("bpe_per_word_ppm"),
+    ).orderBy("lang")
+
+
+ORACLE_TOKENIZER_FERTILITY = """
+WITH d AS (
+  SELECT lang,
+         repeat(CASE lang WHEN 'zh' THEN '统一码中文字符示例 '
+                WHEN 'de' THEN 'straße größe übergang '
+                WHEN 'fr' THEN 'déjà château écouté '
+                WHEN 'es' THEN 'señal año corazón '
+                ELSE 'plain ascii filler ' END,
+                CAST(1 + doc_id % 4 AS INT))
+           || coalesce(text, '') AS text
+  FROM documents
+),
+per AS (
+  SELECT lang,
+         coalesce(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+                       THEN 0
+                       ELSE len(string_split(
+                              trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                  END, 0) AS ws_tokens,
+         coalesce(len(regexp_extract_all(
+                    text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 0) AS bpe_tokens,
+         coalesce(length(text), 0) AS n_chars,
+         coalesce(octet_length(encode(text)), 0) AS n_bytes
+  FROM d
+),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+         CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+  FROM per GROUP BY 1
+)
+SELECT *,
+       CAST((1000000 * n_chars) // nullif(bpe_tokens, 0) AS BIGINT)
+         AS chars_per_bpe_ppm,
+       CAST((1000000 * n_bytes) // nullif(bpe_tokens, 0) AS BIGINT)
+         AS bytes_per_bpe_ppm,
+       CAST((1000000 * bpe_tokens) // nullif(ws_tokens, 0) AS BIGINT)
+         AS bpe_per_word_ppm
+FROM agg ORDER BY lang
+"""
+
+
+def q_clip_score_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """CLIP-score admission Pareto — the knob LAION fixed at cosine
+    ≥0.28 (ViT-B/32) after sweeping it (Schuhmann et al. 2022 §3): how
+    much of the image+caption stream each agreement threshold admits.
+    No vision encoder exists in-sandbox, so the pair is synthesized
+    deterministically in the embedding space itself: the image vector
+    is the stored embedding; its caption vector is the same vector
+    with the first 4+4·(vec_id%10) dims damped ×0.25 — grade 0 pairs
+    agree at ≈0.98, grade 9 at ≈0.83, so the sweep's five cutoffs
+    (0.80/0.85/0.90/0.95/0.98) actually bend the curve. Cosine is one
+    division of identically-ordered sums (cosine_topk exactness
+    pattern); admission counts and ppm shares are exact integers.
+    Shape: per-row vector math + a broadcast 5-row threshold dim +
+    one hash-agg — the 100-TB cost is one linear scan, which is why
+    CLIP-score filtering is always the LAST cheap gate before GPU
+    re-captioning."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    k = (4 + 4 * F.pmod("vec_id", F.lit(10))).cast("int")
+    pair = emb.select(
+        "vec_id",
+        "v",
+        F.concat(
+            F.transform(F.slice("v", F.lit(1), k), lambda x: x * F.lit(0.25)),
+            F.slice("v", k + 1, 100000),
+        ).alias("cap"),
+    )
+    scored = pair.select("vec_id", cosine(F.col("v"), F.col("cap")).alias("cs"))
+    thresholds = spark.range(0, 5).select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in (80, 85, 90, 95, 98)]),
+            (F.col("id") + 1).cast("int"),
+        ).cast("long").alias("t_e2")
+    )
+    tot = scored.agg(F.count("*").cast("long").alias("total"))
+    adm = (
+        scored.join(
+            F.broadcast(thresholds),
+            F.col("cs") >= F.col("t_e2").cast("double") / 100.0,
+        )
+        .groupBy("t_e2")
+        .agg(F.count("*").cast("long").alias("n_admitted"))
+    )
+    return (
+        thresholds.join(adm, "t_e2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t_e2",
+            F.coalesce("n_admitted", F.lit(0)).cast("long").alias("n_admitted"),
+            "total",
+            F.expr(
+                "(1000000 * coalesce(n_admitted, 0)) div nullif(total, 0)"
+            ).cast("long").alias("admitted_ppm"),
+        )
+        .orderBy("t_e2")
+    )
+
+
+ORACLE_CLIP_SCORE_SWEEP = """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         4 + 4 * (vec_id % 10) AS k
+  FROM embeddings
+),
+pair AS (
+  SELECT vec_id,
+         unnest(v) AS x,
+         unnest(list_concat(
+           list_transform(list_slice(v, 1, k), x -> x * 0.25),
+           list_slice(v, k + 1, 100000))) AS y
+  FROM emb
+),
+scored AS (
+  SELECT vec_id,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cs
+  FROM pair GROUP BY 1
+),
+thresholds AS (SELECT CAST(unnest([80, 85, 90, 95, 98]) AS BIGINT) AS t_e2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM scored),
+adm AS (
+  SELECT t_e2, CAST(count(*) AS BIGINT) AS n_admitted
+  FROM scored JOIN thresholds ON cs >= CAST(t_e2 AS DOUBLE) / 100.0
+  GROUP BY 1
+)
+SELECT th.t_e2,
+       CAST(coalesce(n_admitted, 0) AS BIGINT) AS n_admitted,
+       total,
+       CAST((1000000 * coalesce(n_admitted, 0)) // nullif(total, 0) AS BIGINT)
+         AS admitted_ppm
+FROM thresholds th
+LEFT JOIN adm USING (t_e2)
+CROSS JOIN tot
+ORDER BY t_e2
+"""
+
+
+def q_seqlen_padding_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-length packing Pareto (Krell et al. 2021,
+    arXiv:2107.02027): for each candidate context length L, the token
+    waste of doc-per-sequence padding (every doc chunked to ⌈n/L⌉
+    sequences, last one padded) vs GPT-style concat-and-chunk packing
+    (waste only in the final sequence) — the number that decides
+    whether a training pipeline needs a packer at all. All-integer:
+    ⌈n/L⌉ = (n+L−1) DIV L, waste ppm = 1e6·pad DIV capacity. Docs with
+    zero tokens are dropped from batching in both lanes. Shape: one
+    per-doc token count, a broadcast 4-row L dim, one hash-agg per L —
+    the corpus is scanned once regardless of how many L values the
+    sweep carries (contrast with per-L job loops)."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    ws = F.when(F.length(norm) == 0, 0).otherwise(F.size(F.split(norm, " ")))
+    toks = d.select(F.coalesce(ws, F.lit(0)).cast("long").alias("n")).filter(
+        "n > 0"
+    )
+    ls = spark.range(0, 4).select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in (128, 256, 512, 1024)]),
+            (F.col("id") + 1).cast("int"),
+        ).cast("long").alias("seq_len")
+    )
+    per = toks.crossJoin(F.broadcast(ls))
+    agg = per.groupBy("seq_len").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum(F.expr("(n + seq_len - 1) div seq_len")).cast("long")
+        .alias("pad_seqs"),
+    )
+    return agg.select(
+        "seq_len",
+        "n_docs",
+        "total_tokens",
+        "pad_seqs",
+        F.expr(
+            "(1000000 * (pad_seqs * seq_len - total_tokens))"
+            " div (pad_seqs * seq_len)"
+        ).cast("long").alias("pad_waste_ppm"),
+        F.expr("(total_tokens + seq_len - 1) div seq_len").cast("long")
+        .alias("packed_seqs"),
+        F.expr(
+            "(1000000 * (((total_tokens + seq_len - 1) div seq_len) * seq_len"
+            " - total_tokens))"
+            " div (((total_tokens + seq_len - 1) div seq_len) * seq_len)"
+        ).cast("long").alias("packed_waste_ppm"),
+    ).orderBy("seq_len")
+
+
+ORACLE_SEQLEN_PADDING_SWEEP = """
+WITH toks AS (
+  SELECT CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN 0
+              ELSE len(string_split(
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+         END AS n
+  FROM documents
+  WHERE text IS NOT NULL
+),
+nz AS (SELECT n FROM toks WHERE n > 0),
+ls AS (SELECT CAST(unnest([128, 256, 512, 1024]) AS BIGINT) AS seq_len),
+agg AS (
+  SELECT seq_len,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(sum((n + seq_len - 1) // seq_len) AS BIGINT) AS pad_seqs
+  FROM nz CROSS JOIN ls
+  GROUP BY 1
+)
+SELECT seq_len, n_docs, total_tokens, pad_seqs,
+       CAST((1000000 * (pad_seqs * seq_len - total_tokens))
+            // (pad_seqs * seq_len) AS BIGINT) AS pad_waste_ppm,
+       CAST((total_tokens + seq_len - 1) // seq_len AS BIGINT) AS packed_seqs,
+       CAST((1000000 * (((total_tokens + seq_len - 1) // seq_len) * seq_len
+                        - total_tokens))
+            // (((total_tokens + seq_len - 1) // seq_len) * seq_len) AS BIGINT)
+         AS packed_waste_ppm
+FROM agg ORDER BY seq_len
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -13358,6 +13642,12 @@ QUERIES: dict[str, tuple] = {
     "dsir_selection": (q_dsir_selection, ORACLE_DSIR_SELECTION),
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "rel_canonical": (q_rel_canonical, ORACLE_REL_CANONICAL),
+    "tokenizer_fertility": (q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY),
+    "clip_score_sweep": (q_clip_score_sweep, ORACLE_CLIP_SCORE_SWEEP),
+    "seqlen_padding_sweep": (
+        q_seqlen_padding_sweep,
+        ORACLE_SEQLEN_PADDING_SWEEP,
+    ),
 }
 
 

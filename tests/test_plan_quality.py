@@ -1205,3 +1205,39 @@ def test_rel_canonical_bounded_hop_joins(spark):
     plan = _plan(q_rel_canonical(spark, SF))
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_tokenizer_fertility_single_pass_hashagg(spark):
+    """tokenizer_fertility: one corpus scan, one lang-keyed
+    HashAggregate (map-side combinable), no joins, no windows."""
+    from crawlers_spark.queries import q_tokenizer_fertility
+
+    plan = _plan(q_tokenizer_fertility(spark, SF))
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # formatted plans print each scan twice (tree node + details section)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_clip_score_sweep_broadcast_thresholds_one_scan(spark):
+    """clip_score_sweep: per-row vector math + a broadcast 5-row
+    threshold dim — the corpus is scanned once for all five cutoffs,
+    never once per threshold."""
+    from crawlers_spark.queries import q_clip_score_sweep
+
+    plan = _plan(q_clip_score_sweep(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_seqlen_padding_sweep_one_scan_all_lengths(spark):
+    """seqlen_padding_sweep: the 4-row L dim broadcasts onto the
+    per-doc token counts — one documents scan serves every candidate
+    sequence length."""
+    from crawlers_spark.queries import q_seqlen_padding_sweep
+
+    plan = _plan(q_seqlen_padding_sweep(spark, SF))
+    assert plan.count("Scan parquet") == 2  # one scan: tree node + details
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan
