@@ -13400,6 +13400,273 @@ FROM agg ORDER BY seq_len
 """
 
 
+def q_warc_revisit_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC revisit-record accounting (ISO 28500 §6.7.2; Heritrix's
+    identical-payload-digest dedup): across recrawl epochs, a capture
+    whose payload digest is unchanged is stored as a tiny `revisit`
+    record pointing at the prior `response` — the archive-layer twin
+    of revalidation_outcome's HTTP 304 law, applied AFTER the fetch.
+    Pages get a deterministic change period p = 1+doc_id%4 (p=1
+    changes every epoch … p=4 never within the 4-epoch horizon), so a
+    capture at epoch e is a response iff e=0 or e%p=0. Census per
+    source collection: captures, response/revisit split, archive
+    bytes with and without revisit dedup, and exact saved ppm
+    (revisit records cost 120 header bytes vs the page's full
+    payload). Shape: a 4-wide plan-side epoch explode + one hash-agg
+    keyed on source — at 10^10 captures this is one pass over the
+    capture log, which is exactly how archive dedup ledgers run."""
+    d = load_table(spark, sf, "documents")
+    caps = d.select(
+        "source",
+        F.col("doc_id").cast("long").alias("u"),
+        (1 + F.col("doc_id") % 4).cast("long").alias("p"),
+        (1000 + (F.col("doc_id") % 50) * 37).cast("long").alias("payload"),
+        F.explode(F.expr("sequence(0, 3)")).alias("e"),
+    ).withColumn(
+        "is_response",
+        (F.col("e") == 0) | (F.col("e") % F.col("p") == 0),
+    )
+    agg = caps.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.sum(F.col("is_response").cast("long")).cast("long")
+        .alias("n_response"),
+        F.sum((~F.col("is_response")).cast("long")).cast("long")
+        .alias("n_revisit"),
+        F.sum("payload").cast("long").alias("bytes_full"),
+        F.sum(
+            F.when(F.col("is_response"), F.col("payload")).otherwise(120)
+        ).cast("long").alias("bytes_archive"),
+    )
+    return agg.select(
+        "*",
+        F.expr(
+            "(1000000 * (bytes_full - bytes_archive)) div nullif(bytes_full, 0)"
+        ).cast("long").alias("saved_ppm"),
+    ).orderBy("source")
+
+
+ORACLE_WARC_REVISIT_DEDUP = """
+WITH caps AS (
+  SELECT source,
+         CAST(doc_id AS BIGINT) AS u,
+         CAST(1 + doc_id % 4 AS BIGINT) AS p,
+         CAST(1000 + (doc_id % 50) * 37 AS BIGINT) AS payload,
+         unnest(range(0, 4)) AS e
+  FROM documents
+),
+f AS (SELECT *, (e = 0 OR e % p = 0) AS is_response FROM caps),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_captures,
+         CAST(sum(CASE WHEN is_response THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_response,
+         CAST(sum(CASE WHEN is_response THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_revisit,
+         CAST(sum(payload) AS BIGINT) AS bytes_full,
+         CAST(sum(CASE WHEN is_response THEN payload ELSE 120 END) AS BIGINT)
+           AS bytes_archive
+  FROM f GROUP BY 1
+)
+SELECT *,
+       CAST((1000000 * (bytes_full - bytes_archive))
+            // nullif(bytes_full, 0) AS BIGINT) AS saved_ppm
+FROM agg ORDER BY source
+"""
+
+
+def q_fetch_latency_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact nearest-rank latency percentiles per event type — the
+    crawl-ops SLO readout (p50/p90/p99 drive politeness budgets and
+    hedge policies; Dean & Barroso CACM'13). Unlike length_quantiles'
+    approx_percentile lane, this is the EXACT nearest-rank definition
+    (smallest value whose rank ≥ ⌈p·n/100⌉, ties resolved by position
+    so duplicate values are handled by the multiset, not a tie-break
+    heuristic); the latency lane is the tie-free e2 integer fixed
+    point of the 2-dp value column. Shape: one partitioned window
+    (rank + partition count ride the same sort) + one hash-agg —
+    per-key sorted scans, no global sort, no SinglePartition
+    exchange. At 10^10 log rows the per-type partitions are what a
+    real SLO pipeline sorts anyway."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    lat = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("lat_e2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("lat_e2", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = lat.select(
+        "event_type",
+        "lat_e2",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    def pick(p):
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({p} * n + 99) div 100"), F.col("lat_e2")
+            )
+        ).cast("long")
+
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            pick(50).alias("p50_e2"),
+            pick(90).alias("p90_e2"),
+            pick(99).alias("p99_e2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_FETCH_LATENCY_PERCENTILES = """
+WITH lat AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS lat_e2
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, lat_e2,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY lat_e2, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM lat
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN lat_e2 END) AS BIGINT)
+         AS p50_e2,
+       CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN lat_e2 END) AS BIGINT)
+         AS p90_e2,
+       CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN lat_e2 END) AS BIGINT)
+         AS p99_e2
+FROM r GROUP BY 1 ORDER BY event_type
+"""
+
+
+def q_mi_feature_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual-information ranking of candidate filter signals against
+    a target label — the feature-selection step that decides WHICH
+    cheap heuristics (C4/Gopher-style) are worth running as gates
+    (filter-method feature selection; Cover & Thomas ch.2). Label =
+    doc is English; candidate binary signals: has_digits, long_doc
+    (≥300 chars), high_punct (≥5%, integer cross-multiplied), wordy
+    (≥50 ws tokens). MI in nats = (1/n)·Σ_{x,y} n_xy·ln(n·n_xy /
+    (n_x·n_y)) with 0-count cells contributing 0; every ln argument
+    is one division of exact-int64 products, the four terms are
+    summed in literal written order (no aggregation-order drift),
+    and the result is 6-dp rounded per repo convention. Shape: a
+    4-wide plan-side signal explode + one hash-agg per signal —
+    contingency tables for any number of signals in ONE corpus scan,
+    which is the whole reason MI screening is viable at 100 TB while
+    wrapper methods are not."""
+    d = load_table(spark, sf, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    norm = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    ws = F.when(F.length(norm) == 0, 0).otherwise(F.size(F.split(norm, " ")))
+    n_punct = F.regexp_count(txt, F.lit(r"[^\w\s]"))
+    feats = d.select(
+        (F.coalesce(F.col("lang"), F.lit("")) == "en").cast("long").alias("y"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("has_digits").alias("signal"),
+                    (F.regexp_count(txt, F.lit(r"[0-9]")) > 0).cast("long")
+                    .alias("x"),
+                ),
+                F.struct(
+                    F.lit("long_doc").alias("signal"),
+                    (F.length(txt) >= 300).cast("long").alias("x"),
+                ),
+                F.struct(
+                    F.lit("high_punct").alias("signal"),
+                    (n_punct * 20 >= F.length(txt)).cast("long").alias("x"),
+                ),
+                F.struct(
+                    F.lit("wordy").alias("signal"),
+                    (ws >= 50).cast("long").alias("x"),
+                ),
+            )
+        ).alias("s"),
+    ).select("y", F.col("s.signal").alias("signal"), F.col("s.x").alias("x"))
+    c = feats.groupBy("signal").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("x * y")).cast("long").alias("n11"),
+        F.sum(F.expr("x * (1 - y)")).cast("long").alias("n10"),
+        F.sum(F.expr("(1 - x) * y")).cast("long").alias("n01"),
+        F.sum(F.expr("(1 - x) * (1 - y)")).cast("long").alias("n00"),
+    )
+    term = (
+        "(CASE WHEN {c} > 0 THEN {c} * ln(cast(n * {c} as double)"
+        " / cast({r} * {q} as double)) ELSE 0.0 END)"
+    )
+    mi = (
+        "round(("
+        + term.format(c="n11", r="(n11 + n10)", q="(n11 + n01)")
+        + " + " + term.format(c="n10", r="(n11 + n10)", q="(n10 + n00)")
+        + " + " + term.format(c="n01", r="(n01 + n00)", q="(n11 + n01)")
+        + " + " + term.format(c="n00", r="(n01 + n00)", q="(n10 + n00)")
+        + ") / cast(n as double), 6)"
+    )
+    return c.select(
+        "signal", "n", "n11", "n10", "n01", "n00",
+        F.expr(mi).alias("mi_q6"),
+    ).orderBy(F.desc("mi_q6"), "signal")
+
+
+_MI_TERM = (
+    "(CASE WHEN {c} > 0 THEN {c} * ln(CAST(n * {c} AS DOUBLE)"
+    " / CAST({r} * {q} AS DOUBLE)) ELSE 0.0 END)"
+)
+
+ORACLE_MI_FEATURE_RANK = f"""
+WITH feats AS (
+  SELECT CASE WHEN coalesce(lang, '') = 'en' THEN 1 ELSE 0 END AS y,
+         unnest([
+           {{'signal': 'has_digits',
+             'x': CASE WHEN len(regexp_extract_all(coalesce(text, ''),
+                                                   '[0-9]')) > 0
+                       THEN 1 ELSE 0 END}},
+           {{'signal': 'long_doc',
+             'x': CASE WHEN length(coalesce(text, '')) >= 300
+                       THEN 1 ELSE 0 END}},
+           {{'signal': 'high_punct',
+             'x': CASE WHEN len(regexp_extract_all(coalesce(text, ''),
+                                                   '[^\\w\\s]')) * 20
+                            >= length(coalesce(text, ''))
+                       THEN 1 ELSE 0 END}},
+           {{'signal': 'wordy',
+             'x': CASE WHEN (CASE WHEN length(trim(regexp_replace(
+                                coalesce(text, ''), '\\s+', ' ', 'g'))) = 0
+                             THEN 0
+                             ELSE len(string_split(trim(regexp_replace(
+                                coalesce(text, ''), '\\s+', ' ', 'g')), ' '))
+                             END) >= 50
+                       THEN 1 ELSE 0 END}}
+         ]) AS s
+  FROM documents
+),
+flat AS (SELECT y, s.signal AS signal, s.x AS x FROM feats),
+c AS (
+  SELECT signal,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x * y) AS BIGINT) AS n11,
+         CAST(sum(x * (1 - y)) AS BIGINT) AS n10,
+         CAST(sum((1 - x) * y) AS BIGINT) AS n01,
+         CAST(sum((1 - x) * (1 - y)) AS BIGINT) AS n00
+  FROM flat GROUP BY 1
+)
+SELECT signal, n, n11, n10, n01, n00,
+       round(({_MI_TERM.format(c="n11", r="(n11 + n10)", q="(n11 + n01)")}
+        + {_MI_TERM.format(c="n10", r="(n11 + n10)", q="(n10 + n00)")}
+        + {_MI_TERM.format(c="n01", r="(n01 + n00)", q="(n11 + n01)")}
+        + {_MI_TERM.format(c="n00", r="(n01 + n00)", q="(n10 + n00)")})
+        / CAST(n AS DOUBLE), 6) AS mi_q6
+FROM c ORDER BY mi_q6 DESC, signal
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -13648,6 +13915,12 @@ QUERIES: dict[str, tuple] = {
         q_seqlen_padding_sweep,
         ORACLE_SEQLEN_PADDING_SWEEP,
     ),
+    "warc_revisit_dedup": (q_warc_revisit_dedup, ORACLE_WARC_REVISIT_DEDUP),
+    "fetch_latency_percentiles": (
+        q_fetch_latency_percentiles,
+        ORACLE_FETCH_LATENCY_PERCENTILES,
+    ),
+    "mi_feature_rank": (q_mi_feature_rank, ORACLE_MI_FEATURE_RANK),
 }
 
 

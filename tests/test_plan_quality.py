@@ -1241,3 +1241,37 @@ def test_seqlen_padding_sweep_one_scan_all_lengths(spark):
     assert plan.count("Scan parquet") == 2  # one scan: tree node + details
     assert "HashAggregate" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_warc_revisit_dedup_one_pass(spark):
+    """warc_revisit_dedup: a plan-side 4-epoch explode + one
+    source-keyed HashAggregate — one pass over the capture log, no
+    joins at all."""
+    from crawlers_spark.queries import q_warc_revisit_dedup
+
+    plan = _plan(q_warc_revisit_dedup(spark, SF))
+    assert "HashAggregate" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_fetch_latency_percentiles_partitioned_window(spark):
+    """fetch_latency_percentiles: the exact nearest-rank percentiles
+    ride ONE event_type-partitioned window sort (never Exchange
+    SinglePartition) and one hash-agg."""
+    from crawlers_spark.queries import q_fetch_latency_percentiles
+
+    plan = _plan(q_fetch_latency_percentiles(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_mi_feature_rank_one_scan_contingency(spark):
+    """mi_feature_rank: all four contingency tables come from a single
+    documents scan through a plan-side signal explode + one
+    signal-keyed HashAggregate — the one-pass MI screening shape."""
+    from crawlers_spark.queries import q_mi_feature_rank
+
+    plan = _plan(q_mi_feature_rank(spark, SF))
+    assert plan.count("Scan parquet") == 2  # one scan: tree node + details
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
