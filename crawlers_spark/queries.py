@@ -13667,6 +13667,833 @@ FROM c ORDER BY mi_q6 DESC, signal
 """
 
 
+def q_temporal_split_embargo(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free temporal train/test split with an embargo gap —
+    the purged-split discipline (López de Prado 2018 ch.7; standard
+    for any corpus whose rows are serially correlated: a test doc
+    published minutes after a train doc leaks near-duplicate news).
+    Train = first 60% of the event-time span, test = last 35%, the 5%
+    between is DROPPED (the embargo). All boundaries are exact integer
+    microsecond OFFSETS from the global min timestamp (NTZ-safe
+    timestampdiff lane — never an instant round-trip, repo
+    convention); the output carries the measured train→test gap and
+    the required embargo width as columns, so `gap_ok` is
+    self-certifying on every row. Census per event type: split sizes
+    plus the global gap evidence. Shape: one min/max agg broadcast
+    back, one classification pass, one hash-agg — at 10^10 rows the
+    corpus is scanned twice (bounds, then classify), never sorted."""
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    bounds = ev.agg(
+        F.min("ts").alias("t_min"),
+        F.max("ts").alias("t_max"),
+    )
+    off = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, t_min, ts)").cast("long")
+        .alias("off_us"),
+        F.expr("timestampdiff(MICROSECOND, t_min, t_max)").cast("long")
+        .alias("span_us"),
+    )
+    cls = off.select(
+        "event_type",
+        "off_us",
+        F.expr("(span_us * 60) div 100").cast("long").alias("train_end"),
+        F.expr("(span_us * 65) div 100").cast("long").alias("test_start"),
+    ).select(
+        "event_type",
+        "off_us",
+        "train_end",
+        "test_start",
+        F.when(F.col("off_us") < F.col("train_end"), "train")
+        .when(F.col("off_us") < F.col("test_start"), "embargo")
+        .otherwise("test").alias("split"),
+    )
+    gap = cls.agg(
+        F.max(F.when(F.col("split") == "train", F.col("off_us"))).cast("long")
+        .alias("max_train_us"),
+        F.min(F.when(F.col("split") == "test", F.col("off_us"))).cast("long")
+        .alias("min_test_us"),
+        F.max(F.col("test_start") - F.col("train_end")).cast("long")
+        .alias("embargo_us"),
+    )
+    census = cls.groupBy("event_type").agg(
+        F.sum((F.col("split") == "train").cast("long")).cast("long")
+        .alias("n_train"),
+        F.sum((F.col("split") == "embargo").cast("long")).cast("long")
+        .alias("n_embargo"),
+        F.sum((F.col("split") == "test").cast("long")).cast("long")
+        .alias("n_test"),
+    )
+    return (
+        census.crossJoin(F.broadcast(gap))
+        .select(
+            "event_type",
+            "n_train",
+            "n_embargo",
+            "n_test",
+            (F.col("min_test_us") - F.col("max_train_us")).cast("long")
+            .alias("gap_us"),
+            "embargo_us",
+            (
+                (F.col("min_test_us") - F.col("max_train_us"))
+                >= F.col("embargo_us")
+            ).alias("gap_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TEMPORAL_SPLIT_EMBARGO = """
+WITH ev AS (SELECT event_type, ts FROM events WHERE ts IS NOT NULL),
+bounds AS (SELECT min(ts) AS t_min, max(ts) AS t_max FROM ev),
+off AS (
+  SELECT event_type,
+         CAST(date_diff('microsecond', t_min, ts) AS BIGINT) AS off_us,
+         CAST(date_diff('microsecond', t_min, t_max) AS BIGINT) AS span_us
+  FROM ev CROSS JOIN bounds
+),
+cls AS (
+  SELECT event_type, off_us,
+         (span_us * 60) // 100 AS train_end,
+         (span_us * 65) // 100 AS test_start,
+         CASE WHEN off_us < (span_us * 60) // 100 THEN 'train'
+              WHEN off_us < (span_us * 65) // 100 THEN 'embargo'
+              ELSE 'test' END AS split
+  FROM off
+),
+gap AS (
+  SELECT CAST(max(CASE WHEN split = 'train' THEN off_us END) AS BIGINT)
+           AS max_train_us,
+         CAST(min(CASE WHEN split = 'test' THEN off_us END) AS BIGINT)
+           AS min_test_us,
+         CAST(max(test_start - train_end) AS BIGINT) AS embargo_us
+  FROM cls
+),
+census AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(sum(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_embargo,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test
+  FROM cls GROUP BY 1
+)
+SELECT event_type, n_train, n_embargo, n_test,
+       CAST(min_test_us - max_train_us AS BIGINT) AS gap_us,
+       embargo_us,
+       (min_test_us - max_train_us) >= embargo_us AS gap_ok
+FROM census CROSS JOIN gap
+ORDER BY event_type
+"""
+
+
+def q_filter_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Filter-overlap interaction matrix — the audit RefinedWeb
+    (Penedo et al. 2023 §4) runs before sequencing gates: how much
+    corpus each COMBINATION of filters would remove, so the pipeline
+    knows whether the language gate is mostly re-rejecting what dedup
+    already kills (sequential funnels like dedup_funnel hide this).
+    Three gates: too_short (<50 chars), non_en, exact_dup (not the
+    min-id keeper of its md5 fingerprint group — same normalize+md5
+    lane as dedup_exact). Output: one row per observed (too_short,
+    non_en, exact_dup) cell with doc count, char volume, and exact
+    ppm shares of the corpus. Shape: one fingerprint-partitioned
+    window (the only shuffle) + one 8-cell hash-agg; at 100 TB this
+    costs exactly one dedup pass regardless of gate count."""
+    d = load_table(spark, sf, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    base = d.select(
+        "doc_id",
+        (F.length(txt) < 50).alias("too_short"),
+        (F.coalesce(F.col("lang"), F.lit("")) != "en").alias("non_en"),
+        F.length(txt).cast("long").alias("n_chars"),
+        F.md5(normalize_text(txt)).alias("fp"),
+    )
+    wfp = Window.partitionBy("fp")
+    flagged = base.select(
+        "too_short",
+        "non_en",
+        (F.col("doc_id") != F.min("doc_id").over(wfp)).alias("exact_dup"),
+        "n_chars",
+    )
+    tot = flagged.agg(
+        F.count("*").cast("long").alias("total_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return (
+        flagged.groupBy("too_short", "non_en", "exact_dup")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "too_short",
+            "non_en",
+            "exact_dup",
+            "n_docs",
+            "n_chars",
+            F.expr("(1000000 * n_docs) div nullif(total_docs, 0)")
+            .cast("long").alias("docs_ppm"),
+            F.expr("(1000000 * n_chars) div nullif(total_chars, 0)")
+            .cast("long").alias("chars_ppm"),
+        )
+        .orderBy("too_short", "non_en", "exact_dup")
+    )
+
+
+ORACLE_FILTER_OVERLAP_MATRIX = """
+WITH base AS (
+  SELECT doc_id,
+         length(coalesce(text, '')) < 50 AS too_short,
+         coalesce(lang, '') != 'en' AS non_en,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+         md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')))
+           AS fp
+  FROM documents
+),
+flagged AS (
+  SELECT too_short, non_en,
+         doc_id != min(doc_id) OVER (PARTITION BY fp) AS exact_dup,
+         n_chars
+  FROM base
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM flagged
+)
+SELECT too_short, non_en, exact_dup,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST((1000000 * count(*)) // nullif(max(total_docs), 0) AS BIGINT)
+         AS docs_ppm,
+       CAST((1000000 * sum(n_chars)) // nullif(max(total_chars), 0) AS BIGINT)
+         AS chars_ppm
+FROM flagged CROSS JOIN tot
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_hash_partition_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-partition balance census — the balls-in-bins evidence
+    behind every n_buckets choice in the engine (seen-set buckets,
+    host buckets, shuffle partitions): for each candidate bucket
+    count B ∈ {8,16,32,64}, hash every key through the md5 lane and
+    report the max bucket load and the imbalance factor
+    max·B/n in exact ppm (1e6 = perfectly uniform; the expected max
+    for random hashing is n/B + Θ(√(n ln B / B)), so imbalance decays
+    as B shrinks relative to n — the law that says WHEN a static
+    bucket map is safe and when it needs salting). `buckets_ok`
+    self-certifies that no more than B distinct buckets were hit.
+    Shape: one key scan × a broadcast 4-row B dim, two hash-aggs —
+    the sizing sweep costs one pass regardless of how many B values
+    are probed."""
+    keys = load_table(spark, sf, "events").select(
+        F.col("event_id").cast("long").alias("k")
+    )
+    bs = spark.range(0, 4).select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in (8, 16, 32, 64)]),
+            (F.col("id") + 1).cast("int"),
+        ).cast("long").alias("n_buckets")
+    )
+    loads = (
+        keys.crossJoin(F.broadcast(bs))
+        .select(
+            "n_buckets",
+            F.expr(
+                "pmod(cast(conv(substring(md5(cast(k as string)), 1, 15),"
+                " 16, 10) as bigint), n_buckets)"
+            ).alias("bucket"),
+        )
+        .groupBy("n_buckets", "bucket")
+        .agg(F.count("*").cast("long").alias("load"))
+    )
+    return (
+        loads.groupBy("n_buckets")
+        .agg(
+            F.sum("load").cast("long").alias("n_keys"),
+            F.count("*").cast("long").alias("buckets_hit"),
+            F.max("load").cast("long").alias("max_load"),
+            F.min("load").cast("long").alias("min_load"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "(1000000 * max_load * n_buckets) div nullif(n_keys, 0)"
+            ).cast("long").alias("imbalance_ppm"),
+            (F.col("buckets_hit") <= F.col("n_buckets")).alias("buckets_ok"),
+        )
+        .orderBy("n_buckets")
+    )
+
+
+ORACLE_HASH_PARTITION_BALANCE = """
+WITH keys AS (SELECT CAST(event_id AS BIGINT) AS k FROM events),
+bs AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS n_buckets),
+loads AS (
+  SELECT n_buckets,
+         ('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT
+           % n_buckets AS bucket,
+         CAST(count(*) AS BIGINT) AS load
+  FROM keys CROSS JOIN bs
+  GROUP BY 1, 2
+)
+SELECT n_buckets,
+       CAST(sum(load) AS BIGINT) AS n_keys,
+       CAST(count(*) AS BIGINT) AS buckets_hit,
+       CAST(max(load) AS BIGINT) AS max_load,
+       CAST(min(load) AS BIGINT) AS min_load,
+       CAST((1000000 * max(load) * n_buckets) // nullif(sum(load), 0)
+            AS BIGINT) AS imbalance_ppm,
+       count(*) <= n_buckets AS buckets_ok
+FROM loads
+GROUP BY n_buckets
+ORDER BY n_buckets
+"""
+
+
+def q_waterfill_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Max-min-fair (water-filling) crawl budget allocation (Bertsekas
+    & Gallager, Data Networks §6.5.2 — the fairness criterion behind
+    per-host bandwidth sharing): hosts with demand below the water
+    level L keep their full demand; everyone else gets L, with the
+    integer remainder distributed +1 to the first unsatisfied hosts in
+    sort order (largest-remainder discipline, like
+    revisit_apportionment). The satisfied set is a prefix of the
+    demand-sorted order (classic result), found here by testing
+    d_k·(n−k+1) ≤ B−prefix_{k−1} per rank — all exact int64. The
+    output self-certifies: `alloc_ok` (alloc ≤ demand, and exactly L
+    or L+1 for capped hosts) and `sum_ok` (Σalloc == min(B, Σdemand))
+    hold on every row. Shape: demands are one hash-agg; the sort
+    window rides the HOST dim (one row per host — bounded like
+    unimax's 23-row sort, never the event log), and the three scalars
+    broadcast back."""
+    B = 600
+    hosts = (
+        load_table(spark, sf, "events")
+        .groupBy(F.col("user_id").alias("host_id"))
+        .agg(F.count("*").cast("long").alias("demand"))
+    )
+    w = Window.orderBy("demand", "host_id")
+    ranked = hosts.select(
+        "host_id",
+        "demand",
+        F.row_number().over(w).alias("rn"),
+        (F.sum("demand").over(w) - F.col("demand")).cast("long")
+        .alias("prefix"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    ).withColumn(
+        "satisfied",
+        F.col("demand") * (F.col("n") - F.col("rn") + 1)
+        <= F.lit(B) - F.col("prefix"),
+    )
+    sc = ranked.agg(
+        F.sum(F.col("satisfied").cast("long")).cast("long").alias("m"),
+        F.sum(F.when(F.col("satisfied"), F.col("demand")).otherwise(0))
+        .cast("long").alias("prefix_m"),
+        F.max("n").cast("long").alias("n_hosts"),
+        F.sum("demand").cast("long").alias("total_demand"),
+    ).select(
+        "*",
+        F.expr(f"({B} - prefix_m) div nullif(n_hosts - m, 0)").cast("long")
+        .alias("level"),
+        F.expr(f"({B} - prefix_m) % nullif(n_hosts - m, 0)").cast("long")
+        .alias("rem"),
+    )
+    alloc = ranked.crossJoin(F.broadcast(sc)).select(
+        "host_id",
+        "demand",
+        "satisfied",
+        F.when(F.col("satisfied"), F.col("demand"))
+        .otherwise(
+            F.col("level")
+            + (F.col("rn") - F.col("m") <= F.col("rem")).cast("long")
+        ).cast("long").alias("alloc"),
+        "level",
+        F.lit(B).cast("long").alias("budget"),
+        "total_demand",
+    )
+    ws = Window.partitionBy()
+    return alloc.select(
+        "*",
+        (
+            (F.col("alloc") <= F.col("demand"))
+            & (
+                F.col("satisfied")
+                | (F.col("alloc") - F.col("level")).isin(0, 1)
+            )
+        ).alias("alloc_ok"),
+        (
+            F.sum("alloc").over(ws)
+            == F.least(F.col("budget"), F.col("total_demand"))
+        ).alias("sum_ok"),
+    ).orderBy("host_id")
+
+
+ORACLE_WATERFILL_ALLOCATION = """
+WITH hosts AS (
+  SELECT user_id AS host_id, CAST(count(*) AS BIGINT) AS demand
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT host_id, demand,
+         row_number() OVER (ORDER BY demand, host_id) AS rn,
+         CAST(sum(demand) OVER (ORDER BY demand, host_id) - demand AS BIGINT)
+           AS prefix,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM hosts
+),
+s AS (
+  SELECT *, demand * (n - rn + 1) <= 600 - prefix AS satisfied FROM ranked
+),
+sc AS (
+  SELECT CAST(sum(CASE WHEN satisfied THEN 1 ELSE 0 END) AS BIGINT) AS m,
+         CAST(sum(CASE WHEN satisfied THEN demand ELSE 0 END) AS BIGINT)
+           AS prefix_m,
+         CAST(max(n) AS BIGINT) AS n_hosts,
+         CAST(sum(demand) AS BIGINT) AS total_demand
+  FROM s
+),
+sc2 AS (
+  SELECT *,
+         CAST((600 - prefix_m) // nullif(n_hosts - m, 0) AS BIGINT) AS level,
+         CAST((600 - prefix_m) % nullif(n_hosts - m, 0) AS BIGINT) AS rem
+  FROM sc
+),
+alloc AS (
+  SELECT host_id, demand, satisfied,
+         CAST(CASE WHEN satisfied THEN demand
+              ELSE level + CASE WHEN rn - m <= rem THEN 1 ELSE 0 END
+         END AS BIGINT) AS alloc,
+         level,
+         CAST(600 AS BIGINT) AS budget,
+         total_demand
+  FROM s CROSS JOIN sc2
+)
+SELECT *,
+       (alloc <= demand AND (satisfied OR alloc - level IN (0, 1)))
+         AS alloc_ok,
+       sum(alloc) OVER () = least(budget, total_demand) AS sum_ok
+FROM alloc ORDER BY host_id
+"""
+
+
+def q_ecdf_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift monitor per event type —
+    the distribution-shift alarm a crawl/ingest pipeline runs between
+    epochs (here: even vs odd event_id as the two interleaved
+    samples). KS = max_x |F_A(x) − F_B(x)| computed EXACTLY in
+    integers: per distinct value, cumulative counts c_A, c_B ride one
+    value-ordered window per type, and the statistic is
+    max |c_A·N_B − c_B·N_A| reported as exact ppm of N_A·N_B — no
+    float ECDFs, no binning error. Shape: one (type,value) hash-agg,
+    one type-partitioned window, one final agg; at 10^10 log rows the
+    sort is per-type and the merged-ECDF trick keeps it one pass."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    pts = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+        (F.col("event_id") % 2 == 0).alias("in_a"),
+    )
+    cnt = pts.groupBy("event_type", "v_e2").agg(
+        F.sum(F.col("in_a").cast("long")).cast("long").alias("a"),
+        F.sum((~F.col("in_a")).cast("long")).cast("long").alias("b"),
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("v_e2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = cnt.select(
+        "event_type",
+        F.sum("a").over(wv).cast("long").alias("ca"),
+        F.sum("b").over(wv).cast("long").alias("cb"),
+        F.sum("a").over(wt).cast("long").alias("na"),
+        F.sum("b").over(wt).cast("long").alias("nb"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.max(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+            ).cast("long").alias("ks_num"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "ks_num",
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("ks_den"),
+            F.expr("(1000000 * ks_num) div nullif(n_a * n_b, 0)")
+            .cast("long").alias("ks_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_ECDF_KS_DRIFT = """
+WITH pts AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_e2,
+         event_id % 2 = 0 AS in_a
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+),
+cnt AS (
+  SELECT event_type, v_e2,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM pts GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type,
+         CAST(sum(a) OVER (PARTITION BY event_type ORDER BY v_e2
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+         CAST(sum(b) OVER (PARTITION BY event_type ORDER BY v_e2
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb,
+         CAST(sum(a) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+         CAST(sum(b) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+  FROM cnt
+)
+SELECT event_type,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS ks_num,
+       CAST(max(na) * max(nb) AS BIGINT) AS ks_den,
+       CAST((1000000 * max(abs(ca * nb - cb * na)))
+            // nullif(max(na) * max(nb), 0) AS BIGINT) AS ks_ppm
+FROM cum GROUP BY 1 ORDER BY event_type
+"""
+
+
+def q_aspect_pad_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Aspect-bucket letterbox-waste Pareto — the image-side twin of
+    seqlen_padding_sweep (NaViT/SDXL bucketing practice): for each
+    candidate bucket GRID (1, 3, or 7 aspect ratios), every image is
+    assigned to its nearest-aspect bucket (cross-multiplied integer
+    distance |w·ah − h·aw|, tie-break by bucket order) and pays a
+    letterbox pad fraction of |w·ah − h·aw| / max(w·ah, h·aw) —
+    exact ppm per image, summed and integer-averaged per grid. More
+    buckets → monotonically less padding but smaller per-bucket
+    batches; the sweep emits both sides (mean pad ppm and buckets
+    used). Image dims derive deterministically in the input-hint
+    shape (image_keep_best's convention). Shape: corpus × a ≤7-row
+    broadcast bucket dim, one min_by struct per (image, grid), one
+    hash-agg per grid — one scan serves every grid."""
+    d = load_table(spark, sf, "documents")
+    imgs = d.select(
+        F.col("doc_id").cast("long").alias("img"),
+        (32 * (1 + F.col("doc_id") % 24)).cast("long").alias("w"),
+        (32 * (1 + F.col("doc_id") % 17)).cast("long").alias("h"),
+    )
+    # (grid_id, aw, ah) rows; grid 1 ⊂ grid 3 ⊂ grid 7
+    buckets = [
+        (1, 1, 1),
+        (3, 1, 1), (3, 4, 3), (3, 3, 4),
+        (7, 1, 1), (7, 4, 3), (7, 3, 4), (7, 16, 9), (7, 9, 16),
+        (7, 3, 2), (7, 2, 3),
+    ]
+    bdim = spark.createDataFrame(
+        [(g, aw, ah) for g, aw, ah in buckets], "grid long, aw long, ah long"
+    )
+    cand = imgs.crossJoin(F.broadcast(bdim)).select(
+        "img",
+        "grid",
+        "aw",
+        "ah",
+        F.abs(F.col("w") * F.col("ah") - F.col("h") * F.col("aw"))
+        .cast("long").alias("adist"),
+        F.greatest(
+            F.col("w") * F.col("ah"), F.col("h") * F.col("aw")
+        ).cast("long").alias("amax"),
+    )
+    wmin = Window.partitionBy("grid", "img").orderBy("adist", "aw", "ah")
+    best = (
+        cand.withColumn("rn", F.row_number().over(wmin))
+        .filter("rn = 1")
+        .select(
+            "grid",
+            "img",
+            "aw",
+            "ah",
+            F.expr("(1000000 * adist) div amax").cast("long").alias("pad_ppm"),
+        )
+    )
+    return (
+        best.groupBy("grid")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.countDistinct("aw", "ah").cast("long").alias("buckets_used"),
+            F.sum("pad_ppm").cast("long").alias("sum_pad_ppm"),
+        )
+        .select(
+            "grid",
+            "n_images",
+            "buckets_used",
+            F.expr("sum_pad_ppm div nullif(n_images, 0)").cast("long")
+            .alias("mean_pad_ppm"),
+        )
+        .orderBy("grid")
+    )
+
+
+ORACLE_ASPECT_PAD_SWEEP = """
+WITH imgs AS (
+  SELECT CAST(doc_id AS BIGINT) AS img,
+         CAST(32 * (1 + doc_id % 24) AS BIGINT) AS w,
+         CAST(32 * (1 + doc_id % 17) AS BIGINT) AS h
+  FROM documents
+),
+bdim AS (
+  SELECT * FROM (VALUES
+    (1, 1, 1),
+    (3, 1, 1), (3, 4, 3), (3, 3, 4),
+    (7, 1, 1), (7, 4, 3), (7, 3, 4), (7, 16, 9), (7, 9, 16),
+    (7, 3, 2), (7, 2, 3)
+  ) AS t(grid, aw, ah)
+),
+cand AS (
+  SELECT img, grid, aw, ah,
+         CAST(abs(w * ah - h * aw) AS BIGINT) AS adist,
+         CAST(greatest(w * ah, h * aw) AS BIGINT) AS amax
+  FROM imgs CROSS JOIN bdim
+),
+best AS (
+  SELECT grid, img, aw, ah,
+         CAST((1000000 * adist) // amax AS BIGINT) AS pad_ppm
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY grid, img
+                                 ORDER BY adist, aw, ah) AS rn
+    FROM cand
+  )
+  WHERE rn = 1
+),
+agg AS (
+  SELECT grid,
+         CAST(count(*) AS BIGINT) AS n_images,
+         CAST(count(DISTINCT (aw, ah)) AS BIGINT) AS buckets_used,
+         CAST(sum(pad_ppm) AS BIGINT) AS sum_pad_ppm
+  FROM best GROUP BY 1
+)
+SELECT CAST(grid AS BIGINT) AS grid, n_images, buckets_used,
+       CAST(sum_pad_ppm // nullif(n_images, 0) AS BIGINT) AS mean_pad_ppm
+FROM agg ORDER BY grid
+"""
+
+
+def q_doremi_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One DoReMi reweighting step (Xie et al. 2023, arXiv:2305.10429
+    — Domain Reweighting with Minimax Optimization): the inner
+    exponentiated-gradient update that upweights domains where the
+    proxy model's excess loss is highest. Domain = source; the loss
+    proxy is the corpus bigram-LM cross-entropy of doc_bigram_ce,
+    carried per-doc as an exact integer micro-nat lane (round of a
+    transcendental sum — tie measure-zero — then int64 domain
+    averaging, so no float aggregation anywhere). Update: w'_d ∝
+    baseline_d · exp(η·excess_d) with η=1, baseline uniform, excess =
+    domain CE − corpus min domain CE (keeps exp ≤ e^Δ, the standard
+    stabilizer); shares are 6-dp rounded (transcendental, repo
+    convention). Shape: the bigram counts are the doc_bigram_ce plan;
+    the domain table after aggregation is ~20 rows, so the final
+    softmax rides a broadcast-size frame."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    arr = docs.filter(F.length(norm) > 0).select(
+        "doc_id", "source", F.split(norm, " ").alias("w")
+    )
+    bi = arr.filter(F.size("w") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(element_at(w, i + 1) AS w1,"
+                "             element_at(w, i + 2) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = arr.select(F.explode("w").alias("word")).agg(
+        F.countDistinct("word").alias("v")
+    )
+    p = (F.col("c12") + 1).cast("double") / (
+        F.col("c1") + F.col("v")
+    ).cast("double")
+    doc_ce = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(1000000 * F.sum(-F.log(p)) / F.count("*"))
+            .cast("long").alias("ce_u6")
+        )
+    )
+    dom = doc_ce.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("sum(ce_u6) div count(*)").cast("long").alias("loss_u6"),
+    )
+    wmin = Window.partitionBy()
+    upd = dom.select(
+        "source",
+        "n_docs",
+        "loss_u6",
+        (F.col("loss_u6") - F.min("loss_u6").over(wmin)).cast("long")
+        .alias("excess_u6"),
+    ).select(
+        "*",
+        F.exp(F.col("excess_u6").cast("double") / 1000000.0).alias("expw"),
+    )
+    return upd.select(
+        "source",
+        "n_docs",
+        "loss_u6",
+        "excess_u6",
+        F.round(
+            F.col("expw") / F.sum("expw").over(Window.partitionBy()), 6
+        ).alias("share_q6"),
+    ).orderBy("source")
+
+
+ORACLE_DOREMI_STEP = """
+WITH a AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+  WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+),
+bi AS (
+  SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+  FROM a, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+  WHERE len(w) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT word) AS v
+  FROM (SELECT unnest(w) AS word FROM a)
+),
+doc_ce AS (
+  SELECT doc_id, source,
+         CAST(round(1000000 * sum(-ln((c12.c12 + 1)::DOUBLE
+                                      / (c1.c1 + v.v)::DOUBLE))
+                    / count(*)) AS BIGINT) AS ce_u6
+  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY 1, 2
+),
+dom AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ce_u6) // count(*) AS BIGINT) AS loss_u6
+  FROM doc_ce GROUP BY 1
+),
+upd AS (
+  SELECT source, n_docs, loss_u6,
+         CAST(loss_u6 - min(loss_u6) OVER () AS BIGINT) AS excess_u6
+  FROM dom
+),
+e AS (
+  SELECT *, exp(CAST(excess_u6 AS DOUBLE) / 1000000.0) AS expw FROM upd
+)
+SELECT source, n_docs, loss_u6, excess_u6,
+       round(expw / sum(expw) OVER (), 6) AS share_q6
+FROM e ORDER BY source
+"""
+
+
+def q_wfq_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted-fair-queueing fetch interleave (Demers/Keshav/Shenker
+    SIGCOMM'89 finish-tag discipline; the GPS approximation of
+    Parekh–Gallager): each host's fetches carry cumulative virtual
+    finish tags F_k = Σ_{j≤k} cost_j / weight, and the dispatcher
+    serves globally by ascending tag — a host with weight 2 drains
+    twice as fast without starving anyone. Weights w ∈ {1,2,4} derive
+    from host_id (w divides 4, so tag·4 is EXACT int64 — no float
+    virtual time); cost is the tie-free e2 value lane. The output is
+    the first 100 dispatches by (tag4, host, seq) — a bounded
+    TakeOrdered, never a global sort — plus a host-partitioned
+    `monotone_ok` lag column self-certifying that per-host tags only
+    grow. At 10^10 queued fetches the per-host cumsum is a
+    host-partitioned window and the dispatcher's head is a top-k."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    q = ev.select(
+        (F.col("user_id") % 50).cast("long").alias("host"),
+        F.col("event_id").cast("long").alias("eid"),
+        F.round(F.col("value") * 100).cast("long").alias("cost_e2"),
+    ).withColumn(
+        "weight",
+        F.element_at(
+            F.array(F.lit(1), F.lit(2), F.lit(4)),
+            (F.pmod("host", F.lit(3)) + 1).cast("int"),
+        ).cast("long"),
+    )
+    wh = Window.partitionBy("host").orderBy("eid")
+    tagged = q.select(
+        "host",
+        "weight",
+        F.row_number().over(wh).alias("seq"),
+        (F.sum("cost_e2").over(wh) * 4).cast("long").alias("cum4"),
+    ).select(
+        "host",
+        "weight",
+        "seq",
+        F.expr("cum4 div weight").cast("long").alias("tag4"),
+    )
+    head = tagged.orderBy("tag4", "host", "seq").limit(100)
+    whm = Window.partitionBy("host").orderBy("seq")
+    return head.select(
+        "*",
+        (
+            F.col("tag4")
+            >= F.coalesce(F.lag("tag4").over(whm), F.col("tag4"))
+        ).alias("monotone_ok"),
+    ).orderBy("tag4", "host", "seq")
+
+
+ORACLE_WFQ_SCHEDULE = """
+WITH q AS (
+  SELECT CAST(user_id % 50 AS BIGINT) AS host,
+         CAST(event_id AS BIGINT) AS eid,
+         CAST(round(value * 100) AS BIGINT) AS cost_e2
+  FROM events
+  WHERE value IS NOT NULL AND event_id IS NOT NULL AND user_id IS NOT NULL
+),
+w AS (
+  SELECT *, CAST([1, 2, 4][(host % 3) + 1] AS BIGINT) AS weight FROM q
+),
+tagged AS (
+  SELECT host, weight, seq, CAST(cum4 // weight AS BIGINT) AS tag4
+  FROM (
+    SELECT host, weight,
+           row_number() OVER (PARTITION BY host ORDER BY eid) AS seq,
+           CAST(sum(cost_e2) OVER (PARTITION BY host ORDER BY eid) * 4
+                AS BIGINT) AS cum4
+    FROM w
+  )
+),
+head AS (
+  SELECT * FROM tagged ORDER BY tag4, host, seq LIMIT 100
+)
+SELECT *,
+       tag4 >= coalesce(lag(tag4) OVER (PARTITION BY host ORDER BY seq), tag4)
+         AS monotone_ok
+FROM head ORDER BY tag4, host, seq
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -13921,6 +14748,26 @@ QUERIES: dict[str, tuple] = {
         ORACLE_FETCH_LATENCY_PERCENTILES,
     ),
     "mi_feature_rank": (q_mi_feature_rank, ORACLE_MI_FEATURE_RANK),
+    "temporal_split_embargo": (
+        q_temporal_split_embargo,
+        ORACLE_TEMPORAL_SPLIT_EMBARGO,
+    ),
+    "filter_overlap_matrix": (
+        q_filter_overlap_matrix,
+        ORACLE_FILTER_OVERLAP_MATRIX,
+    ),
+    "hash_partition_balance": (
+        q_hash_partition_balance,
+        ORACLE_HASH_PARTITION_BALANCE,
+    ),
+    "waterfill_allocation": (
+        q_waterfill_allocation,
+        ORACLE_WATERFILL_ALLOCATION,
+    ),
+    "ecdf_ks_drift": (q_ecdf_ks_drift, ORACLE_ECDF_KS_DRIFT),
+    "aspect_pad_sweep": (q_aspect_pad_sweep, ORACLE_ASPECT_PAD_SWEEP),
+    "doremi_step": (q_doremi_step, ORACLE_DOREMI_STEP),
+    "wfq_schedule": (q_wfq_schedule, ORACLE_WFQ_SCHEDULE),
 }
 
 

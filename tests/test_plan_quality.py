@@ -1275,3 +1275,93 @@ def test_mi_feature_rank_one_scan_contingency(spark):
     assert plan.count("Scan parquet") == 2  # one scan: tree node + details
     assert "HashAggregate" in plan
     assert "Join" not in plan
+
+
+def test_temporal_split_embargo_no_sort(spark):
+    """temporal_split_embargo: bounds and gap are broadcast scalar
+    aggs, classification is a scan — no global sort, no
+    SinglePartition window anywhere."""
+    from crawlers_spark.queries import q_temporal_split_embargo
+
+    plan = _plan(q_temporal_split_embargo(spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_filter_overlap_matrix_single_dedup_pass(spark):
+    """filter_overlap_matrix: the only shuffle-bearing stage is the
+    fingerprint-partitioned window (the dedup pass); gates are free
+    row-local flags and the matrix is one hash-agg."""
+    from crawlers_spark.queries import q_filter_overlap_matrix
+
+    plan = _plan(q_filter_overlap_matrix(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_partition_balance_one_scan_all_bs(spark):
+    """hash_partition_balance: one key scan serves all four candidate
+    bucket counts via the broadcast B dim; loads and the census are
+    hash-aggs."""
+    from crawlers_spark.queries import q_hash_partition_balance
+
+    plan = _plan(q_hash_partition_balance(spark, SF))
+    assert plan.count("Scan parquet") == 2  # one scan: tree node + details
+    assert "HashAggregate" in plan
+
+
+def test_waterfill_allocation_window_on_host_dim(spark):
+    """waterfill_allocation: the global sort window rides the HOST
+    aggregate (one row per host), never the event log — the events
+    scan feeds a hash-agg first; scalars broadcast back."""
+    from crawlers_spark.queries import q_waterfill_allocation
+
+    plan = _plan(q_waterfill_allocation(spark, SF))
+    assert "HashAggregate" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ecdf_ks_drift_partitioned_cumsum(spark):
+    """ecdf_ks_drift: the ECDF cumsum windows are event_type-
+    partitioned (no SinglePartition exchange) and ride one sort; the
+    per-value collapse is a hash-agg before the window."""
+    from crawlers_spark.queries import q_ecdf_ks_drift
+
+    plan = _plan(q_ecdf_ks_drift(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_aspect_pad_sweep_broadcast_grid_one_scan(spark):
+    """aspect_pad_sweep: the ≤7-row bucket dim broadcasts onto the
+    image scan; assignment is a (grid,img)-partitioned top-1 window;
+    one documents scan serves every grid."""
+    from crawlers_spark.queries import q_aspect_pad_sweep
+
+    plan = _plan(q_aspect_pad_sweep(spark, SF))
+    assert plan.count("Scan parquet") == 2  # one scan: tree node + details
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doremi_step_softmax_on_domain_dim(spark):
+    """doremi_step: the corpus-sized stages are doc_bigram_ce's
+    hash-agg plan; the softmax windows ride the ~20-row domain
+    aggregate only (acceptable bounded frame, like unimax)."""
+    from crawlers_spark.queries import q_doremi_step
+
+    plan = _plan(q_doremi_step(spark, SF))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wfq_schedule_bounded_head(spark):
+    """wfq_schedule: per-host finish tags ride host-partitioned
+    windows; the dispatcher head is a bounded TakeOrdered, never a
+    global sort of the queue."""
+    from crawlers_spark.queries import q_wfq_schedule
+
+    plan = _plan(q_wfq_schedule(spark, SF))
+    assert "TakeOrderedAndProject" in plan
