@@ -14494,6 +14494,477 @@ FROM head ORDER BY tag4, host, seq
 """
 
 
+def q_hedged_fetch_savings(spark: SparkSession, sf: str) -> DataFrame:
+    """Hedged-request tail-latency law (Dean & Barroso, "The Tail at
+    Scale", CACM 2013): issue a backup fetch after delay d and take
+    the first completion — completion = min(v1, d + v2), and the
+    backup only actually fires (costs bandwidth) when the primary is
+    still outstanding at d (v1 > d). Events pair deterministically
+    within each type (consecutive by event_id: primary, then backup
+    draw; odd tails drop), latencies are the tie-free e2 integer
+    lane, d = 50.00 (5000 e2). Census per type: pairs, hedges
+    actually sent, exact saved-latency ppm vs primary-only, and
+    extra-request ppm — the two numbers a hedging policy trades.
+    Shape: one type-partitioned pairing window + one hash-agg; at
+    10^10 log rows this is the per-key sorted pass the SLO pipeline
+    already does."""
+    D = 5000
+    ev = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    lat = ev.select(
+        "event_type",
+        F.col("event_id").cast("long").alias("eid"),
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("eid")
+    seq = lat.select(
+        "event_type",
+        "v_e2",
+        (F.row_number().over(w) - 1).alias("rn"),
+    )
+    pairs = (
+        seq.groupBy("event_type", F.expr("rn div 2").alias("pair"))
+        .agg(
+            F.count("*").alias("members"),
+            F.max(F.when(F.col("rn") % 2 == 0, F.col("v_e2"))).alias("v1"),
+            F.max(F.when(F.col("rn") % 2 == 1, F.col("v_e2"))).alias("v2"),
+        )
+        .filter(F.col("members") == 2)
+        .select(
+            "event_type",
+            F.col("v1").cast("long").alias("v1"),
+            F.col("v2").cast("long").alias("v2"),
+            F.least(F.col("v1"), F.col("v2") + D).cast("long").alias("hedged"),
+            (F.col("v1") > D).cast("long").alias("hedge_sent"),
+        )
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("hedge_sent").cast("long").alias("n_hedges"),
+            F.sum("v1").cast("long").alias("sum_primary_e2"),
+            F.sum("hedged").cast("long").alias("sum_hedged_e2"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "(1000000 * (sum_primary_e2 - sum_hedged_e2))"
+                " div nullif(sum_primary_e2, 0)"
+            ).cast("long").alias("latency_saved_ppm"),
+            F.expr("(1000000 * n_hedges) div nullif(n_pairs, 0)")
+            .cast("long").alias("extra_requests_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_HEDGED_FETCH_SAVINGS = """
+WITH lat AS (
+  SELECT event_type, CAST(event_id AS BIGINT) AS eid,
+         CAST(round(value * 100) AS BIGINT) AS v_e2
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+),
+seq AS (
+  SELECT event_type, v_e2,
+         row_number() OVER (PARTITION BY event_type ORDER BY eid) - 1 AS rn
+  FROM lat
+),
+pairs AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN rn % 2 = 0 THEN v_e2 END) AS BIGINT) AS v1,
+         CAST(max(CASE WHEN rn % 2 = 1 THEN v_e2 END) AS BIGINT) AS v2
+  FROM seq
+  GROUP BY event_type, rn // 2
+  HAVING count(*) = 2
+),
+h AS (
+  SELECT event_type, v1, v2,
+         CAST(least(v1, v2 + 5000) AS BIGINT) AS hedged,
+         CASE WHEN v1 > 5000 THEN 1 ELSE 0 END AS hedge_sent
+  FROM pairs
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(hedge_sent) AS BIGINT) AS n_hedges,
+         CAST(sum(v1) AS BIGINT) AS sum_primary_e2,
+         CAST(sum(hedged) AS BIGINT) AS sum_hedged_e2
+  FROM h GROUP BY 1
+)
+SELECT *,
+       CAST((1000000 * (sum_primary_e2 - sum_hedged_e2))
+            // nullif(sum_primary_e2, 0) AS BIGINT) AS latency_saved_ppm,
+       CAST((1000000 * n_hedges) // nullif(n_pairs, 0) AS BIGINT)
+         AS extra_requests_ppm
+FROM agg ORDER BY event_type
+"""
+
+
+def q_merkle_sync_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    """Merkle-tree anti-entropy cost (Dynamo, DeCandia SOSP'07 §4.7;
+    Cassandra repair): two frontier replicas diff their URL-seen sets
+    by exchanging hash-tree nodes — only subtrees whose digests
+    differ are descended, so the message cost is the union of
+    root-to-dirty-leaf paths, not the key count. Replicas derive
+    deterministically (A = even event ids, B = ids not divisible by
+    7); leaves are the md5-lane bucket % 256 (a depth-8 binary tree);
+    a leaf is dirty when the per-bucket digest (count, xor of key
+    hashes) differs. Nodes exchanged = Σ over depths 0..8 of distinct
+    dirty prefixes — exact integers via one 9-wide depth explode +
+    countDistinct. Output (one row): replica sizes, dirty leaves,
+    nodes exchanged, and the exact ppm of tree nodes touched vs the
+    511-node full tree — the anti-entropy win the law certifies.
+    Shape: two hash-aggs over the bucketed keys + a 9-row explode of
+    the 256-row dirty-leaf dim; nothing corpus-sized is sorted."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id").isNotNull())
+    keys = ev.select(
+        F.col("event_id").cast("long").alias("k"),
+        F.expr(
+            "cast(conv(substring(md5(cast(event_id as string)), 1, 15),"
+            " 16, 10) as bigint)"
+        ).alias("h"),
+    ).select("k", "h", F.pmod("h", F.lit(256)).cast("long").alias("leaf"))
+    a = keys.filter(F.col("k") % 2 == 0)
+    b = keys.filter(F.col("k") % 7 != 0)
+
+    def digest(df, side):
+        return df.groupBy("leaf").agg(
+            F.count("*").cast("long").alias(f"n_{side}"),
+            F.expr("bit_xor(h)").cast("long").alias(f"x_{side}"),
+        )
+
+    d = (
+        digest(a, "a")
+        .join(digest(b, "b"), "leaf", "full")
+        .select(
+            "leaf",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.coalesce("x_a", F.lit(0)).alias("x_a"),
+            F.coalesce("x_b", F.lit(0)).alias("x_b"),
+        )
+        .filter(
+            (F.col("n_a") != F.col("n_b")) | (F.col("x_a") != F.col("x_b"))
+        )
+        .select("leaf")
+    )
+    nodes = (
+        d.select(
+            "leaf", F.explode(F.expr("sequence(0, 8)")).alias("depth")
+        )
+        .select(
+            "depth",
+            F.expr("leaf div cast(pow(2, 8 - depth) as bigint)")
+            .cast("long").alias("prefix"),
+        )
+        .agg(F.countDistinct("depth", "prefix").cast("long")
+             .alias("nodes_exchanged"))
+    )
+    sizes = keys.agg(
+        F.sum((F.col("k") % 2 == 0).cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col("k") % 7 != 0).cast("long")).cast("long").alias("n_b"),
+    )
+    dirty = d.agg(F.count("*").cast("long").alias("dirty_leaves"))
+    return (
+        sizes.crossJoin(F.broadcast(dirty))
+        .crossJoin(F.broadcast(nodes))
+        .select(
+            "n_a",
+            "n_b",
+            "dirty_leaves",
+            F.coalesce("nodes_exchanged", F.lit(0)).cast("long")
+            .alias("nodes_exchanged"),
+            F.expr(
+                "(1000000 * coalesce(nodes_exchanged, 0)) div 511"
+            ).cast("long").alias("tree_touched_ppm"),
+        )
+    )
+
+
+ORACLE_MERKLE_SYNC_NODES = """
+WITH keys AS (
+  SELECT CAST(event_id AS BIGINT) AS k,
+         ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM events WHERE event_id IS NOT NULL
+),
+leaves AS (SELECT k, h, CAST(h % 256 AS BIGINT) AS leaf FROM keys),
+da AS (
+  SELECT leaf, CAST(count(*) AS BIGINT) AS n_a,
+         CAST(bit_xor(h) AS BIGINT) AS x_a
+  FROM leaves WHERE k % 2 = 0 GROUP BY 1
+),
+db AS (
+  SELECT leaf, CAST(count(*) AS BIGINT) AS n_b,
+         CAST(bit_xor(h) AS BIGINT) AS x_b
+  FROM leaves WHERE k % 7 != 0 GROUP BY 1
+),
+dirty AS (
+  SELECT coalesce(da.leaf, db.leaf) AS leaf
+  FROM da FULL JOIN db ON da.leaf = db.leaf
+  WHERE coalesce(n_a, 0) != coalesce(n_b, 0)
+     OR coalesce(x_a, 0) != coalesce(x_b, 0)
+),
+nodes AS (
+  SELECT CAST(count(DISTINCT (depth, leaf // CAST(pow(2, 8 - depth) AS BIGINT)))
+              AS BIGINT) AS nodes_exchanged
+  FROM dirty, LATERAL (SELECT unnest(range(0, 9)) AS depth) s
+),
+sizes AS (
+  SELECT CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN k % 7 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM leaves
+),
+dl AS (SELECT CAST(count(*) AS BIGINT) AS dirty_leaves FROM dirty)
+SELECT n_a, n_b, dirty_leaves,
+       CAST(coalesce(nodes_exchanged, 0) AS BIGINT) AS nodes_exchanged,
+       CAST((1000000 * coalesce(nodes_exchanged, 0)) // 511 AS BIGINT)
+         AS tree_touched_ppm
+FROM sizes CROSS JOIN dl CROSS JOIN nodes
+"""
+
+
+def q_snapshot_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """Low-watermark computation (MillWheel, Akidau VLDB'13; the same
+    rule behind Flink/Dataflow event-time watermarks): a snapshot may
+    only admit events up to min over input partitions of that
+    partition's max seen timestamp — one slow partition holds the
+    whole watermark back. Partitions = user_id % 8; all times are
+    exact NTZ-safe microsecond offsets from the global min (repo
+    convention). Output per partition: its frontier (max offset), the
+    global watermark, events admitted (≤ watermark) vs held, and two
+    self-certifying columns: `frontier_ok` (watermark ≤ every
+    frontier) and `split_ok` (admitted + held == partition total).
+    Shape: per-partition frontier is one hash-agg; the watermark is a
+    broadcast scalar; classification is a second scan — no sorts."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    bounds = ev.agg(F.min("ts").alias("t_min"))
+    off = ev.crossJoin(F.broadcast(bounds)).select(
+        F.pmod("user_id", F.lit(8)).cast("long").alias("part"),
+        F.expr("timestampdiff(MICROSECOND, t_min, ts)").cast("long")
+        .alias("off_us"),
+    )
+    frontier = off.groupBy("part").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("off_us").cast("long").alias("frontier_us"),
+    )
+    wm = frontier.agg(
+        F.min("frontier_us").cast("long").alias("watermark_us")
+    )
+    cls = (
+        off.crossJoin(F.broadcast(wm))
+        .groupBy("part")
+        .agg(
+            F.sum((F.col("off_us") <= F.col("watermark_us")).cast("long"))
+            .cast("long").alias("n_admitted"),
+            F.sum((F.col("off_us") > F.col("watermark_us")).cast("long"))
+            .cast("long").alias("n_held"),
+        )
+    )
+    return (
+        frontier.join(cls, "part")
+        .crossJoin(F.broadcast(wm))
+        .select(
+            "part",
+            "n_events",
+            "frontier_us",
+            "watermark_us",
+            "n_admitted",
+            "n_held",
+            (F.col("watermark_us") <= F.col("frontier_us"))
+            .alias("frontier_ok"),
+            (F.col("n_admitted") + F.col("n_held") == F.col("n_events"))
+            .alias("split_ok"),
+        )
+        .orderBy("part")
+    )
+
+
+ORACLE_SNAPSHOT_WATERMARK = """
+WITH ev AS (
+  SELECT user_id, ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+bounds AS (SELECT min(ts) AS t_min FROM ev),
+off AS (
+  SELECT CAST(user_id % 8 AS BIGINT) AS part,
+         CAST(date_diff('microsecond', t_min, ts) AS BIGINT) AS off_us
+  FROM ev CROSS JOIN bounds
+),
+frontier AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(off_us) AS BIGINT) AS frontier_us
+  FROM off GROUP BY 1
+),
+wm AS (SELECT CAST(min(frontier_us) AS BIGINT) AS watermark_us FROM frontier),
+cls AS (
+  SELECT part,
+         CAST(sum(CASE WHEN off_us <= watermark_us THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_admitted,
+         CAST(sum(CASE WHEN off_us > watermark_us THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_held
+  FROM off CROSS JOIN wm GROUP BY 1
+)
+SELECT part, n_events, frontier_us, watermark_us, n_admitted, n_held,
+       watermark_us <= frontier_us AS frontier_ok,
+       n_admitted + n_held = n_events AS split_ok
+FROM frontier
+JOIN cls USING (part)
+CROSS JOIN wm
+ORDER BY part
+"""
+
+
+def q_skyline_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline (Pareto-optimal set) over documents — the SKYLINE
+    operator of Börzsönyi et al. ICDE'01, maximizing (word count,
+    distinct vocabulary): the "longest doc with the richest
+    vocabulary at every length" curation pick (the two axes trade
+    off because longer synthetic docs repeat words). A doc survives
+    iff no other doc is ≥ in both dimensions and > in at least one.
+    Computed WITHOUT the naive all-pairs domination join: sort by
+    word count desc once, then `best_longer` = max vocab over
+    STRICTLY longer docs (range frame ending at 1 PRECEDING on the
+    word-count value) and `best_same` = max vocab among equal-length
+    docs; dominated ⇔ best_longer ≥ vocab or best_same > vocab. Both
+    dimensions are exact integers. Output: the skyline staircase.
+    Shape: two windows riding ONE value-ordered sort — the
+    O(n log n) sort-filter skyline, vs the O(n²) domination join the
+    operator exists to avoid. (The running-max window is globally
+    ordered — the published algorithm; a 10^10-row deployment runs
+    the same filter per word-count-range partition and merges the ≤P
+    partial skylines, global_rank's two-phase shape.)"""
+    d = load_table(spark, sf, "documents")
+    arr = F.split(normalize_text(F.coalesce("text", F.lit(""))), " ")
+    pts = d.select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_words"),
+        F.size(F.array_distinct(arr)).cast("long").alias("n_distinct"),
+    )
+    w_longer = (
+        Window.orderBy(F.desc("n_words"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("n_words")
+    sky = pts.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.max("n_distinct").over(w_longer).alias("best_longer"),
+        F.max("n_distinct").over(w_same).alias("best_same"),
+    ).filter(
+        (F.col("best_longer").isNull()
+         | (F.col("best_longer") < F.col("n_distinct")))
+        & (F.col("best_same") == F.col("n_distinct"))
+    )
+    return sky.select("doc_id", "n_words", "n_distinct").orderBy(
+        F.desc("n_words"), "doc_id"
+    )
+
+
+ORACLE_SKYLINE_DOCS = """
+WITH pts AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                                   '\\s+', ' ', 'g')), ' '))
+              AS BIGINT) AS n_words,
+         CAST(len(list_distinct(string_split(trim(regexp_replace(
+                lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')))
+              AS BIGINT) AS n_distinct
+  FROM documents
+),
+sky AS (
+  SELECT doc_id, n_words, n_distinct,
+         max(n_distinct) OVER (ORDER BY n_words DESC
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS best_longer,
+         max(n_distinct) OVER (PARTITION BY n_words) AS best_same
+  FROM pts
+)
+SELECT doc_id, n_words, n_distinct
+FROM sky
+WHERE (best_longer IS NULL OR best_longer < n_distinct)
+  AND best_same = n_distinct
+ORDER BY n_words DESC, doc_id
+"""
+
+
+def q_bow_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag-of-words (word-multiset) duplicate detection — the
+    reordering-spam lane exact dedup cannot see: two docs whose words
+    are identical up to permutation (scrambled scrapes, templated
+    re-orderings) share a fingerprint of their SORTED token array
+    (sort_array/list_sort are both engines' stable multiset
+    canonicalization; md5 over the joined result). To make the lane
+    real on this corpus, every 10th doc is planted as a
+    reversed-word-order mutant of its base (id + offset; byte-level
+    text differs, multiset doesn't). Output per bag-duplicate group:
+    member count, keeper (min id), whether the group is invisible to
+    exact text dedup (`reorder_only` — no two members share raw
+    normalized text). Shape: one zero-shuffle sort+hash projection +
+    one fingerprint-keyed hash-agg; the per-doc sort is O(len log
+    len) row-local work, the classic tradeoff for permutation
+    invariance at 100 TB."""
+    base = load_table(spark, sf, "documents").select(
+        "doc_id", F.split(normalize_text(F.coalesce("text", F.lit(""))), " ")
+        .alias("w"),
+    )
+    mut = base.filter(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + _MUTANT_OFFSET).alias("doc_id"),
+        F.reverse("w").alias("w"),
+    )
+    t = base.unionByName(mut)
+    fp = t.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.sort_array("w"))).alias("bag_fp"),
+        F.md5(F.concat_ws(" ", "w")).alias("text_fp"),
+    )
+    return (
+        fp.groupBy("bag_fp")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("doc_id").cast("long").alias("keep_id"),
+            (F.countDistinct("text_fp") == F.count("*")).alias("reorder_only"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("keep_id")
+    )
+
+
+ORACLE_BOW_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                          '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+t AS (
+  SELECT doc_id, w FROM base
+  UNION ALL
+  SELECT doc_id + {_MUTANT_OFFSET}, list_reverse(w)
+  FROM base WHERE doc_id % 10 = 0
+),
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(w), ' ')) AS bag_fp,
+         md5(array_to_string(w, ' ')) AS text_fp
+  FROM t
+)
+SELECT bag_fp,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       count(DISTINCT text_fp) = count(*) AS reorder_only
+FROM fp
+GROUP BY 1
+HAVING count(*) >= 2
+ORDER BY keep_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -14768,6 +15239,14 @@ QUERIES: dict[str, tuple] = {
     "aspect_pad_sweep": (q_aspect_pad_sweep, ORACLE_ASPECT_PAD_SWEEP),
     "doremi_step": (q_doremi_step, ORACLE_DOREMI_STEP),
     "wfq_schedule": (q_wfq_schedule, ORACLE_WFQ_SCHEDULE),
+    "hedged_fetch_savings": (
+        q_hedged_fetch_savings,
+        ORACLE_HEDGED_FETCH_SAVINGS,
+    ),
+    "merkle_sync_nodes": (q_merkle_sync_nodes, ORACLE_MERKLE_SYNC_NODES),
+    "snapshot_watermark": (q_snapshot_watermark, ORACLE_SNAPSHOT_WATERMARK),
+    "skyline_docs": (q_skyline_docs, ORACLE_SKYLINE_DOCS),
+    "bow_dedup": (q_bow_dedup, ORACLE_BOW_DEDUP),
 }
 
 

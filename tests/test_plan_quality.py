@@ -1365,3 +1365,54 @@ def test_wfq_schedule_bounded_head(spark):
 
     plan = _plan(q_wfq_schedule(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hedged_fetch_savings_partitioned_pairing(spark):
+    """hedged_fetch_savings: pairing rides one event_type-partitioned
+    window; the census is a hash-agg — no SinglePartition exchange."""
+    from crawlers_spark.queries import q_hedged_fetch_savings
+
+    plan = _plan(q_hedged_fetch_savings(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_merkle_sync_nodes_hashaggs_no_sort(spark):
+    """merkle_sync_nodes: per-replica digests are leaf-keyed hash-aggs,
+    the path union is a countDistinct over the 9-deep explode of the
+    dirty-leaf dim — nothing corpus-sized is sorted."""
+    from crawlers_spark.queries import q_merkle_sync_nodes
+
+    plan = _plan(q_merkle_sync_nodes(spark, SF))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_watermark_broadcast_scalar(spark):
+    """snapshot_watermark: frontiers are one hash-agg; the watermark is
+    a broadcast scalar joined back — no windows, no global sort."""
+    from crawlers_spark.queries import q_snapshot_watermark
+
+    plan = _plan(q_snapshot_watermark(spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_skyline_docs_sort_filter_no_join(spark):
+    """skyline_docs: the sort-filter skyline has NO join at all (the
+    operator exists to avoid the O(n²) domination join); two windows
+    ride the value sort."""
+    from crawlers_spark.queries import q_skyline_docs
+
+    plan = _plan(q_skyline_docs(spark, SF))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_bow_dedup_single_shuffle_hashagg(spark):
+    """bow_dedup: the multiset canonicalization (sort_array + md5) is
+    row-local; the only shuffle is the fingerprint group-by."""
+    from crawlers_spark.queries import q_bow_dedup
+
+    plan = _plan(q_bow_dedup(spark, SF))
+    assert "Join" not in plan and "CartesianProduct" not in plan
