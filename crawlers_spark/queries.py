@@ -14965,6 +14965,185 @@ ORDER BY keep_id
 """
 
 
+def q_distinct_estimators(spark: SparkSession, sf: str) -> DataFrame:
+    """Species-richness estimators over the vocabulary, per language —
+    the statistics a corpus report uses to answer "how much vocabulary
+    haven't we crawled yet": bias-corrected Chao1 richness
+    D + f1·(f1−1)/(2·(f2+1)) (Chao 1984; defined even when no word
+    occurs exactly twice) and the Good–Turing unseen-probability mass
+    f1/n (Good 1953) with its complement coverage — all from the
+    frequency-of-frequencies (f1 = hapaxes, f2 = dis legomena), all
+    exact integer arithmetic (ratios as exact ppm / integer DIV).
+    Complements heaps_law (growth-curve view) with the capture-
+    recapture view of the same question. Shape: two chained hash-aggs
+    (word counts → freq-of-freq) — map-side combinable both times;
+    nothing is sorted at any scale."""
+    d = load_table(spark, sf, "documents")
+    words = d.filter(
+        F.length(normalize_text(F.coalesce("text", F.lit(""))) ) > 0
+    ).select(
+        "lang",
+        F.explode(
+            F.split(normalize_text(F.coalesce("text", F.lit(""))), " ")
+        ).alias("word"),
+    )
+    wc = words.groupBy("lang", "word").agg(F.count("*").alias("c"))
+    return (
+        wc.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("d_distinct"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1"),
+            F.sum((F.col("c") == 2).cast("long")).cast("long").alias("f2"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "d_distinct + (f1 * (f1 - 1)) div (2 * (f2 + 1))"
+            ).cast("long").alias("chao1"),
+            F.expr("(1000000 * f1) div nullif(n_tokens, 0)").cast("long")
+            .alias("gt_unseen_ppm"),
+            F.expr(
+                "1000000 - (1000000 * f1) div nullif(n_tokens, 0)"
+            ).cast("long").alias("gt_coverage_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_DISTINCT_ESTIMATORS = """
+WITH words AS (
+  SELECT lang,
+         unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                                 '\\s+', ' ', 'g')), ' '))
+           AS word
+  FROM documents
+  WHERE length(trim(regexp_replace(lower(coalesce(text, '')),
+                                   '\\s+', ' ', 'g'))) > 0
+),
+wc AS (SELECT lang, word, count(*) AS c FROM words GROUP BY 1, 2),
+agg AS (
+  SELECT lang,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS d_distinct,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM wc GROUP BY 1
+)
+SELECT *,
+       CAST(d_distinct + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+         AS chao1,
+       CAST((1000000 * f1) // nullif(n_tokens, 0) AS BIGINT)
+         AS gt_unseen_ppm,
+       CAST(1000000 - (1000000 * f1) // nullif(n_tokens, 0) AS BIGINT)
+         AS gt_coverage_ppm
+FROM agg ORDER BY lang
+"""
+
+
+def q_rebalance_moves(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimal-movement shard rebalancing plan (the Kafka/Elasticsearch
+    reassignment discipline: move exactly the surplus, nothing else):
+    current owner = host_id % 8 (the naive mod map the engine's HRW
+    sharding replaces), balanced target = ⌊n/8⌋ with the largest-
+    remainder +1 going to the lowest worker ids (Hamilton
+    apportionment, same convention as revisit_apportionment). Surplus
+    (load − target)⁺ must be shipped out, deficit (target − load)⁺
+    absorbed; conservation Σsurplus == Σdeficit is emitted as a
+    self-certifying `conserve_ok` column, and `moved_ppm` states the
+    fraction of all keys that must move — the number that decides
+    whether a rebalance is worth the shuffle. Shape: one hash-agg to
+    loads, an 8-row frame for the window sums — the plan costs one
+    pass at any scale."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    owned = ev.groupBy(
+        F.pmod("user_id", F.lit(8)).cast("long").alias("worker")
+    ).agg(F.count("*").cast("long").alias("load"))
+    # all 8 workers exist even when ownership is pathologically skewed,
+    # so the conservation invariant holds by construction
+    loads = (
+        spark.range(0, 8).select(F.col("id").cast("long").alias("worker"))
+        .join(owned, "worker", "left")
+        .select("worker", F.coalesce("load", F.lit(0)).cast("long").alias("load"))
+    )
+    wall = Window.partitionBy()
+    t = loads.select(
+        "worker",
+        "load",
+        F.sum("load").over(wall).cast("long").alias("n_total"),
+    ).select(
+        "worker",
+        "load",
+        "n_total",
+        (
+            F.expr("n_total div 8")
+            + (F.col("worker") < F.expr("n_total % 8")).cast("long")
+        ).cast("long").alias("target"),
+    )
+    out = t.select(
+        "worker",
+        "load",
+        "target",
+        F.greatest(F.col("load") - F.col("target"), F.lit(0)).cast("long")
+        .alias("surplus"),
+        F.greatest(F.col("target") - F.col("load"), F.lit(0)).cast("long")
+        .alias("deficit"),
+        "n_total",
+    )
+    return out.select(
+        "worker",
+        "load",
+        "target",
+        "surplus",
+        "deficit",
+        (
+            F.sum("surplus").over(wall) == F.sum("deficit").over(wall)
+        ).alias("conserve_ok"),
+        F.expr(
+            "(1000000 * sum(surplus) over ()) div nullif(n_total, 0)"
+        ).cast("long").alias("moved_ppm"),
+    ).orderBy("worker")
+
+
+ORACLE_REBALANCE_MOVES = """
+WITH owned AS (
+  SELECT CAST(user_id % 8 AS BIGINT) AS worker,
+         CAST(count(*) AS BIGINT) AS load
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1
+),
+loads AS (
+  SELECT w.worker, CAST(coalesce(o.load, 0) AS BIGINT) AS load
+  FROM (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS worker) w
+  LEFT JOIN owned o USING (worker)
+),
+t AS (
+  SELECT worker, load,
+         CAST(sum(load) OVER () AS BIGINT) AS n_total
+  FROM loads
+),
+tt AS (
+  SELECT worker, load, n_total,
+         CAST(n_total // 8
+              + CASE WHEN worker < n_total % 8 THEN 1 ELSE 0 END AS BIGINT)
+           AS target
+  FROM t
+),
+o AS (
+  SELECT worker, load, target,
+         CAST(greatest(load - target, 0) AS BIGINT) AS surplus,
+         CAST(greatest(target - load, 0) AS BIGINT) AS deficit,
+         n_total
+  FROM tt
+)
+SELECT worker, load, target, surplus, deficit,
+       sum(surplus) OVER () = sum(deficit) OVER () AS conserve_ok,
+       CAST((1000000 * sum(surplus) OVER ()) // nullif(n_total, 0) AS BIGINT)
+         AS moved_ppm
+FROM o ORDER BY worker
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -15247,6 +15426,11 @@ QUERIES: dict[str, tuple] = {
     "snapshot_watermark": (q_snapshot_watermark, ORACLE_SNAPSHOT_WATERMARK),
     "skyline_docs": (q_skyline_docs, ORACLE_SKYLINE_DOCS),
     "bow_dedup": (q_bow_dedup, ORACLE_BOW_DEDUP),
+    "distinct_estimators": (
+        q_distinct_estimators,
+        ORACLE_DISTINCT_ESTIMATORS,
+    ),
+    "rebalance_moves": (q_rebalance_moves, ORACLE_REBALANCE_MOVES),
 }
 
 

@@ -1416,3 +1416,23 @@ def test_bow_dedup_single_shuffle_hashagg(spark):
 
     plan = _plan(q_bow_dedup(spark, SF))
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_distinct_estimators_chained_hashaggs(spark):
+    """distinct_estimators: word counts → freq-of-freq are two chained
+    hash-aggs, no joins, no sorts of the token stream."""
+    from crawlers_spark.queries import q_distinct_estimators
+
+    plan = _plan(q_distinct_estimators(spark, SF))
+    assert "HashAggregate" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_rebalance_moves_bounded_frame(spark):
+    """rebalance_moves: the event log collapses to 8 worker rows in one
+    hash-agg; every window rides that bounded frame."""
+    from crawlers_spark.queries import q_rebalance_moves
+
+    plan = _plan(q_rebalance_moves(spark, SF))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
