@@ -15144,6 +15144,186 @@ FROM o ORDER BY worker
 """
 
 
+def q_normalization_ladder(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization-aggressiveness ladder for exact dedup — the
+    tuning table every dedup pipeline builds before fixing its
+    canonicalization (each extra normalization stage collapses more
+    "distinct" docs into dup groups, at rising false-merge risk):
+    stage 0 raw bytes, stage 1 casefold, stage 2 + whitespace
+    collapse/trim (the production normalize_text), stage 3 + strip
+    all non-[a-z0-9 ] chars. Per stage: distinct fingerprints, docs
+    retired by dedup at that stage, and the marginal docs the stage
+    retired over its predecessor (lag over the 4-row ladder). All
+    exact (md5 group counts). Shape: ONE corpus scan through a
+    4-wide plan-side stage explode + one stage-keyed agg; the
+    countDistinct-over-strings SortAggregate rides 4 groups only."""
+    d = load_table(spark, sf, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    s1 = F.lower(txt)
+    s2 = F.trim(F.regexp_replace(s1, r"\s+", " "))
+    s3 = F.regexp_replace(s2, r"[^a-z0-9 ]", "")
+    staged = d.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("stage"), F.md5(txt).alias("fp")),
+                F.struct(F.lit(1).alias("stage"), F.md5(s1).alias("fp")),
+                F.struct(F.lit(2).alias("stage"), F.md5(s2).alias("fp")),
+                F.struct(F.lit(3).alias("stage"), F.md5(s3).alias("fp")),
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.stage").cast("long").alias("stage"),
+        F.col("s.fp").alias("fp"),
+    )
+    agg = staged.groupBy("stage").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_groups"),
+    )
+    wl = Window.orderBy("stage")
+    return (
+        agg.select(
+            "stage",
+            "n_docs",
+            "n_groups",
+            (F.col("n_docs") - F.col("n_groups")).cast("long")
+            .alias("n_retired"),
+        )
+        .select(
+            "*",
+            (
+                F.col("n_retired")
+                - F.coalesce(F.lag("n_retired").over(wl), F.lit(0))
+            ).cast("long").alias("marginal_retired"),
+        )
+        .orderBy("stage")
+    )
+
+
+ORACLE_NORMALIZATION_LADDER = """
+WITH staged AS (
+  SELECT s.stage, s.fp FROM documents,
+  LATERAL (SELECT unnest([
+    {'stage': 0, 'fp': md5(coalesce(text, ''))},
+    {'stage': 1, 'fp': md5(lower(coalesce(text, '')))},
+    {'stage': 2, 'fp': md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                               '\\s+', ' ', 'g')))},
+    {'stage': 3, 'fp': md5(regexp_replace(trim(regexp_replace(
+                           lower(coalesce(text, '')), '\\s+', ' ', 'g')),
+                           '[^a-z0-9 ]', '', 'g'))}
+  ]) AS s) t
+),
+agg AS (
+  SELECT CAST(stage AS BIGINT) AS stage,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_groups
+  FROM staged GROUP BY 1
+),
+r AS (
+  SELECT *, CAST(n_docs - n_groups AS BIGINT) AS n_retired FROM agg
+)
+SELECT *,
+       CAST(n_retired - coalesce(lag(n_retired) OVER (ORDER BY stage), 0)
+            AS BIGINT) AS marginal_retired
+FROM r ORDER BY stage
+"""
+
+
+def q_categorical_drift_gtest(spark: SparkSession, sf: str) -> DataFrame:
+    """G-test (likelihood-ratio) drift monitor for the event-type MIX
+    between two epochs — the categorical twin of ecdf_ks_drift (KS
+    watches a numeric distribution; the G-test watches the type
+    histogram): G = 2·Σ o·ln(o·N/(row·col)), the Wilks'38 statistic,
+    with every ln argument an exact-int64 rational and each type's
+    2-term contribution summed in written order then 6-dp rounded
+    (repo transcendental convention). Epochs = even/odd event_id.
+    Output per type: both observed counts, the type's G contribution,
+    and the global G with its degrees of freedom on every row
+    (window over the ≤6-row type frame). Shape: one hash-agg to the
+    contingency table, scalars broadcast — one pass at any scale."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id").isNotNull())
+    o = ev.groupBy("event_type").agg(
+        F.sum((F.col("event_id") % 2 == 0).cast("long")).cast("long")
+        .alias("o_a"),
+        F.sum((F.col("event_id") % 2 == 1).cast("long")).cast("long")
+        .alias("o_b"),
+    )
+    wall = Window.partitionBy()
+    t = o.select(
+        "event_type",
+        "o_a",
+        "o_b",
+        F.sum(F.col("o_a") + F.col("o_b")).over(wall).cast("long").alias("n"),
+        F.sum("o_a").over(wall).cast("long").alias("col_a"),
+        F.sum("o_b").over(wall).cast("long").alias("col_b"),
+        F.count("*").over(wall).cast("long").alias("n_types"),
+    )
+    term = (
+        "(CASE WHEN {o} > 0 THEN {o} * ln(cast({o} * n as double)"
+        " / cast((o_a + o_b) * {c} as double)) ELSE 0.0 END)"
+    )
+    contrib = (
+        "2.0 * ("
+        + term.format(o="o_a", c="col_a")
+        + " + "
+        + term.format(o="o_b", c="col_b")
+        + ")"
+    )
+    g = t.select(
+        "event_type",
+        "o_a",
+        "o_b",
+        F.expr(contrib).alias("contrib_raw"),
+        "n_types",
+    )
+    return g.select(
+        "event_type",
+        "o_a",
+        "o_b",
+        F.round("contrib_raw", 6).alias("contrib_q6"),
+        F.round(F.sum("contrib_raw").over(Window.partitionBy()), 6)
+        .alias("g_q6"),
+        (F.col("n_types") - 1).cast("long").alias("df"),
+    ).orderBy("event_type")
+
+
+_G_TERM = (
+    "(CASE WHEN {o} > 0 THEN {o} * ln(CAST({o} * n AS DOUBLE)"
+    " / CAST((o_a + o_b) * {c} AS DOUBLE)) ELSE 0.0 END)"
+)
+
+ORACLE_CATEGORICAL_DRIFT_GTEST = f"""
+WITH o AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS o_a,
+         CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS o_b
+  FROM events WHERE event_id IS NOT NULL
+  GROUP BY 1
+),
+t AS (
+  SELECT event_type, o_a, o_b,
+         CAST(sum(o_a + o_b) OVER () AS BIGINT) AS n,
+         CAST(sum(o_a) OVER () AS BIGINT) AS col_a,
+         CAST(sum(o_b) OVER () AS BIGINT) AS col_b,
+         CAST(count(*) OVER () AS BIGINT) AS n_types
+  FROM o
+),
+g AS (
+  SELECT event_type, o_a, o_b,
+         2.0 * ({_G_TERM.format(o="o_a", c="col_a")}
+                + {_G_TERM.format(o="o_b", c="col_b")}) AS contrib_raw,
+         n_types
+  FROM t
+)
+SELECT event_type, o_a, o_b,
+       round(contrib_raw, 6) AS contrib_q6,
+       round(sum(contrib_raw) OVER (), 6) AS g_q6,
+       CAST(n_types - 1 AS BIGINT) AS df
+FROM g ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -15431,6 +15611,14 @@ QUERIES: dict[str, tuple] = {
         ORACLE_DISTINCT_ESTIMATORS,
     ),
     "rebalance_moves": (q_rebalance_moves, ORACLE_REBALANCE_MOVES),
+    "normalization_ladder": (
+        q_normalization_ladder,
+        ORACLE_NORMALIZATION_LADDER,
+    ),
+    "categorical_drift_gtest": (
+        q_categorical_drift_gtest,
+        ORACLE_CATEGORICAL_DRIFT_GTEST,
+    ),
 }
 
 

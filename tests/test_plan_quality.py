@@ -1436,3 +1436,24 @@ def test_rebalance_moves_bounded_frame(spark):
     plan = _plan(q_rebalance_moves(spark, SF))
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_normalization_ladder_one_scan(spark):
+    """normalization_ladder: all four normalization stages ride one
+    corpus scan through a plan-side explode; the distinct count
+    SortAggregate is keyed on 4 stage groups only."""
+    from crawlers_spark.queries import q_normalization_ladder
+
+    plan = _plan(q_normalization_ladder(spark, SF))
+    assert plan.count("Scan parquet") == 2  # one scan: tree node + details
+    assert "Join" not in plan
+
+
+def test_categorical_drift_gtest_bounded_frame(spark):
+    """categorical_drift_gtest: the log collapses to the ≤6-row type
+    contingency in one hash-agg; every window rides that frame."""
+    from crawlers_spark.queries import q_categorical_drift_gtest
+
+    plan = _plan(q_categorical_drift_gtest(spark, SF))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
