@@ -12657,7 +12657,8 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("chars_retired", F.lit(0)).cast("long")
             .alias("chars_retired"),
             F.expr(
-                "(1000000 * coalesce(chars_retired, 0)) div total_chars"
+                "(1000000 * coalesce(chars_retired, 0))"
+                " div nullif(total_chars, 0)"
             ).cast("long").alias("retired_ppm"),
         )
     )
@@ -12722,7 +12723,8 @@ o AS (
          CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
          CAST(coalesce(n_docs_retired, 0) AS BIGINT) AS n_docs_retired,
          CAST(coalesce(chars_retired, 0) AS BIGINT) AS chars_retired,
-         CAST((1000000 * coalesce(chars_retired, 0)) // total_chars AS BIGINT)
+         CAST((1000000 * coalesce(chars_retired, 0))
+              // nullif(total_chars, 0) AS BIGINT)
            AS retired_ppm
   FROM thresholds th
   LEFT JOIN np USING (t_pct)
