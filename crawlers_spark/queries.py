@@ -15326,6 +15326,157 @@ FROM g ORDER BY event_type
 """
 
 
+def q_bot_regularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Bot detection by inter-arrival regularity (the Mercator/
+    commercial-crawler heuristic: machines fetch on timers, humans
+    don't — a client whose gaps repeat is automated): per user, the
+    distinct-gap census over exact NTZ-safe microsecond inter-event
+    gaps (lag over the per-user time order; the only exact-integer
+    regularity signal that needs no variance, so no overflow lane at
+    any scale). periodicity_ppm = 1e6·(gaps − distinct gaps)/gaps —
+    0 for perfectly irregular clients, →1e6 for a fixed-timer bot;
+    `flagged` applies the 50% repeat threshold in cross-multiplied
+    integer form. Shape: one user-partitioned lag window + one
+    hash-agg per user — the per-key sorted pass a sessionizer already
+    does at 10^10 rows."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(ts) over"
+            " (partition by user_id order by ts, event_id), ts)"
+        ).cast("long").alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.countDistinct("gap_us").cast("long").alias("n_distinct_gaps"),
+    )
+    return agg.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_gaps",
+        "n_distinct_gaps",
+        F.expr(
+            "(1000000 * (n_gaps - n_distinct_gaps)) div nullif(n_gaps, 0)"
+        ).cast("long").alias("periodicity_ppm"),
+        F.expr("(n_gaps - n_distinct_gaps) * 2 > n_gaps").alias("flagged"),
+    ).orderBy("user_id")
+
+
+ORACLE_BOT_REGULARITY = """
+WITH ev AS (
+  SELECT user_id, event_id, ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+),
+gaps AS (
+  SELECT user_id,
+         CAST(date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id),
+                        ts) AS BIGINT) AS gap_us
+  FROM ev
+),
+nz AS (SELECT * FROM gaps WHERE gap_us IS NOT NULL),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(count(DISTINCT gap_us) AS BIGINT) AS n_distinct_gaps
+  FROM nz GROUP BY 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, n_gaps, n_distinct_gaps,
+       CAST((1000000 * (n_gaps - n_distinct_gaps)) // nullif(n_gaps, 0)
+            AS BIGINT) AS periodicity_ppm,
+       (n_gaps - n_distinct_gaps) * 2 > n_gaps AS flagged
+FROM agg ORDER BY user_id
+"""
+
+
+def q_traffic_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Traffic-concentration (Lorenz curve) points over host demand —
+    the "what fraction of fetches do the top k% of hosts own" census
+    that motivates every skew defense in the engine (salting, AQE
+    skew joins, per-host budgets); the numeric complement of
+    length_gini's single coefficient. Hosts sort by demand desc
+    (host tie-break); for each k ∈ {1,5,10,20,50}% the cutoff takes
+    ⌈k·H/100⌉ hosts (nearest-rank, like fetch_latency_percentiles)
+    and reports their exact cumulative share in ppm. Self-certifying
+    `monotone_ok`: shares never decrease as k grows. Shape: the sort
+    window rides the HOST aggregate (bounded), the k axis is a
+    broadcast 5-row dim joined on the rank cutoff — one pass over
+    the log, one bounded sort."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    hosts = ev.groupBy(F.col("user_id").alias("host_id")).agg(
+        F.count("*").cast("long").alias("demand")
+    )
+    w = Window.orderBy(F.desc("demand"), "host_id")
+    wall = Window.partitionBy()
+    ranked = hosts.select(
+        "host_id",
+        "demand",
+        F.row_number().over(w).alias("rn"),
+        F.sum("demand").over(w).cast("long").alias("cum"),
+        F.count("*").over(wall).cast("long").alias("n_hosts"),
+        F.sum("demand").over(wall).cast("long").alias("total"),
+    )
+    ks = spark.range(0, 5).select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in (1, 5, 10, 20, 50)]),
+            (F.col("id") + 1).cast("int"),
+        ).cast("long").alias("k_pct")
+    )
+    pts = ranked.join(
+        F.broadcast(ks),
+        F.col("rn") == F.expr("greatest((k_pct * n_hosts + 99) div 100, 1)"),
+    ).select(
+        "k_pct",
+        F.col("rn").cast("long").alias("n_top_hosts"),
+        "n_hosts",
+        F.expr("(1000000 * cum) div nullif(total, 0)").cast("long")
+        .alias("share_ppm"),
+    )
+    wk = Window.orderBy("k_pct")
+    return pts.select(
+        "*",
+        (
+            F.col("share_ppm")
+            >= F.coalesce(F.lag("share_ppm").over(wk), F.col("share_ppm"))
+        ).alias("monotone_ok"),
+    ).orderBy("k_pct")
+
+
+ORACLE_TRAFFIC_CONCENTRATION = """
+WITH hosts AS (
+  SELECT user_id AS host_id, CAST(count(*) AS BIGINT) AS demand
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+ranked AS (
+  SELECT host_id, demand,
+         row_number() OVER (ORDER BY demand DESC, host_id) AS rn,
+         CAST(sum(demand) OVER (ORDER BY demand DESC, host_id) AS BIGINT)
+           AS cum,
+         CAST(count(*) OVER () AS BIGINT) AS n_hosts,
+         CAST(sum(demand) OVER () AS BIGINT) AS total
+  FROM hosts
+),
+ks AS (SELECT CAST(unnest([1, 5, 10, 20, 50]) AS BIGINT) AS k_pct),
+pts AS (
+  SELECT k_pct,
+         CAST(rn AS BIGINT) AS n_top_hosts,
+         n_hosts,
+         CAST((1000000 * cum) // nullif(total, 0) AS BIGINT) AS share_ppm
+  FROM ranked JOIN ks
+    ON rn = greatest((k_pct * n_hosts + 99) // 100, 1)
+)
+SELECT *,
+       share_ppm >= coalesce(lag(share_ppm) OVER (ORDER BY k_pct), share_ppm)
+         AS monotone_ok
+FROM pts ORDER BY k_pct
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -15620,6 +15771,11 @@ QUERIES: dict[str, tuple] = {
     "categorical_drift_gtest": (
         q_categorical_drift_gtest,
         ORACLE_CATEGORICAL_DRIFT_GTEST,
+    ),
+    "bot_regularity": (q_bot_regularity, ORACLE_BOT_REGULARITY),
+    "traffic_concentration": (
+        q_traffic_concentration,
+        ORACLE_TRAFFIC_CONCENTRATION,
     ),
 }
 

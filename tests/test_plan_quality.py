@@ -1457,3 +1457,22 @@ def test_categorical_drift_gtest_bounded_frame(spark):
     plan = _plan(q_categorical_drift_gtest(spark, SF))
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bot_regularity_partitioned_lag(spark):
+    """bot_regularity: the gap lag is user-partitioned (no
+    SinglePartition window); census is one hash-agg per user."""
+    from crawlers_spark.queries import q_bot_regularity
+
+    plan = _plan(q_bot_regularity(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_traffic_concentration_host_dim_sort(spark):
+    """traffic_concentration: the Lorenz sort rides the host aggregate;
+    the k axis broadcasts."""
+    from crawlers_spark.queries import q_traffic_concentration
+
+    plan = _plan(q_traffic_concentration(spark, SF))
+    assert "HashAggregate" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
