@@ -15477,6 +15477,182 @@ FROM pts ORDER BY k_pct
 """
 
 
+def q_maxsim_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (ColBERT, Khattab & Zaharia
+    SIGIR'20): score(q,d) = Σ_i max_j ⟨q_i, d_j⟩ over per-token
+    vectors — the retrieval family between single-vector cosine
+    (cosine_topk) and full cross-attention. Token vectors are
+    synthesized by slicing each stored 64-dim embedding into 4×16-dim
+    subvectors (the multi-vector stand-in; honest about no real
+    encoder in-sandbox). Queries = vec_id < 3; top-5 docs per query
+    by 6-dp-rounded score with vec_id tie-break. Every ⟨q_i,d_j⟩ is
+    a fold-left zip_with/aggregate dot (cosine_topk exactness
+    pattern); the 4×4 interaction grid is a plan-side 16-row offset
+    explode, so ONE relational shape serves any token count. Shape:
+    queries broadcast; per-pair work is 16 dim-16 dots + one max/sum
+    agg — the verify lane; a 100-TB deployment fronts it with the
+    SRP-LSH candidate generator and runs this exact plan on
+    candidates only."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    offs = spark.range(0, 4).select(
+        (1 + F.col("id") * 16).cast("int").alias("s")
+    )
+    offt = spark.range(0, 4).select(
+        (1 + F.col("id") * 16).cast("int").alias("t")
+    )
+    grid = offs.crossJoin(offt)
+    dots = (
+        emb.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "query_id",
+            "vec_id",
+            "s",
+            F.expr(
+                "aggregate(zip_with(slice(v, s, 16), slice(qv, t, 16),"
+                " (x, y) -> x * y), 0D, (a, x) -> a + x)"
+            ).alias("dot"),
+        )
+    )
+    maxed = dots.groupBy("query_id", "vec_id", "s").agg(
+        F.max("dot").alias("m")
+    )
+    scored = maxed.groupBy("query_id", "vec_id").agg(
+        F.round(F.sum("m"), 6).alias("score_q6")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q6"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "rank", "score_q6")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_MAXSIM_RETRIEVAL = """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+grid AS (
+  SELECT s.s, t.t
+  FROM (SELECT 1 + unnest(range(0, 4)) * 16 AS s) s
+  CROSS JOIN (SELECT 1 + unnest(range(0, 4)) * 16 AS t) t
+),
+ex AS (
+  SELECT query_id, vec_id, s, t,
+         unnest(list_slice(v, s, s + 15)) AS x,
+         unnest(list_slice(qv, t, t + 15)) AS y
+  FROM emb CROSS JOIN qs CROSS JOIN grid
+),
+dots AS (
+  SELECT query_id, vec_id, s, t, sum(x * y) AS dot
+  FROM ex GROUP BY 1, 2, 3, 4
+),
+maxed AS (
+  SELECT query_id, vec_id, s, max(dot) AS m FROM dots GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT query_id, vec_id, round(sum(m), 6) AS score_q6
+  FROM maxed GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_q6 DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, score_q6
+FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_unigram_sampling_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequency-smoothed negative-sampling table (word2vec's
+    U(w)^{3/4}/Z, Mikolov et al. NeurIPS'13 §2.2 — the α=0.75
+    flattening every contrastive text pipeline copies): raw unigram
+    probabilities vs the smoothed sampling shares for the top-20
+    corpus words (count desc, word tie-break). Raw shares are exact
+    integer ppm; c^0.75 and its normalized share are 6-dp rounded
+    (irrational pow, repo convention — Z sums the WHOLE vocab, not
+    just the displayed rows). `flattened_ok` marks rows above the
+    smoothing CROSSOVER — the head words whose share shrinks under
+    α=0.75 (the law's entire point); rows below it show where the
+    flattening flips to boosting (mid/tail words), so the table
+    exhibits both regimes. Shape: one token hash-agg; Z is a
+    broadcast scalar; the top-20 is a bounded TakeOrdered."""
+    d = load_table(spark, sf, "documents")
+    words = d.filter(
+        F.length(normalize_text(F.coalesce("text", F.lit("")))) > 0
+    ).select(
+        F.explode(
+            F.split(normalize_text(F.coalesce("text", F.lit(""))), " ")
+        ).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count("*").cast("long").alias("c"))
+    tot = wc.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.pow(F.col("c").cast("double"), F.lit(0.75))).alias("z"),
+    )
+    top = (
+        wc.orderBy(F.desc("c"), "word")
+        .limit(20)
+        .crossJoin(F.broadcast(tot))
+    )
+    return top.select(
+        "word",
+        "c",
+        F.expr("(1000000 * c) div n_tokens").cast("long").alias("raw_ppm"),
+        F.round(F.pow(F.col("c").cast("double"), F.lit(0.75)), 6)
+        .alias("weight_q6"),
+        F.round(
+            F.pow(F.col("c").cast("double"), F.lit(0.75)) / F.col("z"), 6
+        ).alias("smooth_share_q6"),
+        (
+            F.round(
+                F.pow(F.col("c").cast("double"), F.lit(0.75)) / F.col("z"), 6
+            )
+            * 1000000
+            <= F.expr("(1000000 * c) div n_tokens")
+        ).alias("flattened_ok"),
+    ).orderBy(F.desc("c"), "word")
+
+
+ORACLE_UNIGRAM_SAMPLING_TABLE = """
+WITH words AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                                 '\\s+', ' ', 'g')), ' '))
+           AS word
+  FROM documents
+  WHERE length(trim(regexp_replace(lower(coalesce(text, '')),
+                                   '\\s+', ' ', 'g'))) > 0
+),
+wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         sum(pow(CAST(c AS DOUBLE), 0.75)) AS z
+  FROM wc
+),
+top AS (
+  SELECT * FROM wc CROSS JOIN tot ORDER BY c DESC, word LIMIT 20
+)
+SELECT word, c,
+       CAST((1000000 * c) // n_tokens AS BIGINT) AS raw_ppm,
+       round(pow(CAST(c AS DOUBLE), 0.75), 6) AS weight_q6,
+       round(pow(CAST(c AS DOUBLE), 0.75) / z, 6) AS smooth_share_q6,
+       round(pow(CAST(c AS DOUBLE), 0.75) / z, 6) * 1000000
+         <= (1000000 * c) // n_tokens AS flattened_ok
+FROM top ORDER BY c DESC, word
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -15776,6 +15952,11 @@ QUERIES: dict[str, tuple] = {
     "traffic_concentration": (
         q_traffic_concentration,
         ORACLE_TRAFFIC_CONCENTRATION,
+    ),
+    "maxsim_retrieval": (q_maxsim_retrieval, ORACLE_MAXSIM_RETRIEVAL),
+    "unigram_sampling_table": (
+        q_unigram_sampling_table,
+        ORACLE_UNIGRAM_SAMPLING_TABLE,
     ),
 }
 

@@ -1476,3 +1476,24 @@ def test_traffic_concentration_host_dim_sort(spark):
     plan = _plan(q_traffic_concentration(spark, SF))
     assert "HashAggregate" in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_maxsim_retrieval_broadcast_grid(spark):
+    """maxsim_retrieval: queries and the 16-row interaction grid
+    broadcast onto the corpus scan; MaxSim collapses through two
+    hash-aggs; top-5 is a partitioned window."""
+    from crawlers_spark.queries import q_maxsim_retrieval
+
+    plan = _plan(q_maxsim_retrieval(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "HashAggregate" in plan
+
+
+def test_unigram_sampling_table_bounded_top(spark):
+    """unigram_sampling_table: Z is a broadcast scalar over the word
+    counts; the displayed head is a bounded TakeOrdered."""
+    from crawlers_spark.queries import q_unigram_sampling_table
+
+    plan = _plan(q_unigram_sampling_table(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan
