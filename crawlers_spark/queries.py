@@ -15653,6 +15653,157 @@ FROM top ORDER BY c DESC, word
 """
 
 
+def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval lists (Cormack et al.
+    SIGIR'09 — the standard hybrid-search combiner, k=60): fuse a
+    length-ranked and a vocabulary-ranked top-100 into one list by
+    RRF(d) = Σ_lists 1/(60+rank_d), absent-from-list contributing 0.
+    Both input lists are bounded TakeOrdereds (fusion always runs on
+    RETRIEVED lists, never the corpus — the reason RRF scales);
+    per-doc scores are sums of ≤2 exact IEEE divisions in written
+    order, so the fused order is bit-deterministic with doc_id
+    tie-break; 6-dp rounding is display-only. Output: fused top-20
+    with both source ranks. Shape: two TakeOrdereds, rank windows on
+    the 100-row frames, one full outer join on doc_id."""
+    d = load_table(spark, sf, "documents")
+    arr = F.split(normalize_text(F.coalesce("text", F.lit(""))), " ")
+    base = d.select(
+        "doc_id",
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("len"),
+        F.size(F.array_distinct(arr)).cast("long").alias("vocab"),
+    )
+    la = base.orderBy(F.desc("len"), "doc_id").limit(100).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("len"), "doc_id")).cast("long")
+        .alias("rank_len"),
+    )
+    lb = base.orderBy(F.desc("vocab"), "doc_id").limit(100).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("vocab"), "doc_id")).cast("long")
+        .alias("rank_vocab"),
+    )
+    fused = la.join(lb, "doc_id", "full").select(
+        "doc_id",
+        "rank_len",
+        "rank_vocab",
+        (
+            F.coalesce(1.0 / (F.lit(60) + F.col("rank_len")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(60) + F.col("rank_vocab")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id", "rank_len", "rank_vocab",
+            F.round("rrf", 6).alias("rrf_q6"),
+        )
+    )
+
+
+ORACLE_RRF_FUSION = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(coalesce(length(text), 0) AS BIGINT) AS len,
+         CAST(len(list_distinct(string_split(trim(regexp_replace(
+                lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')))
+              AS BIGINT) AS vocab
+  FROM documents
+),
+la AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY len DESC, doc_id) AS BIGINT)
+           AS rank_len
+  FROM base ORDER BY len DESC, doc_id LIMIT 100
+),
+lb AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY vocab DESC, doc_id) AS BIGINT)
+           AS rank_vocab
+  FROM base ORDER BY vocab DESC, doc_id LIMIT 100
+),
+fused AS (
+  SELECT coalesce(la.doc_id, lb.doc_id) AS doc_id, rank_len, rank_vocab,
+         coalesce(1.0 / (60 + rank_len), 0.0)
+           + coalesce(1.0 / (60 + rank_vocab), 0.0) AS rrf
+  FROM la FULL JOIN lb ON la.doc_id = lb.doc_id
+)
+SELECT doc_id, rank_len, rank_vocab, round(rrf, 6) AS rrf_q6
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
+def q_hnsw_levels(spark: SparkSession, sf: str) -> DataFrame:
+    """HNSW layer assignment census (Malkov & Yashunin, TPAMI 2020
+    §4: level = ⌊−ln(u)·mL⌋ with mL = 1/ln(M), M=16 — the geometric
+    layer distribution that makes the hierarchy logarithmic).
+    Derandomized via the md5 lane: u = (h+1)/2^60 from the 60-bit
+    hash (int64→double casts round identically in both engines; the
+    floor of the transcendental can only flip on a measure-zero
+    boundary the hash never hits). Census per level: node count vs
+    the exact-integer theory share 15·10^6/16^{l+1} ppm, plus the
+    observed share — the table an index builder checks before
+    trusting its max-level capacity plan. Shape: one row-local
+    projection + one hash-agg; the census costs one pass at 10^10
+    nodes."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id").isNotNull())
+    lv = ev.select(
+        F.floor(
+            -F.log(
+                (
+                    F.expr(
+                        "cast(conv(substring(md5(cast(event_id as string)),"
+                        " 1, 15), 16, 10) as bigint)"
+                    ).cast("double")
+                    + 1.0
+                )
+                / F.lit(1152921504606846976.0)  # 2^60
+            )
+            / F.log(F.lit(16.0))
+        ).cast("long").alias("level")
+    )
+    tot = lv.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        lv.groupBy("level")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "level",
+            "n_nodes",
+            F.expr("(1000000 * n_nodes) div nullif(n_total, 0)")
+            .cast("long").alias("observed_ppm"),
+            F.expr(
+                "15000000 div cast(pow(16, level + 1) as bigint)"
+            ).cast("long").alias("theory_ppm"),
+        )
+        .orderBy("level")
+    )
+
+
+ORACLE_HNSW_LEVELS = """
+WITH lv AS (
+  SELECT CAST(floor(
+           -ln((CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                        1, 15))::BIGINT AS DOUBLE) + 1.0)
+               / 1152921504606846976.0)
+           / ln(16.0)) AS BIGINT) AS level
+  FROM events WHERE event_id IS NOT NULL
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lv)
+SELECT level,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST((1000000 * count(*)) // nullif(max(n_total), 0) AS BIGINT)
+         AS observed_ppm,
+       CAST(15000000 // CAST(pow(16, level + 1) AS BIGINT) AS BIGINT)
+         AS theory_ppm
+FROM lv CROSS JOIN tot
+GROUP BY level
+ORDER BY level
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -15958,6 +16109,8 @@ QUERIES: dict[str, tuple] = {
         q_unigram_sampling_table,
         ORACLE_UNIGRAM_SAMPLING_TABLE,
     ),
+    "rrf_fusion": (q_rrf_fusion, ORACLE_RRF_FUSION),
+    "hnsw_levels": (q_hnsw_levels, ORACLE_HNSW_LEVELS),
 }
 
 

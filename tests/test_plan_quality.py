@@ -1497,3 +1497,22 @@ def test_unigram_sampling_table_bounded_top(spark):
     plan = _plan(q_unigram_sampling_table(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "HashAggregate" in plan
+
+
+def test_rrf_fusion_bounded_lists(spark):
+    """rrf_fusion: both retrieval lists and the fused head are bounded
+    TakeOrdereds — fusion never ranks the corpus."""
+    from crawlers_spark.queries import q_rrf_fusion
+
+    plan = _plan(q_rrf_fusion(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hnsw_levels_one_pass(spark):
+    """hnsw_levels: level assignment is row-local; the census is one
+    hash-agg with a broadcast total."""
+    from crawlers_spark.queries import q_hnsw_levels
+
+    plan = _plan(q_hnsw_levels(spark, SF))
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan
