@@ -15804,6 +15804,208 @@ ORDER BY level
 """
 
 
+def q_gate_agreement_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's κ between two quality gates (Cohen 1960 — the
+    chance-corrected agreement statistic; the methodology check run
+    before replacing an expensive gate with a cheap one): gate A =
+    the composite quality score ≥ 7 (doc_quality's shared lane),
+    gate B = the C4-style length window 50..20000 chars. Observed and
+    chance agreement are exact integer ppm (pe's products stay well
+    inside int64: counts ≤ 10^? per side, N² ≤ 10^18 guarded by ppm
+    scaling); κ itself is one division of exact integer operands
+    (po_scaled − pe_scaled over N² − pe_scaled), emitted unrounded —
+    identical IEEE bits cross-engine. Output one row: the 2×2
+    agreement table, po/pe ppm, kappa. Shape: one corpus scan, one
+    hash-agg — agreement audits cost one pass at any scale."""
+    d = load_table(spark, sf, "documents")
+    a = (_quality_x10_col() >= 7).cast("long")
+    b = F.coalesce(F.length("text").between(50, 20000), F.lit(False)) \
+        .cast("long")
+    c = d.select(a.alias("a"), b.alias("b")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("a * b")).cast("long").alias("n11"),
+        F.sum(F.expr("a * (1 - b)")).cast("long").alias("n10"),
+        F.sum(F.expr("(1 - a) * b")).cast("long").alias("n01"),
+        F.sum(F.expr("(1 - a) * (1 - b)")).cast("long").alias("n00"),
+    )
+    return c.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.expr("(1000000 * (n11 + n00)) div nullif(n, 0)").cast("long")
+        .alias("po_ppm"),
+        F.expr(
+            "(1000000 * ((n11 + n10) * (n11 + n01)"
+            " + (n01 + n00) * (n10 + n00))) div nullif(n * n, 0)"
+        ).cast("long").alias("pe_ppm"),
+        (
+            (
+                (F.col("n11") + F.col("n00")) * F.col("n")
+                - (
+                    (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+                    + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+                )
+            ).cast("double")
+            / F.nullif(
+                (
+                    F.col("n") * F.col("n")
+                    - (
+                        (F.col("n11") + F.col("n10"))
+                        * (F.col("n11") + F.col("n01"))
+                        + (F.col("n01") + F.col("n00"))
+                        * (F.col("n10") + F.col("n00"))
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("kappa"),
+    )
+
+
+ORACLE_GATE_AGREEMENT_KAPPA = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ',
+                                                        'g')), ' ')) END AS ws,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         {_oracle_marker_sum('en')} AS stop_hits
+  FROM documents
+),
+flags AS (
+  SELECT CASE WHEN (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 4 ELSE 0 END
+             + CASE WHEN n_punct * 5 < length(text) THEN 3 ELSE 0 END
+             + CASE WHEN stop_hits * 100 > ws THEN 3 ELSE 0 END) >= 7
+              THEN 1 ELSE 0 END AS a,
+         CASE WHEN coalesce(length(text) BETWEEN 50 AND 20000, false)
+              THEN 1 ELSE 0 END AS b
+  FROM t
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a * b) AS BIGINT) AS n11,
+         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM flags
+)
+SELECT n, n11, n10, n01, n00,
+       CAST((1000000 * (n11 + n00)) // nullif(n, 0) AS BIGINT) AS po_ppm,
+       CAST((1000000 * ((n11 + n10) * (n11 + n01)
+                        + (n01 + n00) * (n10 + n00))) // nullif(n * n, 0)
+            AS BIGINT) AS pe_ppm,
+       CAST((n11 + n00) * n
+            - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+            AS DOUBLE)
+         / nullif(CAST(n * n
+            - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+            AS DOUBLE), 0.0) AS kappa
+FROM c
+"""
+
+
+def q_t5_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    """T5 span-corruption mask law (Raffel et al. JMLR 2020 §3.1.4:
+    corrupt ~15% of tokens in mean-length-3 spans) — derandomized:
+    token i of doc d STARTS a span iff its md5 lane % 20 == 0 (5%
+    starts × 3-token spans ≈ 15% masked); a token is masked iff a
+    start fell on it or either of the 2 preceding positions (a
+    3-wide rows-frame window max — overlapping starts merge, exactly
+    like the reference implementation's span merging). Census per
+    doc: tokens, masked tokens, exact masked ppm, and sentinel count
+    (= distinct mask islands: masked ∧ ¬lag(masked) — what the
+    encoder actually inserts). Shape: the token explode is
+    zero-shuffle; both windows are doc-partitioned; one hash-agg per
+    doc."""
+    d = load_table(spark, sf, "documents")
+    toks = d.filter(
+        F.length(normalize_text(F.coalesce("text", F.lit("")))) > 0
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.split(normalize_text(F.coalesce("text", F.lit(""))), " ")
+        ).alias("pos", "word"),
+    ).select(
+        "doc_id",
+        "pos",
+        (
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(doc_id as string), ':',"
+                " cast(pos as string))), 1, 15), 16, 10) as bigint)"
+            ) % 20
+            == 0
+        ).cast("long").alias("start"),
+    )
+    wm = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-2, 0)
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    masked = toks.select(
+        "doc_id",
+        "pos",
+        F.max("start").over(wm).cast("long").alias("m"),
+    ).select(
+        "doc_id",
+        "m",
+        (
+            (F.col("m") == 1)
+            & (F.coalesce(F.lag("m").over(wl), F.lit(0)) == 0)
+        ).cast("long").alias("island_start"),
+    )
+    per_doc = masked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("m").cast("long").alias("n_masked"),
+        F.sum("island_start").cast("long").alias("n_sentinels"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        "n_sentinels",
+        F.expr("(1000000 * n_masked) div nullif(n_tokens, 0)").cast("long")
+        .alias("masked_ppm"),
+    ).orderBy("doc_id")
+
+
+ORACLE_T5_SPAN_CORRUPTION = """
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos,
+         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                          CAST(i - 1 AS VARCHAR)), 1, 15)
+                   )::BIGINT % 20 = 0 THEN 1 ELSE 0 END AS start
+  FROM (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                            '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+    WHERE length(trim(regexp_replace(lower(coalesce(text, '')),
+                                     '\\s+', ' ', 'g'))) > 0
+  ), LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) s
+),
+m AS (
+  SELECT doc_id, pos,
+         max(start) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
+  FROM toks
+),
+isl AS (
+  SELECT doc_id, m,
+         CASE WHEN m = 1 AND coalesce(lag(m) OVER (PARTITION BY doc_id
+                                                   ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS island_start
+  FROM m
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(m) AS BIGINT) AS n_masked,
+       CAST(sum(island_start) AS BIGINT) AS n_sentinels,
+       CAST((1000000 * sum(m)) // nullif(count(*), 0) AS BIGINT)
+         AS masked_ppm
+FROM isl GROUP BY 1 ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -16111,6 +16313,11 @@ QUERIES: dict[str, tuple] = {
     ),
     "rrf_fusion": (q_rrf_fusion, ORACLE_RRF_FUSION),
     "hnsw_levels": (q_hnsw_levels, ORACLE_HNSW_LEVELS),
+    "gate_agreement_kappa": (
+        q_gate_agreement_kappa,
+        ORACLE_GATE_AGREEMENT_KAPPA,
+    ),
+    "t5_span_corruption": (q_t5_span_corruption, ORACLE_T5_SPAN_CORRUPTION),
 }
 
 

@@ -1516,3 +1516,22 @@ def test_hnsw_levels_one_pass(spark):
     plan = _plan(q_hnsw_levels(spark, SF))
     assert "HashAggregate" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gate_agreement_kappa_one_pass(spark):
+    """gate_agreement_kappa: both gates are row-local flags; the 2x2
+    table and kappa come from one hash-agg over one scan."""
+    from crawlers_spark.queries import q_gate_agreement_kappa
+
+    plan = _plan(q_gate_agreement_kappa(spark, SF))
+    assert plan.count("Scan parquet") == 2  # one scan: tree node + details
+    assert "Join" not in plan
+
+
+def test_t5_span_corruption_doc_partitioned(spark):
+    """t5_span_corruption: the mask and island windows are both
+    doc-partitioned — no SinglePartition exchange anywhere."""
+    from crawlers_spark.queries import q_t5_span_corruption
+
+    plan = _plan(q_t5_span_corruption(spark, SF))
+    assert "Exchange SinglePartition" not in plan
