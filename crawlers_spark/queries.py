@@ -16006,6 +16006,121 @@ FROM isl GROUP BY 1 ORDER BY doc_id
 """
 
 
+def q_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the 2-approx
+    farthest-point heuristic behind coreset-based data selection,
+    e.g. Sener & Savarese ICLR'18 active learning): seed with vec 0,
+    then twice pick the point farthest (squared L2, exact IEEE sums
+    of identically-ordered products — cosine_topk pattern) from its
+    nearest chosen center, vec_id tie-break. Output: one row per
+    round with the chosen center and the selection distance (= the
+    covering radius of the previous center set), plus a final
+    `coverage` row (center_id −1) with the radius after all three —
+    the monotone-shrinking sequence that certifies the greedy
+    invariant. Shape: each round is a broadcast of ONE center row +
+    a bounded TakeOrdered argmax — k passes over the corpus for k
+    centers, exactly the published algorithm's cost at any scale."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def d2(a, b):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+            " 0D, (acc, e) -> acc + e)"
+        )
+
+    c0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("cv0")
+    )
+    s0 = emb.crossJoin(F.broadcast(c0)).select(
+        "vec_id", "v", d2("v", "cv0").alias("d0")
+    )
+    p1 = s0.orderBy(F.desc("d0"), "vec_id").limit(1).select(
+        F.col("vec_id").alias("c1_id"),
+        F.col("v").alias("cv1"),
+        F.col("d0").alias("r1"),
+    )
+    s1 = s0.crossJoin(F.broadcast(p1)).select(
+        "vec_id", "v", "c1_id", "r1",
+        F.least(F.col("d0"), d2("v", "cv1")).alias("m1"),
+    )
+    p2 = s1.orderBy(F.desc("m1"), "vec_id").limit(1).select(
+        F.col("c1_id"),
+        F.col("r1"),
+        F.col("vec_id").alias("c2_id"),
+        F.col("v").alias("cv2"),
+        F.col("m1").alias("r2"),
+    )
+    cov = (
+        s1.crossJoin(F.broadcast(p2.select("cv2")))
+        .select(F.least(F.col("m1"), d2("v", "cv2")).alias("m2"))
+        .agg(F.max("m2").alias("r3"))
+    )
+    out = p2.crossJoin(F.broadcast(cov)).select(
+        F.expr(
+            "stack(4,"
+            " 0L, 0L, cast(null as double),"
+            " 1L, c1_id, r1,"
+            " 2L, c2_id, r2,"
+            " 3L, -1L, r3) as (round, center_id, sel_d2)"
+        )
+    )
+    return out.select(
+        F.col("round").cast("long").alias("round"),
+        F.col("center_id").cast("long").alias("center_id"),
+        F.round("sel_d2", 6).alias("sel_d2_q6"),
+    ).orderBy("round")
+
+
+ORACLE_KCENTER_CORESET = """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT v AS cv0 FROM emb WHERE vec_id = 0),
+s0 AS (
+  SELECT e.vec_id, e.v,
+         (SELECT sum((a.x - a.y) * (a.x - a.y))
+          FROM (SELECT unnest(e.v) AS x, unnest(c.cv0) AS y) a) AS d0
+  FROM emb e CROSS JOIN c0 c
+),
+p1 AS (
+  SELECT vec_id AS c1_id, v AS cv1, d0 AS r1
+  FROM s0 ORDER BY d0 DESC, vec_id LIMIT 1
+),
+s1 AS (
+  SELECT s.vec_id, s.v, p.c1_id, p.r1,
+         least(s.d0, (SELECT sum((a.x - a.y) * (a.x - a.y))
+                      FROM (SELECT unnest(s.v) AS x,
+                                   unnest(p.cv1) AS y) a)) AS m1
+  FROM s0 s CROSS JOIN p1 p
+),
+p2 AS (
+  SELECT c1_id, r1, vec_id AS c2_id, v AS cv2, m1 AS r2
+  FROM s1 ORDER BY m1 DESC, vec_id LIMIT 1
+),
+cov AS (
+  SELECT max(least(s.m1,
+                   (SELECT sum((a.x - a.y) * (a.x - a.y))
+                    FROM (SELECT unnest(s.v) AS x,
+                                 unnest(p.cv2) AS y) a))) AS r3
+  FROM s1 s CROSS JOIN p2 p
+),
+rows_out AS (
+  SELECT 0 AS round, 0 AS center_id, CAST(NULL AS DOUBLE) AS sel_d2
+  FROM p2
+  UNION ALL SELECT 1, c1_id, r1 FROM p2
+  UNION ALL SELECT 2, c2_id, r2 FROM p2
+  UNION ALL SELECT 3, -1, r3 FROM p2 CROSS JOIN cov
+)
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(center_id AS BIGINT) AS center_id,
+       round(sel_d2, 6) AS sel_d2_q6
+FROM rows_out ORDER BY round
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -16318,6 +16433,7 @@ QUERIES: dict[str, tuple] = {
         ORACLE_GATE_AGREEMENT_KAPPA,
     ),
     "t5_span_corruption": (q_t5_span_corruption, ORACLE_T5_SPAN_CORRUPTION),
+    "kcenter_coreset": (q_kcenter_coreset, ORACLE_KCENTER_CORESET),
 }
 
 

@@ -1535,3 +1535,14 @@ def test_t5_span_corruption_doc_partitioned(spark):
 
     plan = _plan(q_t5_span_corruption(spark, SF))
     assert "Exchange SinglePartition" not in plan
+
+
+def test_kcenter_coreset_broadcast_centers(spark):
+    """kcenter_coreset: each greedy round broadcasts ONE center row
+    and picks the argmax via a bounded TakeOrdered — k passes, no
+    corpus self-join."""
+    from crawlers_spark.queries import q_kcenter_coreset
+
+    plan = _plan(q_kcenter_coreset(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
