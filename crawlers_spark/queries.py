@@ -16121,6 +16121,123 @@ FROM rows_out ORDER BY round
 """
 
 
+def q_salted_topk_law(spark: SparkSession, sf: str) -> DataFrame:
+    """The salted two-phase top-k equivalence law — the pigeonhole
+    argument the engine's fused scheduler rests on
+    (operators/fused_schedule.py's skew escape: per-host politeness
+    top-k stays EXACT under salting because a host's true top-k
+    members each win their own salt slice's top-k, so phase 2 ranks
+    only S·k survivors): per host, the direct window top-3 by
+    (value desc, id) is recomputed via salt = id % 4 → per-(host,
+    salt) top-3 → global re-rank of ≤12 survivors, and both member
+    lists are emitted (comma-joined in rank order) with a
+    self-certifying `equal_ok` column that must be true on EVERY
+    row. Shape: the salted lane's first window is
+    (host, salt)-partitioned — 4× smaller partitions, the whole
+    point under a mega-host — and phase 2 ranks a bounded frame."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    items = ev.select(
+        F.col("user_id").cast("long").alias("host"),
+        F.col("event_id").cast("long").alias("id"),
+        F.round(F.col("value") * 100).cast("long").alias("p"),
+    )
+    wd = Window.partitionBy("host").orderBy(F.desc("p"), "id")
+    direct = (
+        items.withColumn("rn", F.row_number().over(wd))
+        .filter("rn <= 3")
+        .groupBy("host")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("rn", "id"))
+            ).alias("ordered"),
+        )
+        .select(
+            "host",
+            F.concat_ws(
+                ",",
+                F.transform("ordered", lambda s: s["id"].cast("string")),
+            ).alias("direct_top3"),
+        )
+    )
+    ws = Window.partitionBy("host", F.pmod("id", F.lit(4))).orderBy(
+        F.desc("p"), "id"
+    )
+    phase1 = items.withColumn("srn", F.row_number().over(ws)).filter(
+        "srn <= 3"
+    )
+    w2 = Window.partitionBy("host").orderBy(F.desc("p"), "id")
+    salted = (
+        phase1.withColumn("rn", F.row_number().over(w2))
+        .filter("rn <= 3")
+        .groupBy("host")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("rn", "id"))).alias("ordered")
+        )
+        .select(
+            "host",
+            F.concat_ws(
+                ",",
+                F.transform("ordered", lambda s: s["id"].cast("string")),
+            ).alias("salted_top3"),
+        )
+    )
+    return (
+        direct.join(salted, "host")
+        .select(
+            "host",
+            "direct_top3",
+            "salted_top3",
+            (F.col("direct_top3") == F.col("salted_top3")).alias("equal_ok"),
+        )
+        .orderBy("host")
+    )
+
+
+ORACLE_SALTED_TOPK_LAW = """
+WITH items AS (
+  SELECT CAST(user_id AS BIGINT) AS host,
+         CAST(event_id AS BIGINT) AS id,
+         CAST(round(value * 100) AS BIGINT) AS p
+  FROM events
+  WHERE value IS NOT NULL AND event_id IS NOT NULL AND user_id IS NOT NULL
+),
+direct AS (
+  SELECT host,
+         string_agg(CAST(id AS VARCHAR), ',' ORDER BY rn) AS direct_top3
+  FROM (
+    SELECT host, id,
+           row_number() OVER (PARTITION BY host ORDER BY p DESC, id) AS rn
+    FROM items
+  ) WHERE rn <= 3 GROUP BY host
+),
+phase1 AS (
+  SELECT host, id, p
+  FROM (
+    SELECT host, id, p,
+           row_number() OVER (PARTITION BY host, id % 4
+                              ORDER BY p DESC, id) AS srn
+    FROM items
+  ) WHERE srn <= 3
+),
+salted AS (
+  SELECT host,
+         string_agg(CAST(id AS VARCHAR), ',' ORDER BY rn) AS salted_top3
+  FROM (
+    SELECT host, id,
+           row_number() OVER (PARTITION BY host ORDER BY p DESC, id) AS rn
+    FROM phase1
+  ) WHERE rn <= 3 GROUP BY host
+)
+SELECT d.host, d.direct_top3, s.salted_top3,
+       d.direct_top3 = s.salted_top3 AS equal_ok
+FROM direct d JOIN salted s ON d.host = s.host
+ORDER BY d.host
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -16434,6 +16551,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "t5_span_corruption": (q_t5_span_corruption, ORACLE_T5_SPAN_CORRUPTION),
     "kcenter_coreset": (q_kcenter_coreset, ORACLE_KCENTER_CORESET),
+    "salted_topk_law": (q_salted_topk_law, ORACLE_SALTED_TOPK_LAW),
 }
 
 

@@ -1546,3 +1546,14 @@ def test_kcenter_coreset_broadcast_centers(spark):
     plan = _plan(q_kcenter_coreset(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_salted_topk_law_finer_partitions(spark):
+    """salted_topk_law: the salted lane's phase-1 window partitions on
+    (host, salt) — finer than host — and phase 2 ranks the bounded
+    survivor frame; no SinglePartition exchange."""
+    from crawlers_spark.queries import q_salted_topk_law
+
+    plan = _plan(q_salted_topk_law(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "pmod" in plan
