@@ -16238,6 +16238,192 @@ ORDER BY d.host
 """
 
 
+def q_bandit_ucb_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """UCB1 source-selection indices (Auer et al., MLJ 2002) — the
+    explore/exploit rule a crawl scheduler uses to pick WHICH source
+    to crawl next when per-source yield is uncertain: index_s =
+    mean_reward_s + √(2·ln N / n_s). Rewards are the shared quality
+    lane (quality_x10 ≥ 7 → reward 1, else 0), so the mean is an
+    exact integer ppm; the exploration bonus is transcendental and
+    6-dp rounded (repo convention), as is the final index. `chosen`
+    marks the argmax (rounded-index tie broken by source) — the arm
+    the scheduler pulls next; low-n sources with mediocre means
+    visibly outrank higher-mean heavily-sampled ones, which is the
+    law's whole point. Shape: one hash-agg per source + a broadcast
+    total; the 20-row index frame ranks in a bounded window."""
+    d = load_table(spark, sf, "documents")
+    r = d.select(
+        "source",
+        (_quality_x10_col() >= 7).cast("long").alias("reward"),
+    )
+    per = r.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_pulls"),
+        F.sum("reward").cast("long").alias("n_wins"),
+    )
+    wall = Window.partitionBy()
+    t = per.select(
+        "source",
+        "n_pulls",
+        "n_wins",
+        F.sum("n_pulls").over(wall).cast("long").alias("n_total"),
+    )
+    idx = t.select(
+        "source",
+        "n_pulls",
+        "n_wins",
+        F.expr("(1000000 * n_wins) div n_pulls").cast("long")
+        .alias("mean_ppm"),
+        F.round(
+            F.col("n_wins").cast("double") / F.col("n_pulls").cast("double")
+            + F.sqrt(
+                2.0 * F.log(F.col("n_total").cast("double"))
+                / F.col("n_pulls").cast("double")
+            ),
+            6,
+        ).alias("ucb_q6"),
+    )
+    w = Window.orderBy(F.desc("ucb_q6"), "source")
+    return idx.select(
+        "*", (F.row_number().over(w) == 1).alias("chosen")
+    ).orderBy("source")
+
+
+ORACLE_BANDIT_UCB_ALLOCATION = f"""
+WITH t0 AS (
+  SELECT source, text,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ',
+                                                        'g')), ' ')) END AS ws,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         {_oracle_marker_sum('en')} AS stop_hits
+  FROM documents
+),
+r AS (
+  SELECT source,
+         CASE WHEN (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 4 ELSE 0 END
+              + CASE WHEN n_punct * 5 < length(text) THEN 3 ELSE 0 END
+              + CASE WHEN stop_hits * 100 > ws THEN 3 ELSE 0 END) >= 7
+              THEN 1 ELSE 0 END AS reward
+  FROM t0
+),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_pulls,
+         CAST(sum(reward) AS BIGINT) AS n_wins
+  FROM r GROUP BY 1
+),
+t AS (
+  SELECT *, CAST(sum(n_pulls) OVER () AS BIGINT) AS n_total FROM per
+),
+idx AS (
+  SELECT source, n_pulls, n_wins,
+         CAST((1000000 * n_wins) // n_pulls AS BIGINT) AS mean_ppm,
+         round(CAST(n_wins AS DOUBLE) / CAST(n_pulls AS DOUBLE)
+               + sqrt(2.0 * ln(CAST(n_total AS DOUBLE))
+                      / CAST(n_pulls AS DOUBLE)), 6) AS ucb_q6
+  FROM t
+)
+SELECT *,
+       row_number() OVER (ORDER BY ucb_q6 DESC, source) = 1 AS chosen
+FROM idx ORDER BY source
+"""
+
+
+def q_elias_fano_size(spark: SparkSession, sf: str) -> DataFrame:
+    """Elias–Fano vs varint postings sizing (Vigna, WSDM 2013 — the
+    quasi-succinct encoding modern engines use for doc-id lists):
+    for each of the top-50 vocabulary terms, the EF budget
+    n·(2 + ⌊log2(U DIV n)⌋) bits (U = doc-id universe; the log is the
+    exact integer bit-length lane — length(bin(x))−1 — never float
+    log2, whose power-of-two boundaries differ across libm builds)
+    against the byte-aligned vbyte cost of the
+    same gap sequence (postings_varint's 7-bit rule: Σ⌈bits(gap)/7⌉
+    bytes, first gap from −1). Output per term: df, both costs in
+    BITS, and the exact ppm ratio — the table that justifies EF for
+    dense lists and vbyte for sparse tails. Shape: postings collapse
+    in one hash-agg; gaps ride a term-partitioned lag; the display
+    head is a bounded TakeOrdered."""
+    d = load_table(spark, sf, "documents")
+    toks = d.filter(
+        F.length(normalize_text(F.coalesce("text", F.lit("")))) > 0
+    ).select(
+        "doc_id",
+        F.explode(
+            F.split(normalize_text(F.coalesce("text", F.lit(""))), " ")
+        ).alias("word"),
+    ).distinct()
+    u = d.agg((F.max("doc_id") + 1).cast("long").alias("universe"))
+    wp = Window.partitionBy("word").orderBy("doc_id")
+    gaps = toks.select(
+        "word",
+        "doc_id",
+        (
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(wp), F.lit(-1))
+        ).cast("long").alias("gap"),
+    )
+    per = gaps.groupBy("word").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum(
+            F.expr("8 * ((length(bin(gap)) + 6) div 7)")
+        ).cast("long").alias("varint_bits"),
+    )
+    top = (
+        per.orderBy(F.desc("df"), "word")
+        .limit(50)
+        .crossJoin(F.broadcast(u))
+    )
+    return top.select(
+        "word",
+        "df",
+        F.expr(
+            "df * (2 + length(bin(universe div df)) - 1)"
+        ).cast("long").alias("ef_bits"),
+        "varint_bits",
+        F.expr(
+            "(1000000 * (df * (2 + length(bin(universe div df)) - 1)))"
+            " div nullif(varint_bits, 0)"
+        ).cast("long").alias("ef_vs_varint_ppm"),
+    ).orderBy(F.desc("df"), "word")
+
+
+ORACLE_ELIAS_FANO_SIZE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                                 '\\s+', ' ', 'g')), ' '))
+           AS word
+  FROM documents
+  WHERE length(trim(regexp_replace(lower(coalesce(text, '')),
+                                   '\\s+', ' ', 'g'))) > 0
+),
+u AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS universe FROM documents),
+gaps AS (
+  SELECT word, doc_id,
+         CAST(doc_id - coalesce(lag(doc_id) OVER (PARTITION BY word
+                                                  ORDER BY doc_id), -1)
+              AS BIGINT) AS gap
+  FROM toks
+),
+per AS (
+  SELECT word,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(8 * ((length(bin(gap)) + 6) // 7)) AS BIGINT)
+           AS varint_bits
+  FROM gaps GROUP BY 1
+),
+top AS (
+  SELECT * FROM per CROSS JOIN u ORDER BY df DESC, word LIMIT 50
+)
+SELECT word, df,
+       CAST(df * (2 + length(bin(universe // df)) - 1) AS BIGINT) AS ef_bits,
+       varint_bits,
+       CAST((1000000 * (df * (2 + length(bin(universe // df)) - 1)))
+            // nullif(varint_bits, 0) AS BIGINT) AS ef_vs_varint_ppm
+FROM top ORDER BY df DESC, word
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -16552,6 +16738,11 @@ QUERIES: dict[str, tuple] = {
     "t5_span_corruption": (q_t5_span_corruption, ORACLE_T5_SPAN_CORRUPTION),
     "kcenter_coreset": (q_kcenter_coreset, ORACLE_KCENTER_CORESET),
     "salted_topk_law": (q_salted_topk_law, ORACLE_SALTED_TOPK_LAW),
+    "bandit_ucb_allocation": (
+        q_bandit_ucb_allocation,
+        ORACLE_BANDIT_UCB_ALLOCATION,
+    ),
+    "elias_fano_size": (q_elias_fano_size, ORACLE_ELIAS_FANO_SIZE),
 }
 
 

@@ -1557,3 +1557,24 @@ def test_salted_topk_law_finer_partitions(spark):
     plan = _plan(q_salted_topk_law(spark, SF))
     assert "Exchange SinglePartition" not in plan
     assert "pmod" in plan
+
+
+def test_bandit_ucb_bounded_index_frame(spark):
+    """bandit_ucb_allocation: rewards collapse per source in one
+    hash-agg; the UCB index ranks a ~20-row bounded frame."""
+    from crawlers_spark.queries import q_bandit_ucb_allocation
+
+    plan = _plan(q_bandit_ucb_allocation(spark, SF))
+    assert "HashAggregate" in plan
+    assert plan.count("Scan parquet") == 2  # one scan: tree node + details
+
+
+def test_elias_fano_size_partitioned_gaps(spark):
+    """elias_fano_size: posting gaps ride a word-partitioned lag; the
+    display head is a bounded TakeOrdered; bit-lengths use the exact
+    bin() lane (no float log2 anywhere in the plan)."""
+    from crawlers_spark.queries import q_elias_fano_size
+
+    plan = _plan(q_elias_fano_size(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "LOG2" not in plan.upper() or "bin(" in plan
