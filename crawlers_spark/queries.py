@@ -16424,6 +16424,299 @@ FROM top ORDER BY df DESC, word
 """
 
 
+def q_link_rot_halflife(spark: SparkSession, sf: str) -> DataFrame:
+    """Link-rot survival curve and half-life estimate (Koehler, JASIST
+    2002; the reason archives recrawl: roughly half the web's URLs die
+    within a few years): URLs die deterministically — URL u dies at
+    epoch 1 + (u·7919 mod 9973) mod 9 (a hash-spread lifetime, so the
+    per-epoch survival curve is genuinely geometric-ish). Per epoch
+    0..8: survivors, exact survival ppm, and the per-epoch decay
+    ln(S_e/S_{e-1}) (6-dp, transcendental convention); the half-life
+    row reports the FIRST epoch at which survival ≤ 50% — an exact
+    integer threshold crossing, no curve fit. Shape: a 9-wide epoch
+    explode over one URL scan + one hash-agg per epoch; the lag/cross
+    windows ride the 9-row epoch frame."""
+    d = load_table(spark, sf, "documents")
+    urls = d.select(
+        F.col("doc_id").cast("long").alias("u"),
+        (1 + F.pmod(F.pmod(F.col("doc_id") * 7919, F.lit(9973)), F.lit(9)))
+        .cast("long").alias("death_epoch"),
+    )
+    per = urls.select(
+        "u",
+        "death_epoch",
+        F.explode(F.expr("sequence(0, 8)")).alias("epoch"),
+    ).groupBy("epoch").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum((F.col("epoch") < F.col("death_epoch")).cast("long"))
+        .cast("long").alias("n_alive"),
+    )
+    wl = Window.orderBy("epoch")
+    t = per.select(
+        "epoch",
+        "n_urls",
+        "n_alive",
+        F.expr("(1000000 * n_alive) div nullif(n_urls, 0)").cast("long")
+        .alias("survival_ppm"),
+        F.lag("n_alive").over(wl).alias("prev_alive"),
+    )
+    return t.select(
+        "epoch",
+        "n_urls",
+        "n_alive",
+        "survival_ppm",
+        F.round(
+            F.when(
+                (F.col("prev_alive") > 0) & (F.col("n_alive") > 0),
+                F.log(
+                    F.col("n_alive").cast("double")
+                    / F.col("prev_alive").cast("double")
+                ),
+            ),
+            6,
+        ).alias("decay_q6"),
+        (
+            (F.col("survival_ppm") <= 500000)
+            & (
+                F.coalesce(
+                    F.lag("survival_ppm").over(wl), F.lit(1000001)
+                )
+                > 500000
+            )
+        ).alias("halflife_epoch"),
+    ).orderBy("epoch")
+
+
+ORACLE_LINK_ROT_HALFLIFE = """
+WITH urls AS (
+  SELECT CAST(doc_id AS BIGINT) AS u,
+         CAST(1 + ((doc_id * 7919) % 9973) % 9 AS BIGINT) AS death_epoch
+  FROM documents
+),
+per AS (
+  SELECT epoch,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(sum(CASE WHEN epoch < death_epoch THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alive
+  FROM urls, LATERAL (SELECT unnest(range(0, 9)) AS epoch) s
+  GROUP BY 1
+),
+t AS (
+  SELECT epoch, n_urls, n_alive,
+         CAST((1000000 * n_alive) // nullif(n_urls, 0) AS BIGINT)
+           AS survival_ppm,
+         lag(n_alive) OVER (ORDER BY epoch) AS prev_alive
+  FROM per
+)
+SELECT epoch, n_urls, n_alive, survival_ppm,
+       round(CASE WHEN prev_alive > 0 AND n_alive > 0
+                  THEN ln(CAST(n_alive AS DOUBLE)
+                          / CAST(prev_alive AS DOUBLE)) END, 6) AS decay_q6,
+       survival_ppm <= 500000
+         AND coalesce(lag(survival_ppm) OVER (ORDER BY epoch), 1000001)
+             > 500000 AS halflife_epoch
+FROM t ORDER BY epoch
+"""
+
+
+def q_cdc_stability(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined vs fixed-size chunking stability under an
+    insertion edit (LBFS, Muthitacharoen et al. SOSP 2001 — the law
+    that justifies CDC for dedup: one inserted word shifts EVERY
+    fixed-size chunk boundary after it, but only the containing
+    content-defined chunk changes): every 5th doc gets a mutant with
+    one word PREPENDED (the worst case for fixed grids). Chunks =
+    word runs, either fixed length 8 or ending where the word's md5
+    lane % 8 == 0 (expected length 8, same budget); chunk fingerprint
+    = md5 of joined words. Per strategy: base/mutant chunk counts,
+    fingerprints shared, and the survival ppm of base chunks — CDC
+    must dominate the fixed grid, emitted as the `cdc_wins` flag on
+    the cdc row (survival vs the OTHER strategy via a 2-row lag
+    frame). Shape: token explode + per-(doc,strategy) run windows,
+    all partitioned; one hash-agg per strategy."""
+    d = load_table(spark, sf, "documents")
+    base = d.filter(
+        F.length(normalize_text(F.coalesce("text", F.lit(""))) ) > 0
+    ).filter(F.pmod("doc_id", F.lit(5)) == 0).select(
+        F.col("doc_id").cast("long").alias("doc"),
+        F.split(normalize_text(F.col("text")), " ").alias("w"),
+    )
+    mut = base.select(
+        (F.col("doc") + _MUTANT_OFFSET).alias("doc"),
+        F.concat(F.array(F.lit("inserted")), F.col("w")).alias("w"),
+    )
+    toks = (
+        base.unionByName(mut)
+        .select("doc", F.posexplode("w").alias("pos", "word"))
+        .select(
+            "doc",
+            "pos",
+            "word",
+            (
+                F.expr(
+                    "cast(conv(substring(md5(word), 1, 15), 16, 10)"
+                    " as bigint)"
+                ) % 8
+                == 0
+            ).cast("long").alias("boundary"),
+        )
+    )
+    wdoc = Window.partitionBy("doc").orderBy("pos")
+    chunked = toks.select(
+        "doc",
+        "pos",
+        "word",
+        F.expr("pos div 8").alias("fixed_chunk"),
+        (
+            F.coalesce(
+                F.sum("boundary").over(
+                    Window.partitionBy("doc")
+                    .orderBy("pos")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("cdc_chunk"),
+    )
+
+    def fps(chunk_col, name):
+        return (
+            chunked.groupBy("doc", F.col(chunk_col).alias("ck"))
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(F.struct("pos", "word"))
+                            ),
+                            lambda s: s["word"],
+                        ),
+                    )
+                ).alias("fp")
+            )
+            .select(
+                F.lit(name).alias("strategy"),
+                "doc",
+                "fp",
+                (F.col("doc") >= _MUTANT_OFFSET).alias("is_mut"),
+            )
+        )
+
+    allf = fps("fixed_chunk", "fixed").unionByName(fps("cdc_chunk", "cdc"))
+    b = allf.filter(~F.col("is_mut")).select(
+        "strategy", F.col("doc").alias("bdoc"), "fp"
+    )
+    m = allf.filter(F.col("is_mut")).select(
+        "strategy",
+        (F.col("doc") - _MUTANT_OFFSET).alias("bdoc"),
+        F.col("fp").alias("mfp"),
+    )
+    shared = (
+        b.join(
+            m.select("strategy", "bdoc", F.col("mfp").alias("fp")).distinct(),
+            ["strategy", "bdoc", "fp"],
+            "left_semi",
+        )
+        .groupBy("strategy")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    counts = allf.groupBy("strategy").agg(
+        F.sum((~F.col("is_mut")).cast("long")).cast("long").alias("n_base"),
+        F.sum(F.col("is_mut").cast("long")).cast("long").alias("n_mut"),
+    )
+    t = counts.join(shared, "strategy", "left").select(
+        "strategy",
+        "n_base",
+        "n_mut",
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        F.expr(
+            "(1000000 * coalesce(n_shared, 0)) div nullif(n_base, 0)"
+        ).cast("long").alias("survival_ppm"),
+    )
+    wl = Window.orderBy("strategy")
+    return t.select(
+        "*",
+        F.when(
+            F.col("strategy") == "cdc",
+            F.col("survival_ppm")
+            >= F.coalesce(F.lead("survival_ppm").over(wl), F.lit(0)),
+        ).otherwise(F.lit(True)).alias("cdc_wins"),
+    ).orderBy("strategy")
+
+
+ORACLE_CDC_STABILITY = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS w
+  FROM documents
+  WHERE length(trim(regexp_replace(lower(coalesce(text, '')),
+                                   '\\s+', ' ', 'g'))) > 0
+    AND doc_id % 5 = 0
+),
+mut AS (
+  SELECT doc + {_MUTANT_OFFSET} AS doc,
+         list_concat(['inserted'], w) AS w
+  FROM base
+),
+toks AS (
+  SELECT doc, i - 1 AS pos, w[i] AS word,
+         CASE WHEN ('0x' || substring(md5(w[i]), 1, 15))::BIGINT % 8 = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM mut),
+       LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) s
+),
+chunked AS (
+  SELECT doc, pos, word,
+         pos // 8 AS fixed_chunk,
+         coalesce(sum(boundary) OVER (PARTITION BY doc ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND 1 PRECEDING), 0)
+           AS cdc_chunk
+  FROM toks
+),
+allf AS (
+  SELECT 'fixed' AS strategy, doc,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS fp,
+         doc >= {_MUTANT_OFFSET} AS is_mut
+  FROM chunked GROUP BY doc, fixed_chunk
+  UNION ALL
+  SELECT 'cdc', doc, md5(string_agg(word, ' ' ORDER BY pos)),
+         doc >= {_MUTANT_OFFSET}
+  FROM chunked GROUP BY doc, cdc_chunk
+),
+b AS (SELECT strategy, doc AS bdoc, fp FROM allf WHERE NOT is_mut),
+m AS (SELECT DISTINCT strategy, doc - {_MUTANT_OFFSET} AS bdoc, fp
+      FROM allf WHERE is_mut),
+shared AS (
+  SELECT b.strategy, CAST(count(*) AS BIGINT) AS n_shared
+  FROM b SEMI JOIN m ON b.strategy = m.strategy AND b.bdoc = m.bdoc
+                     AND b.fp = m.fp
+  GROUP BY 1
+),
+counts AS (
+  SELECT strategy,
+         CAST(sum(CASE WHEN is_mut THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN is_mut THEN 1 ELSE 0 END) AS BIGINT) AS n_mut
+  FROM allf GROUP BY 1
+),
+t AS (
+  SELECT c.strategy, n_base, n_mut,
+         CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+         CAST((1000000 * coalesce(s.n_shared, 0)) // nullif(n_base, 0)
+              AS BIGINT) AS survival_ppm
+  FROM counts c LEFT JOIN shared s ON c.strategy = s.strategy
+)
+SELECT *,
+       CASE WHEN strategy = 'cdc'
+            THEN survival_ppm >= coalesce(lead(survival_ppm)
+                                          OVER (ORDER BY strategy), 0)
+            ELSE true END AS cdc_wins
+FROM t ORDER BY strategy
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple] = {
@@ -16743,6 +17036,8 @@ QUERIES: dict[str, tuple] = {
         ORACLE_BANDIT_UCB_ALLOCATION,
     ),
     "elias_fano_size": (q_elias_fano_size, ORACLE_ELIAS_FANO_SIZE),
+    "link_rot_halflife": (q_link_rot_halflife, ORACLE_LINK_ROT_HALFLIFE),
+    "cdc_stability": (q_cdc_stability, ORACLE_CDC_STABILITY),
 }
 
 

@@ -1578,3 +1578,23 @@ def test_elias_fano_size_partitioned_gaps(spark):
     plan = _plan(q_elias_fano_size(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "LOG2" not in plan.upper() or "bin(" in plan
+
+
+def test_link_rot_halflife_epoch_frame(spark):
+    """link_rot_halflife: one URL scan through a 9-wide epoch explode;
+    lag windows ride the 9-row epoch frame."""
+    from crawlers_spark.queries import q_link_rot_halflife
+
+    plan = _plan(q_link_rot_halflife(spark, SF))
+    assert plan.count("Scan parquet") == 2  # one scan: tree node + details
+    assert "HashAggregate" in plan
+
+
+def test_cdc_stability_partitioned_runs(spark):
+    """cdc_stability: chunk-id windows are doc-partitioned; the shared
+    count is a semi join on (strategy, doc, fp) — no cartesian."""
+    from crawlers_spark.queries import q_cdc_stability
+
+    plan = _plan(q_cdc_stability(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
