@@ -16719,6 +16719,1620 @@ FROM t ORDER BY strategy
 
 # --------------------------------------------------------------------------
 
+def q_edf_feasibility(spark: SparkSession, sf: str) -> DataFrame:
+    """EDF schedulability of per-host recrawl deadlines — the processor-
+    demand criterion (Liu & Layland JACM'73; Baruah et al. RTSS'90): a
+    single fetch worker per host can meet every deadline under
+    Earliest-Deadline-First iff for EVERY deadline d, the total cost of
+    jobs due at-or-before d fits inside d. This is the admission test a
+    freshness SLA runs before promising recrawl-by times. Jobs derive
+    deterministically from events: host = user_id % 20, cost_ms =
+    1 + (event_id*13 % 200), deadline_ms = 50 + (event_id*31 % 5000) —
+    all exact int64, spreading both feasible and overloaded hosts. Per
+    host: jobs sort by (deadline, event_id); slack(d) = d − prefix_cost;
+    the report carries min slack, the critical deadline attaining it
+    (smallest-deadline tie-break), demand at that deadline, utilization
+    ppm, and the feasible verdict — with demand_ok self-certifying that
+    critical_demand + min_slack == critical_deadline. Shape: one scan,
+    one host-partitioned window pass (prefix sum + rank ride the same
+    sort), one hash-agg; at 10^10 log rows this is exactly the per-host
+    sorted pass a deadline auditor needs — no global sort, no
+    SinglePartition exchange.
+
+    The planted mix is SCALE-INVARIANT: deadlines spread over [50,
+    50 + 8·U) where U = max(event_id)+1 (the horizon grows with the
+    log), so per-host utilization converges to ≈0.63·(1 + host%3)
+    at every SF — host%3==0 lanes admit, the 2× and 3× cost tiers
+    overload, and the verdict column discriminates at sf0.001 and
+    sf0.1 alike."""
+    ev = load_table(spark, sf, "events")
+    u = ev.agg((F.max("event_id") + 1).cast("long").alias("universe"))
+    jobs = ev.crossJoin(F.broadcast(u)).select(
+        (F.col("user_id") % 20).cast("long").alias("host"),
+        "event_id",
+        (
+            (1 + (F.col("event_id") * 13) % 200)
+            * (1 + (F.col("user_id") % 20) % 3)
+        ).cast("long").alias("cost_ms"),
+        (50 + (F.col("event_id") * 31) % (8 * F.col("universe")))
+        .cast("long").alias("deadline_ms"),
+    )
+    w = Window.partitionBy("host").orderBy("deadline_ms", "event_id")
+    pref = jobs.select(
+        "host",
+        "deadline_ms",
+        "cost_ms",
+        F.sum("cost_ms").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("demand_ms"),
+    ).withColumn("slack_ms", F.col("deadline_ms") - F.col("demand_ms"))
+    wr = Window.partitionBy("host").orderBy(
+        "slack_ms", "deadline_ms", "demand_ms"
+    )
+    ranked = pref.select(
+        "host", "deadline_ms", "cost_ms", "demand_ms", "slack_ms",
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        ranked.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_jobs"),
+            F.sum("cost_ms").cast("long").alias("total_cost_ms"),
+            F.max("deadline_ms").cast("long").alias("max_deadline_ms"),
+            F.min("slack_ms").cast("long").alias("min_slack_ms"),
+            F.max(
+                F.when(F.col("rn") == 1, F.col("deadline_ms"))
+            ).cast("long").alias("critical_deadline_ms"),
+            F.max(
+                F.when(F.col("rn") == 1, F.col("demand_ms"))
+            ).cast("long").alias("critical_demand_ms"),
+        )
+        .select(
+            "host",
+            "n_jobs",
+            "total_cost_ms",
+            "max_deadline_ms",
+            F.expr(
+                "(1000000 * total_cost_ms) div max_deadline_ms"
+            ).cast("long").alias("util_ppm"),
+            "min_slack_ms",
+            "critical_deadline_ms",
+            "critical_demand_ms",
+            (F.col("min_slack_ms") >= 0).alias("feasible"),
+            (
+                F.col("critical_demand_ms") + F.col("min_slack_ms")
+                == F.col("critical_deadline_ms")
+            ).alias("demand_ok"),
+        )
+        .orderBy("host")
+    )
+
+
+ORACLE_EDF_FEASIBILITY = """
+WITH u AS (SELECT CAST(max(event_id) + 1 AS BIGINT) AS universe FROM events),
+jobs AS (
+  SELECT CAST(user_id % 20 AS BIGINT) AS host,
+         event_id,
+         CAST((1 + (event_id * 13) % 200) * (1 + (user_id % 20) % 3)
+              AS BIGINT) AS cost_ms,
+         CAST(50 + (event_id * 31) % (8 * universe) AS BIGINT) AS deadline_ms
+  FROM events CROSS JOIN u
+),
+pref AS (
+  SELECT host, deadline_ms, cost_ms,
+         sum(cost_ms) OVER (PARTITION BY host
+                            ORDER BY deadline_ms, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS demand_ms
+  FROM jobs
+),
+ranked AS (
+  SELECT host, deadline_ms, cost_ms, demand_ms,
+         deadline_ms - demand_ms AS slack_ms,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY deadline_ms - demand_ms,
+                                     deadline_ms, demand_ms) AS rn
+  FROM pref
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_jobs,
+       CAST(sum(cost_ms) AS BIGINT) AS total_cost_ms,
+       CAST(max(deadline_ms) AS BIGINT) AS max_deadline_ms,
+       CAST((1000000 * sum(cost_ms)) // max(deadline_ms) AS BIGINT)
+         AS util_ppm,
+       CAST(min(slack_ms) AS BIGINT) AS min_slack_ms,
+       CAST(max(CASE WHEN rn = 1 THEN deadline_ms END) AS BIGINT)
+         AS critical_deadline_ms,
+       CAST(max(CASE WHEN rn = 1 THEN demand_ms END) AS BIGINT)
+         AS critical_demand_ms,
+       min(slack_ms) >= 0 AS feasible,
+       max(CASE WHEN rn = 1 THEN demand_ms END) + min(slack_ms)
+         = max(CASE WHEN rn = 1 THEN deadline_ms END) AS demand_ok
+FROM ranked GROUP BY host ORDER BY host
+"""
+
+
+def q_littles_law(spark: SparkSession, sf: str) -> DataFrame:
+    """Little's law conformance on the fetch log — L = λ·W (Little,
+    Op. Res. 1961), the identity capacity planning rests on: the
+    time-average number of in-flight fetches per host pool equals
+    arrival rate × mean service time. Both sides are computed
+    INDEPENDENTLY and exactly: the left via a sweep line (each fetch
+    explodes into a +1 start / −1 end tick; a host-partitioned cumsum
+    gives in-flight, and Σ inflight·dwell_us integrates it over the
+    host's busy horizon), the right as Σ duration_us (λ·W·H = n/H ·
+    Σd/n · H collapses to Σd) — so law_ok == (area == Σd) certifies
+    the whole interval algebra (explode, tie handling at coincident
+    ticks, dwell accounting) in exact integer µs, cross-engine.
+    Fetch-and-process tasks derive from events: host pool = user_id %
+    10, start = ts, duration_us = 10^6·(60 + 7·event_id % 7200) (one
+    minute to two hours — long enough that tasks genuinely overlap and
+    the in-flight series is non-trivial). Report per host: n,
+    horizon_us, busy area, L and λ·W in e6 fixed point (identical
+    integer division ⇒ identical bits), mean W_us, peak concurrency.
+    Shape: one scan → 2-wide explode → ONE host-partitioned window
+    sort (cumsum + lead ride it) → one hash-agg; the sweep line is
+    how a 10^10-row log computes concurrency without simulation."""
+    ev = load_table(spark, sf, "events")
+    fetches = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("host"),
+        "event_id",
+        F.col("ts").alias("start_ts"),
+        (1000000 * (60 + (F.col("event_id") * 7) % 7200))
+        .cast("long").alias("dur_us"),
+    )
+    ticks = fetches.select(
+        "host",
+        "event_id",
+        "dur_us",
+        "start_ts",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("off_us"),
+                    F.lit(1).cast("long").alias("delta"),
+                ),
+                F.struct(
+                    F.col("dur_us").alias("off_us"),
+                    F.lit(-1).cast("long").alias("delta"),
+                ),
+            )
+        ).alias("tick"),
+    ).select(
+        "host",
+        "event_id",
+        "dur_us",
+        (
+            F.expr("timestampdiff(MICROSECOND, timestamp'2024-01-01', start_ts)")
+            + F.col("tick.off_us")
+        ).cast("long").alias("t_us"),
+        F.col("tick.delta").alias("delta"),
+    )
+    w = Window.partitionBy("host").orderBy("t_us", "delta", "event_id")
+    swept = ticks.select(
+        "host",
+        "delta",
+        "t_us",
+        F.when(F.col("delta") == 1, F.col("dur_us")).otherwise(0).alias("d_us"),
+        F.sum("delta").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("inflight"),
+        (F.coalesce(F.lead("t_us").over(w), F.col("t_us")) - F.col("t_us"))
+        .cast("long").alias("dwell_us"),
+    )
+    return (
+        swept.groupBy("host")
+        .agg(
+            (F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)))
+            .cast("long").alias("n_fetches"),
+            (F.max("t_us") - F.min("t_us")).cast("long").alias("horizon_us"),
+            F.sum(F.col("inflight") * F.col("dwell_us"))
+            .cast("long").alias("busy_area_us"),
+            F.sum("d_us").cast("long").alias("sum_dur_us"),
+            F.max("inflight").cast("long").alias("peak_inflight"),
+        )
+        .select(
+            "host",
+            "n_fetches",
+            "horizon_us",
+            "busy_area_us",
+            "peak_inflight",
+            F.expr(
+                "(1000000 * busy_area_us) div horizon_us"
+            ).cast("long").alias("l_avg_e6"),
+            F.expr("sum_dur_us div n_fetches").cast("long").alias("w_mean_us"),
+            F.expr(
+                "(1000000 * sum_dur_us) div horizon_us"
+            ).cast("long").alias("lambda_w_e6"),
+            (F.col("busy_area_us") == F.col("sum_dur_us")).alias("law_ok"),
+        )
+        .orderBy("host")
+    )
+
+
+ORACLE_LITTLES_LAW = """
+WITH fetches AS (
+  SELECT CAST(user_id % 10 AS BIGINT) AS host,
+         event_id,
+         CAST(date_diff('microsecond', TIMESTAMP '2024-01-01', ts)
+              AS BIGINT) AS start_us,
+         CAST(1000000 * (60 + (event_id * 7) % 7200) AS BIGINT) AS dur_us
+  FROM events
+),
+ticks AS (
+  SELECT host, event_id, dur_us,
+         start_us + s.x.off_us AS t_us,
+         s.x.delta AS delta
+  FROM fetches f,
+       LATERAL (SELECT unnest([
+                  {'off_us': CAST(0 AS BIGINT), 'delta': CAST(1 AS BIGINT)},
+                  {'off_us': f.dur_us, 'delta': CAST(-1 AS BIGINT)}]) AS x) s
+),
+swept AS (
+  SELECT host, delta, t_us,
+         CASE WHEN delta = 1 THEN dur_us ELSE 0 END AS d_us,
+         sum(delta) OVER (PARTITION BY host
+                          ORDER BY t_us, delta, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS inflight,
+         coalesce(lead(t_us) OVER (PARTITION BY host
+                                   ORDER BY t_us, delta, event_id), t_us)
+           - t_us AS dwell_us
+  FROM ticks
+)
+SELECT host,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fetches,
+       CAST(max(t_us) - min(t_us) AS BIGINT) AS horizon_us,
+       CAST(sum(inflight * dwell_us) AS BIGINT) AS busy_area_us,
+       CAST(max(inflight) AS BIGINT) AS peak_inflight,
+       CAST((1000000 * sum(inflight * dwell_us))
+            // (max(t_us) - min(t_us)) AS BIGINT) AS l_avg_e6,
+       CAST(sum(d_us)
+            // sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS w_mean_us,
+       CAST((1000000 * sum(d_us))
+            // (max(t_us) - min(t_us)) AS BIGINT) AS lambda_w_e6,
+       sum(inflight * dwell_us) = sum(d_us) AS law_ok
+FROM swept GROUP BY host ORDER BY host
+"""
+
+
+def q_dict_encoding_sizing(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet dictionary-encoding sizing law — the file-layout decision
+    that sets scan bytes at 100 TB (Parquet format spec: PLAIN
+    BYTE_ARRAY = 4-byte length + bytes per value; RLE_DICTIONARY =
+    one dictionary page + bit-packed indices of width
+    bitlen(card−1)). For each string column the writer would consider
+    (documents.source, documents.lang, events.event_type,
+    customer.c_mktsegment, and near-unique documents.text as the
+    dict-loses control), compute the exact plain cost
+    Σ(4 + octet_length), the dictionary cost (distinct-value page +
+    ⌈rows·bw/8⌉ index bytes, bw via the exact bin() bit-length lane —
+    never float log2), and the ppm ratio + dict_wins verdict. The law
+    the numbers show: low-cardinality columns compress 10-50×, and a
+    column whose cardinality approaches its row count (near-unique
+    strings) is where writers fall back to plain — the same cutoff
+    parquet-mr's dictionary-page-size check enforces. Shape: each
+    column prunes to a one-column scan (ReadSchema is the single
+    column), collapses in a (column, value) hash-agg, then a 4-row
+    final agg; index bytes are integer arithmetic on the aggregates.
+    RLE runs are deliberately ignored (pure bit-packing) so the cost
+    model is exact and engine-checkable, as the docstringed upper
+    bound."""
+    d = load_table(spark, sf, "documents")
+    e = load_table(spark, sf, "events")
+    c = load_table(spark, sf, "customer")
+    lanes = [
+        d.select(F.lit("documents.source").alias("col"),
+                 F.col("source").alias("value")),
+        d.select(F.lit("documents.lang").alias("col"),
+                 F.col("lang").alias("value")),
+        e.select(F.lit("events.event_type").alias("col"),
+                 F.col("event_type").alias("value")),
+        c.select(F.lit("customer.c_mktsegment").alias("col"),
+                 F.col("c_mktsegment").alias("value")),
+        d.select(F.lit("documents.text").alias("col"),
+                 F.col("text").alias("value")),
+    ]
+    vals = lanes[0]
+    for ln in lanes[1:]:
+        vals = vals.unionByName(ln)
+    per_value = (
+        vals.filter(F.col("value").isNotNull())
+        .groupBy("col", "value")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    sized = per_value.groupBy("col").agg(
+        F.count("*").cast("long").alias("card"),
+        F.sum("n").cast("long").alias("rows"),
+        F.sum(F.col("n") * (4 + F.octet_length("value")))
+        .cast("long").alias("plain_bytes"),
+        F.sum(4 + F.octet_length("value")).cast("long").alias("dict_page_bytes"),
+    )
+    return sized.select(
+        "col",
+        "rows",
+        "card",
+        "plain_bytes",
+        "dict_page_bytes",
+        F.expr(
+            "case when card <= 1 then 1"
+            " else length(bin(card - 1)) end"
+        ).cast("long").alias("index_bits"),
+        F.expr(
+            "dict_page_bytes + (rows * (case when card <= 1 then 1"
+            " else length(bin(card - 1)) end) + 7) div 8"
+        ).cast("long").alias("dict_bytes"),
+        F.expr(
+            "(1000000 * (dict_page_bytes + (rows * (case when card <= 1"
+            " then 1 else length(bin(card - 1)) end) + 7) div 8))"
+            " div nullif(plain_bytes, 0)"
+        ).cast("long").alias("dict_vs_plain_ppm"),
+        F.expr(
+            "dict_page_bytes + (rows * (case when card <= 1 then 1"
+            " else length(bin(card - 1)) end) + 7) div 8 < plain_bytes"
+        ).alias("dict_wins"),
+    ).orderBy("col")
+
+
+ORACLE_DICT_ENCODING_SIZING = """
+WITH vals AS (
+  SELECT 'documents.source' AS col, source AS value FROM documents
+  UNION ALL
+  SELECT 'documents.lang', lang FROM documents
+  UNION ALL
+  SELECT 'events.event_type', event_type FROM events
+  UNION ALL
+  SELECT 'customer.c_mktsegment', c_mktsegment FROM customer
+  UNION ALL
+  SELECT 'documents.text', text FROM documents
+),
+per_value AS (
+  SELECT col, value, CAST(count(*) AS BIGINT) AS n
+  FROM vals WHERE value IS NOT NULL GROUP BY 1, 2
+),
+sized AS (
+  SELECT col,
+         CAST(count(*) AS BIGINT) AS card,
+         CAST(sum(n) AS BIGINT) AS rows_,
+         CAST(sum(n * (4 + strlen(value))) AS BIGINT) AS plain_bytes,
+         CAST(sum(4 + strlen(value)) AS BIGINT) AS dict_page_bytes
+  FROM per_value GROUP BY 1
+)
+SELECT col,
+       rows_ AS rows,
+       card,
+       plain_bytes,
+       dict_page_bytes,
+       CAST(CASE WHEN card <= 1 THEN 1
+                 ELSE length(bin(card - 1)) END AS BIGINT) AS index_bits,
+       CAST(dict_page_bytes + (rows_ * (CASE WHEN card <= 1 THEN 1
+              ELSE length(bin(card - 1)) END) + 7) // 8 AS BIGINT)
+         AS dict_bytes,
+       CAST((1000000 * (dict_page_bytes + (rows_ * (CASE WHEN card <= 1
+              THEN 1 ELSE length(bin(card - 1)) END) + 7) // 8))
+            // nullif(plain_bytes, 0) AS BIGINT) AS dict_vs_plain_ppm,
+       dict_page_bytes + (rows_ * (CASE WHEN card <= 1 THEN 1
+         ELSE length(bin(card - 1)) END) + 7) // 8 < plain_bytes
+         AS dict_wins
+FROM sized ORDER BY col
+"""
+
+
+def q_partial_agg_reduction(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-side combine reduction law — WHY groupBy scales: a partial
+    (map-side) aggregate shrinks each input split to ≤ one row per
+    (split, key), so shuffle rows drop from N to Σ_splits |keys in
+    split| — a ~K·P/N collapse for low-cardinality keys and NO
+    collapse for near-unique keys (the regime where partial agg is
+    pure overhead, which is why Spark's AQE can skip it). This audit
+    measures the law exactly on three key lanes over the same event
+    log with P = 32 deterministic md5-derived 'splits': event_type
+    (card ~10 — combine collapses ~1000× at scale), user bucket
+    (user_id, mid cardinality), and event_id (unique — combine
+    reduces nothing). Output per lane: rows, distinct keys, the
+    combined shuffle-row count Σ distinct (split, key), reduction
+    ppm, and rows-per-shuffle-row — exact int64 throughout. Shape:
+    one events scan, a 3-wide lane explode, a (lane, split, key)
+    hash-agg feeding a per-lane hash-agg; at a 10^10-row log these
+    two levels ARE the partial/final agg pair the law describes,
+    measured from the engine itself."""
+    ev = load_table(spark, sf, "events")
+    base = ev.select(
+        "event_id",
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+                   16, 10).cast("long") % 32
+        ).alias("split"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("lane"),
+                    F.coalesce(F.col("event_type"), F.lit("?")).alias("key"),
+                ),
+                F.struct(
+                    F.lit("user_bucket").alias("lane"),
+                    F.col("user_id").cast("string").alias("key"),
+                ),
+                F.struct(
+                    F.lit("event_id").alias("lane"),
+                    F.col("event_id").cast("string").alias("key"),
+                ),
+            )
+        ).alias("x"),
+    ).select("split", F.col("x.lane").alias("lane"), F.col("x.key").alias("key"))
+    combined = base.groupBy("lane", "split", "key").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        combined.groupBy("lane")
+        .agg(
+            F.sum("n").cast("long").alias("rows"),
+            F.count("*").cast("long").alias("combined_rows"),
+        )
+        .select(
+            "lane",
+            "rows",
+            "combined_rows",
+            F.expr(
+                "(1000000 * (rows - combined_rows)) div rows"
+            ).cast("long").alias("reduction_ppm"),
+            F.expr("rows div combined_rows").cast("long")
+            .alias("rows_per_shuffle_row"),
+        )
+        .orderBy("lane")
+    )
+
+
+ORACLE_PARTIAL_AGG_REDUCTION = """
+WITH base AS (
+  SELECT CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+              % 32 AS BIGINT) AS split,
+         s.x.lane AS lane, s.x.key AS key
+  FROM events e,
+       LATERAL (SELECT unnest([
+         {'lane': 'event_type', 'key': coalesce(e.event_type, '?')},
+         {'lane': 'user_bucket', 'key': CAST(e.user_id AS VARCHAR)},
+         {'lane': 'event_id', 'key': CAST(e.event_id AS VARCHAR)}]) AS x) s
+),
+combined AS (
+  SELECT lane, split, key, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2, 3
+)
+SELECT lane,
+       CAST(sum(n) AS BIGINT) AS rows,
+       CAST(count(*) AS BIGINT) AS combined_rows,
+       CAST((1000000 * (sum(n) - count(*))) // sum(n) AS BIGINT)
+         AS reduction_ppm,
+       CAST(sum(n) // count(*) AS BIGINT) AS rows_per_shuffle_row
+FROM combined GROUP BY 1 ORDER BY lane
+"""
+
+
+def q_flesch_reading_ease(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease census per source (Flesch 1948; Kincaid et
+    al. 1975 — the readability screen cheap enough to run as a corpus
+    gate next to the C4/Gopher rules): FRE = 206.835 − 1.015·(W/S) −
+    84.6·(Y/W) over corpus-level counts. Syllables use the standard
+    vowel-group heuristic — per word, greatest(1, count of [aeiouy]+
+    runs) — counted word-by-word through the same explode lane the
+    posting queries use (a single whole-text regexp_count could not
+    apply the min-1-per-word rule); sentences = greatest(1, count of
+    [.!?]+ runs) per doc. All counts are exact int64; the three FRE
+    terms are evaluated in literal written order on identical IEEE
+    doubles (each division is one int64/int64 divide), so the score is
+    bit-identical cross-engine without rounding. Output per source:
+    docs, words, sentences, syllables, words-per-sentence and
+    syllables-per-word (unrounded), fre, and the standard
+    'very difficult / college' verdict (FRE < 30 — the canonical
+    lowest Flesch band boundary, which splits this corpus) in exact
+    cross-multiplied integers — never a float threshold. Shape: one
+    documents scan → explode → two hash-aggs (doc then source); the
+    explode is the token stream a 100-TB text pipeline already
+    materializes for counting."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce("text", F.lit(""))), r"\s+", " ")
+    )
+    docs = d.select(
+        "doc_id",
+        F.coalesce("source", F.lit("?")).alias("source"),
+        norm.alias("norm"),
+    ).filter(F.length("norm") > 0)
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("norm", " ")).alias("word"),
+    ).select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.lit(1), F.regexp_count("word", F.lit("[aeiouy]+"))
+        ).cast("long").alias("syl"),
+    )
+    per_doc = words.groupBy("doc_id", "source").agg(
+        F.count("*").cast("long").alias("w"),
+        F.sum("syl").cast("long").alias("y"),
+    )
+    sents = docs.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1), F.regexp_count("norm", F.lit(r"[.!?]+"))
+        ).cast("long").alias("s"),
+    )
+    per_doc = per_doc.join(sents, "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("words"),
+            F.sum("s").cast("long").alias("sentences"),
+            F.sum("y").cast("long").alias("syllables"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "words",
+            "sentences",
+            "syllables",
+            (F.col("words").cast("double") / F.col("sentences"))
+            .alias("words_per_sentence"),
+            (F.col("syllables").cast("double") / F.col("words"))
+            .alias("syllables_per_word"),
+            (
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences"))
+                - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words"))
+            ).alias("fre"),
+            # FRE < 30 ⇔ 206835·S·W − 1015·W² − 84600·S·Y < 30000·S·W,
+            # exact int64 (documented standard band boundary)
+            (
+                F.lit(206835) * F.col("sentences") * F.col("words")
+                - F.lit(1015) * F.col("words") * F.col("words")
+                - F.lit(84600) * F.col("sentences") * F.col("syllables")
+                < F.lit(30000) * F.col("sentences") * F.col("words")
+            ).alias("very_difficult"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_FLESCH_READING_EASE = """
+WITH docs AS (
+  SELECT doc_id,
+         coalesce(source, '?') AS source,
+         trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))
+           AS norm
+  FROM documents
+  WHERE length(trim(regexp_replace(lower(coalesce(text, '')),
+                                   '\\s+', ' ', 'g'))) > 0
+),
+words AS (
+  SELECT doc_id, source,
+         greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))) AS syl
+  FROM docs, LATERAL (SELECT unnest(string_split(norm, ' ')) AS w) s
+),
+per_doc AS (
+  SELECT w.doc_id, w.source,
+         CAST(count(*) AS BIGINT) AS w,
+         CAST(sum(syl) AS BIGINT) AS y
+  FROM words w GROUP BY 1, 2
+),
+sents AS (
+  SELECT doc_id,
+         CAST(greatest(1, len(regexp_extract_all(norm, '[.!?]+'))) AS BIGINT)
+           AS s
+  FROM docs
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS words,
+         CAST(sum(s) AS BIGINT) AS sentences,
+         CAST(sum(y) AS BIGINT) AS syllables
+  FROM per_doc JOIN sents USING (doc_id)
+  GROUP BY 1
+)
+SELECT source, n_docs, words, sentences, syllables,
+       CAST(words AS DOUBLE) / sentences AS words_per_sentence,
+       CAST(syllables AS DOUBLE) / words AS syllables_per_word,
+       206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+               - 84.6 * (CAST(syllables AS DOUBLE) / words) AS fre,
+       206835 * sentences * words - 1015 * words * words
+         - 84600 * sentences * syllables < 30000 * sentences * words
+         AS very_difficult
+FROM agg ORDER BY source
+"""
+
+
+def q_clustering_ari(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjusted Rand Index between an approximate and an exact dedup
+    clustering — the evaluation that says whether a cheap clustering
+    lane can replace the expensive one (Hubert & Arabie, J.
+    Classification 1985; pair-counting form). Corpus: base docs
+    (doc_id % 5 == 0) plus TWO planted lanes — exact copies (same
+    text, id + copy offset, for doc_id % 10 == 0) that BOTH
+    clusterings must group, and suffix-extended mutants (base text +
+    ' appended trailer', id + mutant offset) that only the prefix
+    lane groups. Clustering A (exact) keys on the full normalized
+    text — copies join their base, trailers stay separate; clustering
+    B (approximate) keys on the first 40 normalized chars — trailers
+    also collapse in. A is therefore a strict refinement of B and the
+    ARI lands strictly between 0 and 1, measuring exactly the merges
+    the cheap lane over-commits. The
+    pair-confusion is computed in EXACT int64 pair counts: Σ C(n_ij,2)
+    over the contingency table, Σ C(a_i,2), Σ C(b_j,2), C(n,2), and
+    ARI's numerator/denominator are carried as exact integer products
+    (num = C·Σij − Σa·Σb scaled by 2; den = C·(Σa+Σb)/2·2 − 2·Σa·Σb)
+    with the final index emitted as ONE unrounded int64/int64 IEEE
+    division — bit-identical cross-engine. Shape: two label lanes from
+    one planted frame, three hash-aggs (contingency, marginals), and a
+    1-row final — the contingency table never exceeds the number of
+    distinct (a,b) label pairs, which dedup clusterings keep near n;
+    at 10^10 docs every stage is a bounded hash-agg, no pairwise
+    join anywhere (the pair counts come from C(n,2) arithmetic, not
+    enumerated pairs)."""
+    d = load_table(spark, sf, "documents")
+    base = d.filter(
+        (F.col("doc_id") % 5 == 0)
+        & (F.length(normalize_text(F.coalesce("text", F.lit("")))) > 0)
+    ).select(
+        "doc_id", normalize_text(F.coalesce("text", F.lit(""))).alias("norm")
+    )
+    copies = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2 * _MUTANT_OFFSET).alias("doc_id"), "norm"
+    )
+    mut = base.select(
+        (F.col("doc_id") + _MUTANT_OFFSET).alias("doc_id"),
+        F.concat("norm", F.lit(" appended trailer")).alias("norm"),
+    )
+    lab = base.unionByName(copies).unionByName(mut).select(
+        "doc_id",
+        F.md5("norm").alias("label_a"),
+        F.md5(F.substring("norm", 1, 40)).alias("label_b"),
+    )
+    cont = lab.groupBy("label_a", "label_b").agg(
+        F.count("*").cast("long").alias("nij")
+    )
+    sum_ij = cont.agg(
+        F.sum(F.expr("nij * (nij - 1) div 2")).cast("long").alias("pairs_both"),
+        F.sum("nij").cast("long").alias("n"),
+    )
+    sum_a = (
+        cont.groupBy("label_a").agg(F.sum("nij").alias("na"))
+        .agg(F.sum(F.expr("na * (na - 1) div 2")).cast("long").alias("pairs_a"),
+             F.count("*").cast("long").alias("clusters_a"))
+    )
+    sum_b = (
+        cont.groupBy("label_b").agg(F.sum("nij").alias("nb"))
+        .agg(F.sum(F.expr("nb * (nb - 1) div 2")).cast("long").alias("pairs_b"),
+             F.count("*").cast("long").alias("clusters_b"))
+    )
+    joined = sum_ij.crossJoin(F.broadcast(sum_a)).crossJoin(F.broadcast(sum_b))
+    return joined.select(
+        "n",
+        "clusters_a",
+        "clusters_b",
+        "pairs_a",
+        "pairs_b",
+        "pairs_both",
+        F.expr("n * (n - 1) div 2").cast("long").alias("pairs_total"),
+        F.expr(
+            "2 * ((n * (n - 1) div 2) * pairs_both - pairs_a * pairs_b)"
+        ).cast("long").alias("ari_num"),
+        F.expr(
+            "(n * (n - 1) div 2) * (pairs_a + pairs_b)"
+            " - 2 * pairs_a * pairs_b"
+        ).cast("long").alias("ari_den"),
+        (
+            F.expr(
+                "cast(2 * ((n * (n - 1) div 2) * pairs_both"
+                " - pairs_a * pairs_b) as double)"
+            )
+            / F.expr(
+                "cast(nullif((n * (n - 1) div 2) * (pairs_a + pairs_b)"
+                " - 2 * pairs_a * pairs_b, 0) as double)"
+            )
+        ).alias("ari"),
+    )
+
+
+ORACLE_CLUSTERING_ARI = f"""
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))
+           AS norm
+  FROM documents
+  WHERE doc_id % 5 = 0
+    AND length(trim(regexp_replace(lower(coalesce(text, '')),
+                                   '\\s+', ' ', 'g'))) > 0
+),
+lab AS (
+  SELECT doc_id, md5(norm) AS label_a,
+         md5(substring(norm, 1, 40)) AS label_b
+  FROM (SELECT doc_id, norm FROM base
+        UNION ALL
+        SELECT doc_id + {2 * _MUTANT_OFFSET}, norm FROM base
+        WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + {_MUTANT_OFFSET}, norm || ' appended trailer'
+        FROM base)
+),
+cont AS (
+  SELECT label_a, label_b, CAST(count(*) AS BIGINT) AS nij
+  FROM lab GROUP BY 1, 2
+),
+sij AS (
+  SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS pairs_both,
+         CAST(sum(nij) AS BIGINT) AS n
+  FROM cont
+),
+sa AS (
+  SELECT CAST(sum(na * (na - 1) // 2) AS BIGINT) AS pairs_a,
+         CAST(count(*) AS BIGINT) AS clusters_a
+  FROM (SELECT label_a, sum(nij) AS na FROM cont GROUP BY 1)
+),
+sb AS (
+  SELECT CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS pairs_b,
+         CAST(count(*) AS BIGINT) AS clusters_b
+  FROM (SELECT label_b, sum(nij) AS nb FROM cont GROUP BY 1)
+)
+SELECT n, clusters_a, clusters_b, pairs_a, pairs_b, pairs_both,
+       CAST(n * (n - 1) // 2 AS BIGINT) AS pairs_total,
+       CAST(2 * ((n * (n - 1) // 2) * pairs_both - pairs_a * pairs_b)
+            AS BIGINT) AS ari_num,
+       CAST((n * (n - 1) // 2) * (pairs_a + pairs_b) - 2 * pairs_a * pairs_b
+            AS BIGINT) AS ari_den,
+       CAST(2 * ((n * (n - 1) // 2) * pairs_both - pairs_a * pairs_b)
+            AS DOUBLE)
+         / CAST(nullif((n * (n - 1) // 2) * (pairs_a + pairs_b)
+                - 2 * pairs_a * pairs_b, 0) AS DOUBLE) AS ari
+FROM sij CROSS JOIN sa CROSS JOIN sb
+"""
+
+
+def q_sjf_vs_fifo(spark: SparkSession, sf: str) -> DataFrame:
+    """Shortest-job-first vs FIFO vs longest-first mean waiting time —
+    the queueing law (SPT-optimality: Smith, Nav. Res. Log. 1956)
+    that decides how a fetch worker should drain a per-host backlog:
+    serving shortest-first minimizes mean wait, longest-first
+    maximizes it, FIFO lands between. Jobs derive from events (host =
+    user_id % 10, service_ms = 1 + 17·event_id % 300) and model one
+    drained backlog per host: all jobs queued at epoch, one worker,
+    wait(job) = Σ service of jobs served before it. Each discipline
+    is ONE window order over the same rows — FIFO by arrival
+    (event_id), SPT by (service, event_id), LPT by (service DESC,
+    event_id) — and the exact mean waits come out as int64 total-wait
+    sums with one unrounded division each. Self-certifying: spt_le_
+    fifo AND fifo_le_lpt must both hold on every host (the theorem,
+    checked as output). Shape: one scan, three windows riding the
+    same host partitioning, one hash-agg; this is the per-host sorted
+    pass a politeness-queue simulator already pays, with zero
+    Python."""
+    ev = load_table(spark, sf, "events")
+    jobs = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("host"),
+        "event_id",
+        (1 + (F.col("event_id") * 17) % 300).cast("long").alias("service_ms"),
+    )
+    wf = Window.partitionBy("host").orderBy("event_id")
+    ws = Window.partitionBy("host").orderBy("service_ms", "event_id")
+    wl = Window.partitionBy("host").orderBy(F.desc("service_ms"), "event_id")
+    waits = jobs.select(
+        "host",
+        "service_ms",
+        (
+            F.coalesce(
+                F.sum("service_ms").over(
+                    wf.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).cast("long").alias("wait_fifo"),
+        (
+            F.coalesce(
+                F.sum("service_ms").over(
+                    ws.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).cast("long").alias("wait_spt"),
+        (
+            F.coalesce(
+                F.sum("service_ms").over(
+                    wl.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).cast("long").alias("wait_lpt"),
+    )
+    return (
+        waits.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_jobs"),
+            F.sum("service_ms").cast("long").alias("total_service_ms"),
+            F.sum("wait_fifo").cast("long").alias("total_wait_fifo_ms"),
+            F.sum("wait_spt").cast("long").alias("total_wait_spt_ms"),
+            F.sum("wait_lpt").cast("long").alias("total_wait_lpt_ms"),
+        )
+        .select(
+            "host",
+            "n_jobs",
+            "total_service_ms",
+            "total_wait_fifo_ms",
+            "total_wait_spt_ms",
+            "total_wait_lpt_ms",
+            (F.col("total_wait_fifo_ms").cast("double") / F.col("n_jobs"))
+            .alias("mean_wait_fifo_ms"),
+            (F.col("total_wait_spt_ms").cast("double") / F.col("n_jobs"))
+            .alias("mean_wait_spt_ms"),
+            F.expr(
+                "(1000000 * (total_wait_fifo_ms - total_wait_spt_ms))"
+                " div nullif(total_wait_fifo_ms, 0)"
+            ).cast("long").alias("spt_savings_ppm"),
+            (F.col("total_wait_spt_ms") <= F.col("total_wait_fifo_ms"))
+            .alias("spt_le_fifo"),
+            (F.col("total_wait_fifo_ms") <= F.col("total_wait_lpt_ms"))
+            .alias("fifo_le_lpt"),
+        )
+        .orderBy("host")
+    )
+
+
+ORACLE_SJF_VS_FIFO = """
+WITH jobs AS (
+  SELECT CAST(user_id % 10 AS BIGINT) AS host,
+         event_id,
+         CAST(1 + (event_id * 17) % 300 AS BIGINT) AS service_ms
+  FROM events
+),
+waits AS (
+  SELECT host, service_ms,
+         coalesce(sum(service_ms) OVER (PARTITION BY host ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS wait_fifo,
+         coalesce(sum(service_ms) OVER (PARTITION BY host
+                    ORDER BY service_ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS wait_spt,
+         coalesce(sum(service_ms) OVER (PARTITION BY host
+                    ORDER BY service_ms DESC, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS wait_lpt
+  FROM jobs
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_jobs,
+       CAST(sum(service_ms) AS BIGINT) AS total_service_ms,
+       CAST(sum(wait_fifo) AS BIGINT) AS total_wait_fifo_ms,
+       CAST(sum(wait_spt) AS BIGINT) AS total_wait_spt_ms,
+       CAST(sum(wait_lpt) AS BIGINT) AS total_wait_lpt_ms,
+       CAST(sum(wait_fifo) AS DOUBLE) / count(*) AS mean_wait_fifo_ms,
+       CAST(sum(wait_spt) AS DOUBLE) / count(*) AS mean_wait_spt_ms,
+       CAST((1000000 * (sum(wait_fifo) - sum(wait_spt)))
+            // nullif(sum(wait_fifo), 0) AS BIGINT) AS spt_savings_ppm,
+       sum(wait_spt) <= sum(wait_fifo) AS spt_le_fifo,
+       sum(wait_fifo) <= sum(wait_lpt) AS fifo_le_lpt
+FROM waits GROUP BY host ORDER BY host
+"""
+
+
+def q_sampled_quantile_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Sampling error of bottom-k-sketch quantiles vs exact — the
+    trade a 100-TB SLO pipeline makes when it estimates latency
+    percentiles from a per-key sample instead of the full sorted
+    partition. The sample is DERANDOMIZED: per event type, the k=64
+    rows with the smallest md5 lane (a bottom-k / KMV-style uniform
+    sample — Beyer et al. SIGMOD'07 — reproducible in any engine),
+    ranked with the same two-phase shape the kmv sketch uses. Both
+    the exact and sample p50/p90/p99 use the identical nearest-rank
+    definition on the e2 fixed-point latency lane, and the report
+    carries the exact per-percentile signed error in e2 units plus
+    |error| ppm of the exact value — all int64. The numbers SHOW the
+    sampling law: p50 lands within a few percent, the p99 of a
+    64-row sample is noisy — which is why production systems sample
+    for medians but keep exact sketches for tails. Shape: two
+    window passes (exact rank; sample rank after the md5 top-k
+    filter) + one join of two ~5-row aggregates."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    lat = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("lat_e2"),
+        F.expr(
+            "cast(conv(substring(md5(cast(event_id as string)), 1, 15),"
+            " 16, 10) as bigint)"
+        ).alias("h"),
+    )
+
+    def nearest_rank(df: DataFrame, prefix: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy("lat_e2", "event_id")
+        wn = Window.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            "lat_e2",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+
+        def pick(p):
+            return F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"({p} * n + 99) div 100"),
+                    F.col("lat_e2"),
+                )
+            ).cast("long")
+
+        return r.groupBy("event_type").agg(
+            F.max("n").cast("long").alias(f"{prefix}_n"),
+            pick(50).alias(f"{prefix}_p50_e2"),
+            pick(90).alias(f"{prefix}_p90_e2"),
+            pick(99).alias(f"{prefix}_p99_e2"),
+        )
+
+    exact = nearest_rank(lat, "exact")
+    wk = Window.partitionBy("event_type").orderBy("h", "event_id")
+    sample = lat.withColumn("kr", F.row_number().over(wk)).filter(
+        F.col("kr") <= 64
+    ).drop("kr")
+    samp = nearest_rank(sample, "samp")
+    j = exact.join(samp, "event_type")
+    cols = ["event_type", "exact_n", "samp_n"]
+    out = [F.col(c) for c in cols]
+    for p in (50, 90, 99):
+        out.append(F.col(f"exact_p{p}_e2"))
+        out.append(
+            (F.col(f"samp_p{p}_e2") - F.col(f"exact_p{p}_e2"))
+            .cast("long").alias(f"err_p{p}_e2")
+        )
+        out.append(
+            F.expr(
+                f"(1000000 * abs(samp_p{p}_e2 - exact_p{p}_e2))"
+                f" div nullif(exact_p{p}_e2, 0)"
+            ).cast("long").alias(f"abs_err_p{p}_ppm")
+        )
+    return j.select(*out).orderBy("event_type")
+
+
+ORACLE_SAMPLED_QUANTILE_ERROR = """
+WITH lat AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS lat_e2,
+         ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM events WHERE value IS NOT NULL
+),
+exact_r AS (
+  SELECT event_type, lat_e2,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY lat_e2, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM lat
+),
+exact AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS exact_n,
+         CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN lat_e2 END)
+              AS BIGINT) AS exact_p50_e2,
+         CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN lat_e2 END)
+              AS BIGINT) AS exact_p90_e2,
+         CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN lat_e2 END)
+              AS BIGINT) AS exact_p99_e2
+  FROM exact_r GROUP BY 1
+),
+keep AS (
+  SELECT event_type, event_id, lat_e2
+  FROM (SELECT event_type, event_id, lat_e2,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY h, event_id) AS kr
+        FROM lat)
+  WHERE kr <= 64
+),
+samp_r AS (
+  SELECT event_type, lat_e2,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY lat_e2, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM keep
+),
+samp AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS samp_n,
+         CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN lat_e2 END)
+              AS BIGINT) AS samp_p50_e2,
+         CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN lat_e2 END)
+              AS BIGINT) AS samp_p90_e2,
+         CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN lat_e2 END)
+              AS BIGINT) AS samp_p99_e2
+  FROM samp_r GROUP BY 1
+)
+SELECT e.event_type, e.exact_n, s.samp_n,
+       e.exact_p50_e2,
+       CAST(s.samp_p50_e2 - e.exact_p50_e2 AS BIGINT) AS err_p50_e2,
+       CAST((1000000 * abs(s.samp_p50_e2 - e.exact_p50_e2))
+            // nullif(e.exact_p50_e2, 0) AS BIGINT) AS abs_err_p50_ppm,
+       e.exact_p90_e2,
+       CAST(s.samp_p90_e2 - e.exact_p90_e2 AS BIGINT) AS err_p90_e2,
+       CAST((1000000 * abs(s.samp_p90_e2 - e.exact_p90_e2))
+            // nullif(e.exact_p90_e2, 0) AS BIGINT) AS abs_err_p90_ppm,
+       e.exact_p99_e2,
+       CAST(s.samp_p99_e2 - e.exact_p99_e2 AS BIGINT) AS err_p99_e2,
+       CAST((1000000 * abs(s.samp_p99_e2 - e.exact_p99_e2))
+            // nullif(e.exact_p99_e2, 0) AS BIGINT) AS abs_err_p99_ppm
+FROM exact e JOIN samp s USING (event_type)
+ORDER BY e.event_type
+"""
+
+
+def q_greedy_max_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy max-coverage source selection (Nemhauser–Wolsey–Fisher
+    1978: the greedy (1−1/e)-approximation for submodular coverage —
+    the data-acquisition question 'which 3 sources buy the most
+    distinct phrasing?'): the coverage units are distinct normalized
+    word BIGRAMS (unigrams degenerate on this corpus — one source
+    holds the whole 31-word vocabulary; the 900+ bigram universe is
+    where sources differ). Three rounds, each picking the source with
+    the largest count of bigrams NOT yet covered (count desc,
+    source-name tie-break), then retiring those bigrams via an
+    anti-join. Output per round: the chosen source, its exact
+    marginal gain, cumulative coverage, the universe size, and
+    coverage ppm — all int64. Rounds that can no longer gain (a prior
+    pick already covers the universe) emit no row, identically in
+    both engines. Shape: the (source, word) support collapses once in
+    a hash-agg; each round is one bounded TakeOrdered argmax + one
+    word-keyed anti-join against the shrinking remainder — k passes
+    for k picks, the published algorithm's cost, with every per-round
+    scalar riding a 1-row broadcast (never a collect)."""
+    d = load_table(spark, sf, "documents")
+    norm = normalize_text(F.coalesce("text", F.lit("")))
+    words = (
+        d.filter(F.length(norm) > 0)
+        .select(
+            F.coalesce("source", F.lit("?")).alias("source"),
+            F.split(norm, " ").alias("arr"),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "case when size(arr) < 2 then array()"
+                    " else transform(sequence(0, size(arr) - 2),"
+                    " i -> concat(arr[i], ' ', arr[i + 1])) end"
+                )
+            ).alias("word"),
+        )
+        .distinct()
+    )
+    uni = words.select("word").distinct().agg(
+        F.count("*").cast("long").alias("universe_words")
+    )
+    p1 = (
+        words.groupBy("source").agg(F.count("*").cast("long").alias("m1"))
+        .orderBy(F.desc("m1"), "source").limit(1)
+        .select(F.col("source").alias("s1"), "m1")
+    )
+    cov1 = (
+        words.crossJoin(F.broadcast(p1))
+        .filter(F.col("source") == F.col("s1"))
+        .select("word")
+    )
+    rem2 = words.join(cov1, "word", "left_anti")
+    p2 = (
+        rem2.groupBy("source").agg(F.count("*").cast("long").alias("m2"))
+        .orderBy(F.desc("m2"), "source").limit(1)
+        .select(F.col("source").alias("s2"), "m2")
+    )
+    cov2 = (
+        rem2.crossJoin(F.broadcast(p2))
+        .filter(F.col("source") == F.col("s2"))
+        .select("word")
+    )
+    rem3 = rem2.join(cov2, "word", "left_anti")
+    p3 = (
+        rem3.groupBy("source").agg(F.count("*").cast("long").alias("m3"))
+        .orderBy(F.desc("m3"), "source").limit(1)
+        .select(F.col("source").alias("s3"), "m3")
+    )
+    out = (
+        p1.crossJoin(F.broadcast(p2))
+        .crossJoin(F.broadcast(p3))
+        .crossJoin(F.broadcast(uni))
+        .select(
+            F.expr(
+                "stack(3,"
+                " 1L, s1, m1, m1,"
+                " 2L, s2, m2, m1 + m2,"
+                " 3L, s3, m3, m1 + m2 + m3)"
+                " as (round, source, marginal_words, cumulative_words)"
+            ),
+            "universe_words",
+        )
+    )
+    return out.select(
+        "round",
+        "source",
+        "marginal_words",
+        "cumulative_words",
+        "universe_words",
+        F.expr(
+            "(1000000 * cumulative_words) div universe_words"
+        ).cast("long").alias("coverage_ppm"),
+    ).orderBy("round")
+
+
+ORACLE_GREEDY_MAX_COVERAGE = """
+WITH arrs AS (
+  SELECT coalesce(source, '?') AS source,
+         string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                          '\\s+', ' ', 'g')), ' ') AS arr
+  FROM documents
+  WHERE length(trim(regexp_replace(lower(coalesce(text, '')),
+                                   '\\s+', ' ', 'g'))) > 0
+),
+words AS (
+  SELECT DISTINCT source, arr[i] || ' ' || arr[i + 1] AS word
+  FROM arrs, LATERAL (SELECT unnest(range(1, len(arr))) AS i) s
+),
+uni AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS universe_words
+        FROM words),
+p1 AS (
+  SELECT source AS s1, CAST(count(*) AS BIGINT) AS m1
+  FROM words GROUP BY 1 ORDER BY count(*) DESC, source LIMIT 1
+),
+cov1 AS (SELECT word FROM words JOIN p1 ON source = s1),
+rem2 AS (SELECT * FROM words ANTI JOIN cov1 USING (word)),
+p2 AS (
+  SELECT source AS s2, CAST(count(*) AS BIGINT) AS m2
+  FROM rem2 GROUP BY 1 ORDER BY count(*) DESC, source LIMIT 1
+),
+cov2 AS (SELECT word FROM rem2 JOIN p2 ON source = s2),
+rem3 AS (SELECT * FROM rem2 ANTI JOIN cov2 USING (word)),
+p3 AS (
+  SELECT source AS s3, CAST(count(*) AS BIGINT) AS m3
+  FROM rem3 GROUP BY 1 ORDER BY count(*) DESC, source LIMIT 1
+),
+rounds AS (
+  SELECT 1::BIGINT AS round, s1 AS source, m1 AS marginal_words,
+         m1 AS cumulative_words
+  FROM p1, p2, p3
+  UNION ALL
+  SELECT 2, s2, m2, m1 + m2 FROM p1, p2, p3
+  UNION ALL
+  SELECT 3, s3, m3, m1 + m2 + m3 FROM p1, p2, p3
+)
+SELECT round, source, marginal_words, cumulative_words, universe_words,
+       CAST((1000000 * cumulative_words) // universe_words AS BIGINT)
+         AS coverage_ppm
+FROM rounds CROSS JOIN uni ORDER BY round
+"""
+
+
+def q_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall rank correlation between two source-quality rankings
+    (Kendall, Biometrika 1938) — the metric-agreement check a curation
+    pipeline runs before swapping an expensive ranking signal for a
+    cheap one: do sources ranked by total text volume order the same
+    way as sources ranked by distinct-bigram richness
+    (greedy_max_coverage's coverage unit)? Both rankings are made
+    STRICT total orders (metric desc, source-name tie-break), so
+    τ_a = (C − D) / C(n,2) needs no tie correction and C + D ==
+    C(n,2) is emitted as a self-certifying column. Counts are exact
+    int64 from a bounded ~20-row broadcast self-join over the
+    per-source aggregate (never the corpus); τ itself is ONE
+    unrounded int64/int64 IEEE division. Output: one row — n_sources,
+    concordant, discordant, pairs_total, pairs_ok, tau. Shape: corpus
+    collapses in two hash-aggs, rankings ride two ~20-row windows,
+    the quadratic stage touches only the aggregate."""
+    d = load_table(spark, sf, "documents")
+    norm = normalize_text(F.coalesce("text", F.lit("")))
+    base = d.filter(F.length(norm) > 0).select(
+        F.coalesce("source", F.lit("?")).alias("source"),
+        F.coalesce("n_chars", F.length("text")).cast("long").alias("nc"),
+        F.split(norm, " ").alias("arr"),
+    )
+    vol = base.groupBy("source").agg(F.sum("nc").cast("long").alias("chars"))
+    rich = (
+        base.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "case when size(arr) < 2 then array()"
+                    " else transform(sequence(0, size(arr) - 2),"
+                    " i -> concat(arr[i], ' ', arr[i + 1])) end"
+                )
+            ).alias("bigram"),
+        )
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("bigrams"))
+    )
+    m = vol.join(rich, "source")
+    wv = Window.orderBy(F.desc("chars"), "source")
+    wr = Window.orderBy(F.desc("bigrams"), "source")
+    ranked = m.select(
+        "source",
+        F.row_number().over(wv).cast("long").alias("rank_vol"),
+        F.row_number().over(wr).cast("long").alias("rank_rich"),
+    )
+    r2 = ranked.select(
+        F.col("source").alias("source2"),
+        F.col("rank_vol").alias("rank_vol2"),
+        F.col("rank_rich").alias("rank_rich2"),
+    )
+    pairs = ranked.join(
+        F.broadcast(r2), F.col("source") < F.col("source2")
+    ).select(
+        (
+            (F.col("rank_vol") - F.col("rank_vol2"))
+            * (F.col("rank_rich") - F.col("rank_rich2"))
+            > 0
+        ).alias("conc")
+    )
+    return pairs.agg(
+        F.sum(F.when(F.col("conc"), 1).otherwise(0)).cast("long")
+        .alias("concordant"),
+        F.sum(F.when(F.col("conc"), 0).otherwise(1)).cast("long")
+        .alias("discordant"),
+        F.count("*").cast("long").alias("pairs_total"),
+    ).crossJoin(
+        F.broadcast(m.agg(F.count("*").cast("long").alias("n_sources")))
+    ).select(
+        "n_sources",
+        "concordant",
+        "discordant",
+        "pairs_total",
+        (
+            F.col("concordant") + F.col("discordant")
+            == F.expr("n_sources * (n_sources - 1) div 2")
+        ).alias("pairs_ok"),
+        (
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.expr(
+                "cast(nullif(n_sources * (n_sources - 1) div 2, 0) as double)"
+            )
+        ).alias("tau"),
+    )
+
+
+ORACLE_KENDALL_TAU = """
+WITH base AS (
+  SELECT coalesce(source, '?') AS source,
+         CAST(coalesce(n_chars, length(text)) AS BIGINT) AS nc,
+         string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                          '\\s+', ' ', 'g')), ' ') AS arr
+  FROM documents
+  WHERE length(trim(regexp_replace(lower(coalesce(text, '')),
+                                   '\\s+', ' ', 'g'))) > 0
+),
+vol AS (SELECT source, CAST(sum(nc) AS BIGINT) AS chars
+        FROM base GROUP BY 1),
+rich AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS bigrams
+  FROM (SELECT DISTINCT source, arr[i] || ' ' || arr[i + 1] AS bigram
+        FROM base, LATERAL (SELECT unnest(range(1, len(arr))) AS i) s)
+  GROUP BY 1
+),
+m AS (SELECT * FROM vol JOIN rich USING (source)),
+ranked AS (
+  SELECT source,
+         CAST(row_number() OVER (ORDER BY chars DESC, source) AS BIGINT)
+           AS rank_vol,
+         CAST(row_number() OVER (ORDER BY bigrams DESC, source) AS BIGINT)
+           AS rank_rich
+  FROM m
+),
+pairs AS (
+  SELECT (a.rank_vol - b.rank_vol) * (a.rank_rich - b.rank_rich) > 0 AS conc
+  FROM ranked a JOIN ranked b ON a.source < b.source
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN conc THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(sum(CASE WHEN conc THEN 0 ELSE 1 END) AS BIGINT) AS discordant,
+         CAST(count(*) AS BIGINT) AS pairs_total
+  FROM pairs
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM m)
+SELECT n_sources, concordant, discordant, pairs_total,
+       concordant + discordant = n_sources * (n_sources - 1) // 2
+         AS pairs_ok,
+       CAST(concordant - discordant AS DOUBLE)
+         / CAST(nullif(n_sources * (n_sources - 1) // 2, 0) AS DOUBLE)
+         AS tau
+FROM agg CROSS JOIN ns
+"""
+
+
+def q_graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman–Girvan modularity of two candidate partitions over a
+    planted-structure graph (Newman & Girvan PRE 2004; Q = Σ_c[e_c/m −
+    (d_c/2m)²] — the score community detection optimizes, and the
+    audit that says whether a partition key actually matches the
+    graph's structure before you co-partition 100 TB by it). The
+    graph derives deterministically from document ids: intra-block
+    chain edges (i, i+10) — endpoints share i % 10 — plus sparse
+    cross edges (i, i+1) for i % 7 == 0; both endpoint sets are
+    verified against existing ids. Partition A ('aligned') groups by
+    node % 10 and captures the chains; partition B ('scrambled')
+    groups by an md5 lane of the node id — a hash partition is
+    maximally structure-blind (any affine map like 31·v % 10 would
+    merely RELABEL the residue classes and score identically, the
+    classic modularity-audit trap). Q is computed in EXACT
+    int64 — intra-edge count, per-community degree sums, Σd_c² —
+    and emitted as ONE unrounded division (4m·e_in − Σd_c²)/4m², so
+    the aligned row shows Q ≈ 0.8 and the scrambled row ≈ 0: the
+    measure, demonstrated and oracle-checked. (At 10^10+ edges the
+    4m² product needs the decimal lane; int64 holds through every
+    tested SF with 10^6× headroom.) Shape: ids scan → two
+    existence-semi-joined edge lanes → per-(lane, community)
+    hash-aggs on both the edge and degree tables; nothing quadratic,
+    no SinglePartition exchange."""
+    ids = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("v")
+    )
+    dst10 = ids.select((F.col("v") - 10).alias("src"))
+    dst1 = ids.select((F.col("v") - 1).alias("src"))
+    intra = ids.select(F.col("v").alias("src")).join(
+        dst10, "src", "left_semi"
+    ).select("src", (F.col("src") + 10).alias("dst"))
+    cross = (
+        ids.filter(F.col("v") % 7 == 0)
+        .select(F.col("v").alias("src"))
+        .join(dst1, "src", "left_semi")
+        .select("src", (F.col("src") + 1).alias("dst"))
+    )
+    edges = intra.unionByName(cross)
+    lanes = F.explode(
+        F.array(F.lit("aligned"), F.lit("scrambled"))
+    ).alias("lane")
+
+    def comm(col):
+        md5_mod = F.expr(
+            f"cast(conv(substring(md5(cast({col} as string)), 1, 15),"
+            " 16, 10) as bigint) % 10"
+        )
+        return F.when(
+            F.col("lane") == "aligned", F.col(col) % 10
+        ).otherwise(md5_mod).cast("long")
+
+    ledges = edges.select("src", "dst", lanes).select(
+        "lane",
+        comm("src").alias("cs"),
+        comm("dst").alias("cd"),
+    )
+    m_intra = ledges.groupBy("lane").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.when(F.col("cs") == F.col("cd"), 1).otherwise(0))
+        .cast("long").alias("e_in"),
+    )
+    degs = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    ldegs = degs.select("v", "deg", lanes).select(
+        "lane", comm("v").alias("c"), "deg"
+    )
+    dsq = (
+        ldegs.groupBy("lane", "c")
+        .agg(F.sum("deg").cast("long").alias("dc"))
+        .groupBy("lane")
+        .agg(
+            F.count("*").cast("long").alias("n_communities"),
+            F.sum(F.expr("dc * dc")).cast("long").alias("sum_deg_sq"),
+        )
+    )
+    return (
+        m_intra.join(dsq, "lane")
+        .select(
+            "lane",
+            "m",
+            "e_in",
+            "n_communities",
+            "sum_deg_sq",
+            (
+                F.expr("cast(4 * m * e_in - sum_deg_sq as double)")
+                / F.expr("cast(nullif(4 * m * m, 0) as double)")
+            ).alias("q"),
+        )
+        .orderBy("lane")
+    )
+
+
+ORACLE_GRAPH_MODULARITY = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+intra AS (
+  SELECT a.v AS src, a.v + 10 AS dst
+  FROM ids a SEMI JOIN ids b ON a.v + 10 = b.v
+),
+cross_e AS (
+  SELECT a.v AS src, a.v + 1 AS dst
+  FROM ids a SEMI JOIN ids b ON a.v + 1 = b.v
+  WHERE a.v % 7 = 0
+),
+edges AS (SELECT * FROM intra UNION ALL SELECT * FROM cross_e),
+ledges AS (
+  SELECT s.lane,
+         CASE WHEN s.lane = 'aligned' THEN src % 10
+              ELSE ('0x' || substring(md5(CAST(src AS VARCHAR)), 1, 15))::BIGINT
+                   % 10 END AS cs,
+         CASE WHEN s.lane = 'aligned' THEN dst % 10
+              ELSE ('0x' || substring(md5(CAST(dst AS VARCHAR)), 1, 15))::BIGINT
+                   % 10 END AS cd
+  FROM edges, LATERAL (SELECT unnest(['aligned', 'scrambled']) AS lane) s
+),
+m_intra AS (
+  SELECT lane, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS BIGINT) AS e_in
+  FROM ledges GROUP BY 1
+),
+degs AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
+  GROUP BY 1
+),
+ldegs AS (
+  SELECT s.lane,
+         CASE WHEN s.lane = 'aligned' THEN v % 10
+              ELSE ('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT
+                   % 10 END AS c,
+         deg
+  FROM degs, LATERAL (SELECT unnest(['aligned', 'scrambled']) AS lane) s
+),
+dsq AS (
+  SELECT lane, CAST(count(*) AS BIGINT) AS n_communities,
+         CAST(sum(dc * dc) AS BIGINT) AS sum_deg_sq
+  FROM (SELECT lane, c, CAST(sum(deg) AS BIGINT) AS dc
+        FROM ldegs GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT lane, m, e_in, n_communities, sum_deg_sq,
+       CAST(4 * m * e_in - sum_deg_sq AS DOUBLE)
+         / CAST(nullif(4 * m * m, 0) AS DOUBLE) AS q
+FROM m_intra JOIN dsq USING (lane) ORDER BY lane
+"""
+
+
+def q_secretary_stopping(spark: SparkSession, sf: str) -> DataFrame:
+    """Secretary-problem stopping-rule census (Lindley 1961; Dynkin
+    1963 — observe a fraction, then take the first candidate beating
+    everything observed; success probability peaks at the 1/e ≈ 37%
+    observation fraction): the online-decision law behind 'sample the
+    stream, then commit' choices a crawler makes when it must pick ONE
+    mirror/endpoint per host from a stream it sees once. Sequences =
+    each user's events in event_id order; scores = the unique md5 lane
+    of event_id (derandomized, strict total order, so 'best' is
+    well-defined); for every observation fraction k ∈ {10..90}% the
+    rule observes ⌊k·n/100⌋ items, then picks the first later item
+    above the observed max (no such item → failure). Output per k:
+    sequences, successes, success ppm — the curve RISES to the ~37%
+    row and falls after, measured exactly. Shape: one scan → per-user
+    rank window → a 9-wide threshold explode joined back on user (the
+    observation max and the first qualifying pick are hash-aggs —
+    min-by-rank via min(struct)), success compared against the
+    per-user global max; every join keys on user, nothing quadratic,
+    no SinglePartition exchange."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "cast(conv(substring(md5(cast(event_id as string)), 1, 15),"
+            " 16, 10) as bigint)"
+        ).alias("score"),
+    ).withColumn("rn", F.row_number().over(w).cast("long"))
+    per_user = base.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("score").cast("long").alias("gmax"),
+    )
+    hk = per_user.select(
+        "user_id",
+        "n",
+        "gmax",
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in range(10, 100, 10)])
+        ).alias("k"),
+    ).withColumn("cutoff", F.expr("(k * n) div 100"))
+    obs = (
+        base.join(hk.select("user_id", "k", "cutoff"), "user_id")
+        .filter(F.col("rn") <= F.col("cutoff"))
+        .groupBy("user_id", "k")
+        .agg(F.max("score").cast("long").alias("obs_max"))
+    )
+    hko = hk.join(obs, ["user_id", "k"], "left")
+    picks = (
+        base.join(
+            hko.select("user_id", "k", "cutoff", "obs_max"), "user_id"
+        )
+        .filter(
+            (F.col("rn") > F.col("cutoff"))
+            & (F.col("score") > F.coalesce("obs_max", F.lit(-1)))
+        )
+        .groupBy("user_id", "k")
+        .agg(F.min(F.struct("rn", "score")).alias("first_pick"))
+        .select(
+            "user_id", "k", F.col("first_pick.score").alias("picked")
+        )
+    )
+    judged = hko.join(picks, ["user_id", "k"], "left").select(
+        "k",
+        (F.col("picked").isNotNull() & (F.col("picked") == F.col("gmax")))
+        .alias("success"),
+    )
+    return (
+        judged.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("sequences"),
+            F.sum(F.when(F.col("success"), 1).otherwise(0))
+            .cast("long").alias("successes"),
+        )
+        .select(
+            "k",
+            "sequences",
+            "successes",
+            F.expr("(1000000 * successes) div nullif(sequences, 0)")
+            .cast("long").alias("success_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+ORACLE_SECRETARY_STOPPING = """
+WITH base AS (
+  SELECT user_id, event_id,
+         ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           AS score,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+              AS BIGINT) AS rn
+  FROM events
+),
+per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(max(score) AS BIGINT) AS gmax
+  FROM base GROUP BY 1
+),
+hk AS (
+  SELECT user_id, n, gmax, s.k AS k, (s.k * n) // 100 AS cutoff
+  FROM per_user,
+       LATERAL (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]::BIGINT[])
+                AS k) s
+),
+obs AS (
+  SELECT b.user_id, h.k, CAST(max(b.score) AS BIGINT) AS obs_max
+  FROM base b JOIN hk h ON b.user_id = h.user_id AND b.rn <= h.cutoff
+  GROUP BY 1, 2
+),
+hko AS (
+  SELECT h.*, o.obs_max
+  FROM hk h LEFT JOIN obs o ON h.user_id = o.user_id AND h.k = o.k
+),
+picks AS (
+  SELECT user_id, k, picked FROM (
+    SELECT h.user_id, h.k, b.score AS picked,
+           row_number() OVER (PARTITION BY h.user_id, h.k
+                              ORDER BY b.rn) AS pr
+    FROM hko h JOIN base b
+      ON b.user_id = h.user_id AND b.rn > h.cutoff
+     AND b.score > coalesce(h.obs_max, -1)
+  ) WHERE pr = 1
+),
+judged AS (
+  SELECT h.k,
+         p.picked IS NOT NULL AND p.picked = h.gmax AS success
+  FROM hko h LEFT JOIN picks p ON h.user_id = p.user_id AND h.k = p.k
+)
+SELECT k,
+       CAST(count(*) AS BIGINT) AS sequences,
+       CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT)
+         AS successes,
+       CAST((1000000 * sum(CASE WHEN success THEN 1 ELSE 0 END))
+            // nullif(count(*), 0) AS BIGINT) AS success_ppm
+FROM judged GROUP BY 1 ORDER BY k
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
@@ -17038,6 +18652,24 @@ QUERIES: dict[str, tuple] = {
     "elias_fano_size": (q_elias_fano_size, ORACLE_ELIAS_FANO_SIZE),
     "link_rot_halflife": (q_link_rot_halflife, ORACLE_LINK_ROT_HALFLIFE),
     "cdc_stability": (q_cdc_stability, ORACLE_CDC_STABILITY),
+    "edf_feasibility": (q_edf_feasibility, ORACLE_EDF_FEASIBILITY),
+    "littles_law": (q_littles_law, ORACLE_LITTLES_LAW),
+    "dict_encoding_sizing": (q_dict_encoding_sizing, ORACLE_DICT_ENCODING_SIZING),
+    "partial_agg_reduction": (
+        q_partial_agg_reduction,
+        ORACLE_PARTIAL_AGG_REDUCTION,
+    ),
+    "flesch_reading_ease": (q_flesch_reading_ease, ORACLE_FLESCH_READING_EASE),
+    "clustering_ari": (q_clustering_ari, ORACLE_CLUSTERING_ARI),
+    "sjf_vs_fifo": (q_sjf_vs_fifo, ORACLE_SJF_VS_FIFO),
+    "sampled_quantile_error": (
+        q_sampled_quantile_error,
+        ORACLE_SAMPLED_QUANTILE_ERROR,
+    ),
+    "greedy_max_coverage": (q_greedy_max_coverage, ORACLE_GREEDY_MAX_COVERAGE),
+    "kendall_tau": (q_kendall_tau, ORACLE_KENDALL_TAU),
+    "graph_modularity": (q_graph_modularity, ORACLE_GRAPH_MODULARITY),
+    "secretary_stopping": (q_secretary_stopping, ORACLE_SECRETARY_STOPPING),
 }
 
 

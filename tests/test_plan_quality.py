@@ -1598,3 +1598,150 @@ def test_cdc_stability_partitioned_runs(spark):
     plan = _plan(q_cdc_stability(spark, SF))
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_edf_feasibility_partitioned_prefix(spark):
+    """edf_feasibility: the deadline-universe scalar comes back as a
+    broadcast (never a shuffled join); prefix demand and the critical
+    rank ride host-partitioned windows — no SinglePartition exchange,
+    no cartesian."""
+    from crawlers_spark.queries import q_edf_feasibility
+
+    plan = _plan(q_edf_feasibility(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_littles_law_sweep_line_one_sort(spark):
+    """littles_law: each task explodes into exactly two ticks and the
+    cumsum + lead both ride ONE host-partitioned sort; no global
+    window, one events scan."""
+    from crawlers_spark.queries import q_littles_law
+
+    plan = _plan(q_littles_law(spark, SF))
+    assert "Generate" in plan  # the 2-wide tick explode
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Scan parquet") == 2  # one scan: tree node + details
+
+
+def test_dict_encoding_sizing_pruned_scans(spark):
+    """dict_encoding_sizing: every lane prunes to a ONE-column scan
+    (ReadSchema is the single audited column) and the (col, value)
+    collapse is a hash-agg, never a sort-agg."""
+    from crawlers_spark.queries import q_dict_encoding_sizing
+
+    plan = _plan(q_dict_encoding_sizing(spark, SF))
+    assert "ReadSchema: struct<source:string>" in plan
+    assert "ReadSchema: struct<text:string>" in plan
+    assert "SortAggregate" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_partial_agg_reduction_two_level_hashagg(spark):
+    """partial_agg_reduction: one events scan through a 3-wide lane
+    explode into the two-level (lane,split,key) → lane hash-agg pair —
+    the partial/final shape the law itself describes."""
+    from crawlers_spark.queries import q_partial_agg_reduction
+
+    plan = _plan(q_partial_agg_reduction(spark, SF))
+    assert plan.count("Scan parquet") == 2  # one scan: tree node + details
+    assert "Generate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_flesch_reading_ease_hash_aggs(spark):
+    """flesch_reading_ease: the explode feeds hash-aggs (numeric agg
+    buffers) and the doc↔sentence join never becomes a cartesian."""
+    from crawlers_spark.queries import q_flesch_reading_ease
+
+    plan = _plan(q_flesch_reading_ease(spark, SF))
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_clustering_ari_no_pair_enumeration(spark):
+    """clustering_ari: pair counts come from C(n,2) arithmetic on
+    hash-agg outputs — the plan contains NO join between document
+    rows (only the 1-row broadcast combines at the end)."""
+    from crawlers_spark.queries import q_clustering_ari
+
+    plan = _plan(q_clustering_ari(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row result combine
+
+
+def test_sjf_vs_fifo_shared_partitioning(spark):
+    """sjf_vs_fifo: all three discipline windows ride the same host
+    hash-partitioning (one exchange), no SinglePartition, no joins."""
+    from crawlers_spark.queries import q_sjf_vs_fifo
+
+    plan = _plan(q_sjf_vs_fifo(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # one hash exchange feeds all three discipline sorts; the only other
+    # exchange is the final display orderBy's range partitioning
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "hashpartitioning" in plan
+
+
+def test_sampled_quantile_error_bounded_sample(spark):
+    """sampled_quantile_error: the md5 bottom-k filter bounds the
+    sample lane before its rank; the final combine of two ~5-row
+    aggregates broadcasts."""
+    from crawlers_spark.queries import q_sampled_quantile_error
+
+    plan = _plan(q_sampled_quantile_error(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_greedy_max_coverage_bounded_rounds(spark):
+    """greedy_max_coverage: each round's argmax is a bounded
+    TakeOrdered, the retirements are broadcast anti-joins, and no
+    cartesian/SMJ appears anywhere in the 3-round plan."""
+    from crawlers_spark.queries import q_greedy_max_coverage
+
+    plan = _plan(q_greedy_max_coverage(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_kendall_tau_quadratic_on_aggregate_only(spark):
+    """kendall_tau: the O(n²) pair stage is a broadcast nested-loop
+    over the ~20-row per-source AGGREGATE (inequality join), never the
+    corpus; no SMJ/cartesian."""
+    from crawlers_spark.queries import q_kendall_tau
+
+    plan = _plan(q_kendall_tau(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_graph_modularity_no_quadratic(spark):
+    """graph_modularity: edges come from two existence semi-joins, Q
+    from hash-aggs on the edge/degree tables — nothing quadratic, no
+    SinglePartition exchange."""
+    from crawlers_spark.queries import q_graph_modularity
+
+    plan = _plan(q_graph_modularity(spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_secretary_stopping_user_keyed_joins(spark):
+    """secretary_stopping: every join keys on user (hash joins), the
+    9-wide threshold explode rides the per-user aggregate, no
+    cartesian, no SinglePartition exchange."""
+    from crawlers_spark.queries import q_secretary_stopping
+
+    plan = _plan(q_secretary_stopping(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
