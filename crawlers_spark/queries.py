@@ -18333,6 +18333,371 @@ FROM judged GROUP BY 1 ORDER BY k
 """
 
 
+def q_url_front_coding(spark: SparkSession, sf: str) -> DataFrame:
+    """Front-coding compression of the sorted URL frontier (the
+    WebGraph/Bharat-Broder URL-list trick: store each sorted URL as
+    the longest-common-prefix length with its predecessor + the
+    suffix — crawl frontiers compress 5-20× because same-host URLs
+    share long prefixes): per host partition, URLs sort
+    lexicographically, the LCP with the predecessor is computed
+    EXACTLY via a higher-order-function scan (first mismatching
+    character position over the shared length — no UDF, pure
+    codegen'd array lambdas in Spark / list lambdas in DuckDB), and
+    the report gives raw bytes, front-coded bytes (suffix + 2-byte
+    LCP varint slot), saved ppm, and mean LCP — all int64. URLs
+    derive deterministically from events (host = user_id % 50, two
+    path levels from event_id). Shape: one scan → one host-
+    partitioned sort window (lag + LCP ride it) → one hash-agg; the
+    sort-within-host is exactly how a frontier shard serializes its
+    queue at scale."""
+    ev = load_table(spark, sf, "events")
+    urls = ev.select(
+        (F.col("user_id") % 50).cast("long").alias("host"),
+        "event_id",
+        F.concat(
+            F.lit("http://host"), (F.col("user_id") % 50).cast("string"),
+            F.lit(".test/sec"), (F.col("event_id") % 7).cast("string"),
+            F.lit("/page"), ((F.col("event_id") * 13) % 1000).cast("string"),
+            F.lit("-"), F.col("event_id").cast("string"),
+        ).alias("url"),
+    )
+    w = Window.partitionBy("host").orderBy("url", "event_id")
+    lagged = urls.select(
+        "host",
+        "url",
+        F.lag("url").over(w).alias("prev"),
+    )
+    # Spark array_position returns 0 (not NULL) when absent — nullif
+    # routes the all-chars-equal case to the shared-length fallback
+    lcp = F.expr(
+        "case when prev is null then 0L else coalesce("
+        "  nullif(array_position("
+        "    transform(sequence(1, least(length(url), length(prev))),"
+        "      i -> substring(url, i, 1) = substring(prev, i, 1)),"
+        "    false), 0) - 1,"
+        "  least(length(url), length(prev))) end"
+    )
+    coded = lagged.select(
+        "host",
+        F.length("url").cast("long").alias("raw_bytes"),
+        lcp.cast("long").alias("lcp"),
+    )
+    return (
+        coded.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum("raw_bytes").cast("long").alias("raw_bytes"),
+            F.sum(F.expr("raw_bytes - lcp + 2")).cast("long")
+            .alias("coded_bytes"),
+            F.sum("lcp").cast("long").alias("lcp_total"),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "raw_bytes",
+            "coded_bytes",
+            F.expr(
+                "(1000000 * (raw_bytes - coded_bytes)) div nullif(raw_bytes, 0)"
+            ).cast("long").alias("saved_ppm"),
+            F.expr("lcp_total div n_urls").cast("long").alias("mean_lcp"),
+        )
+        .orderBy("host")
+    )
+
+
+ORACLE_URL_FRONT_CODING = """
+WITH urls AS (
+  SELECT CAST(user_id % 50 AS BIGINT) AS host, event_id,
+         'http://host' || CAST(user_id % 50 AS VARCHAR)
+           || '.test/sec' || CAST(event_id % 7 AS VARCHAR)
+           || '/page' || CAST((event_id * 13) % 1000 AS VARCHAR)
+           || '-' || CAST(event_id AS VARCHAR) AS url
+  FROM events
+),
+lagged AS (
+  SELECT host, url,
+         lag(url) OVER (PARTITION BY host ORDER BY url, event_id) AS prev
+  FROM urls
+),
+coded AS (
+  SELECT host,
+         CAST(length(url) AS BIGINT) AS raw_bytes,
+         CAST(CASE WHEN prev IS NULL THEN 0 ELSE coalesce(
+           list_position(
+             list_transform(range(1, least(length(url), length(prev)) + 1),
+               i -> substring(url, i, 1) = substring(prev, i, 1)),
+             false) - 1,
+           least(length(url), length(prev))) END AS BIGINT) AS lcp
+  FROM lagged
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(raw_bytes) AS BIGINT) AS raw_bytes,
+       CAST(sum(raw_bytes - lcp + 2) AS BIGINT) AS coded_bytes,
+       CAST((1000000 * (sum(raw_bytes) - sum(raw_bytes - lcp + 2)))
+            // nullif(sum(raw_bytes), 0) AS BIGINT) AS saved_ppm,
+       CAST(sum(lcp) // count(*) AS BIGINT) AS mean_lcp
+FROM coded GROUP BY host ORDER BY host
+"""
+
+
+def q_ivm_delta_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance of an aggregate — the delta-merge
+    law that lets a 100-TB metrics table absorb a new crawl batch
+    without recomputation (Blakeley et al. SIGMOD'86; weighted-row
+    deltas with retractions are the Differential-Dataflow/Materialize
+    formulation): maintain per-event-type (count, value-sum-e2) under
+    a delta batch containing INSERTS (events with event_id % 4 == 0)
+    and RETRACTIONS (weight −1 rows for base events with event_id %
+    8 == 1 — corrections for rows already ingested). The query
+    computes the merged view (base aggregate + weighted delta
+    aggregate) AND the ground truth (full recompute over base ∪
+    inserts − retracted) in one plan, emitting both plus ivm_ok —
+    true iff count and e2-sum match EXACTLY (integer lanes, no float
+    drift possible). Shape: one scan split by filters into three
+    hash-agg lanes merged on event_type; the delta lane touches only
+    delta rows, which is the entire point of IVM at scale."""
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        F.coalesce("event_type", F.lit("?")).alias("event_type"),
+        F.coalesce(
+            F.round(F.col("value") * 100).cast("long"), F.lit(0)
+        ).alias("v_e2"),
+    )
+    base = ev.filter(F.col("event_id") % 4 != 0)
+    inserts = ev.filter(F.col("event_id") % 4 == 0)
+    retract_ids = F.col("event_id") % 8 == 1
+    base_agg = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("base_n"),
+        F.sum("v_e2").cast("long").alias("base_sum_e2"),
+    )
+    delta = inserts.select(
+        "event_type", "v_e2", F.lit(1).cast("long").alias("wt")
+    ).unionByName(
+        base.filter(retract_ids).select(
+            "event_type", "v_e2", F.lit(-1).cast("long").alias("wt")
+        )
+    )
+    delta_agg = delta.groupBy("event_type").agg(
+        F.sum("wt").cast("long").alias("delta_n"),
+        F.sum(F.col("wt") * F.col("v_e2")).cast("long").alias("delta_sum_e2"),
+    )
+    truth = (
+        base.filter(~retract_ids)
+        .unionByName(inserts)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("true_n"),
+            F.sum("v_e2").cast("long").alias("true_sum_e2"),
+        )
+    )
+    return (
+        base_agg.join(delta_agg, "event_type", "full")
+        .join(truth, "event_type", "full")
+        .select(
+            "event_type",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("delta_n", F.lit(0)).alias("delta_n"),
+            (
+                F.coalesce("base_n", F.lit(0))
+                + F.coalesce("delta_n", F.lit(0))
+            ).alias("merged_n"),
+            F.coalesce("true_n", F.lit(0)).alias("true_n"),
+            (
+                F.coalesce("base_sum_e2", F.lit(0))
+                + F.coalesce("delta_sum_e2", F.lit(0))
+            ).alias("merged_sum_e2"),
+            F.coalesce("true_sum_e2", F.lit(0)).alias("true_sum_e2"),
+            (
+                (
+                    F.coalesce("base_n", F.lit(0))
+                    + F.coalesce("delta_n", F.lit(0))
+                    == F.coalesce("true_n", F.lit(0))
+                )
+                & (
+                    F.coalesce("base_sum_e2", F.lit(0))
+                    + F.coalesce("delta_sum_e2", F.lit(0))
+                    == F.coalesce("true_sum_e2", F.lit(0))
+                )
+            ).alias("ivm_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_IVM_DELTA_AGG = """
+WITH ev AS (
+  SELECT event_id,
+         coalesce(event_type, '?') AS event_type,
+         coalesce(CAST(round(value * 100) AS BIGINT), 0) AS v_e2
+  FROM events
+),
+base AS (SELECT * FROM ev WHERE event_id % 4 != 0),
+inserts AS (SELECT * FROM ev WHERE event_id % 4 = 0),
+base_agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS base_n,
+         CAST(sum(v_e2) AS BIGINT) AS base_sum_e2
+  FROM base GROUP BY 1
+),
+delta AS (
+  SELECT event_type, v_e2, CAST(1 AS BIGINT) AS wt FROM inserts
+  UNION ALL
+  SELECT event_type, v_e2, CAST(-1 AS BIGINT) FROM base
+  WHERE event_id % 8 = 1
+),
+delta_agg AS (
+  SELECT event_type, CAST(sum(wt) AS BIGINT) AS delta_n,
+         CAST(sum(wt * v_e2) AS BIGINT) AS delta_sum_e2
+  FROM delta GROUP BY 1
+),
+truth AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS true_n,
+         CAST(sum(v_e2) AS BIGINT) AS true_sum_e2
+  FROM (SELECT * FROM base WHERE event_id % 8 != 1
+        UNION ALL SELECT * FROM inserts)
+  GROUP BY 1
+)
+SELECT event_type,
+       coalesce(base_n, 0) AS base_n,
+       coalesce(delta_n, 0) AS delta_n,
+       coalesce(base_n, 0) + coalesce(delta_n, 0) AS merged_n,
+       coalesce(true_n, 0) AS true_n,
+       coalesce(base_sum_e2, 0) + coalesce(delta_sum_e2, 0)
+         AS merged_sum_e2,
+       coalesce(true_sum_e2, 0) AS true_sum_e2,
+       coalesce(base_n, 0) + coalesce(delta_n, 0) = coalesce(true_n, 0)
+         AND coalesce(base_sum_e2, 0) + coalesce(delta_sum_e2, 0)
+             = coalesce(true_sum_e2, 0) AS ivm_ok
+FROM base_agg
+FULL JOIN delta_agg USING (event_type)
+FULL JOIN truth USING (event_type)
+ORDER BY event_type
+"""
+
+
+def q_watermark_lateness(spark: SparkSession, sf: str) -> DataFrame:
+    """Allowed-lateness sizing curve for watermarked streaming
+    aggregation (the MillWheel/Dataflow low-watermark model, Akidau
+    et al. VLDB'15): with watermark = max event-time seen so far
+    minus delay d, an arriving event is DROPPED iff its event time is
+    already below the watermark; larger d saves more late events but
+    holds more open windows. Arrival order derives deterministically:
+    arrival = event time + an md5 transit-jitter of 0-2 h (wide
+    enough to genuinely reorder this log's inter-arrival gaps, the
+    regime where lateness policy matters). For each d ∈ {0, 5 min,
+    15 min, 30 min, 1 h, 2 h} the census reports drops and ppm — the
+    curve an operator reads to pick allowedLateness. The watermark
+    is tracked PER SOURCE SHARD (user_id % 8 — the partition-local
+    watermark Spark computes before min-merging across partitions),
+    so the running max of event time over earlier arrivals rides a
+    shard-partitioned window, never a single-partition global sort;
+    a 6-wide threshold explode then classifies every event against
+    every d — exact int64 microseconds throughout. Shape: one scan,
+    one partitioned window sort, one explode, one hash-agg; the same
+    sweep the streaming engine's state store would answer with
+    metrics, done declaratively."""
+    ev = load_table(spark, sf, "events")
+    base = ev.select(
+        "event_id",
+        (F.col("user_id") % 8).cast("long").alias("shard"),
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp'2024-01-01', ts)"
+        ).cast("long").alias("t_us"),
+    ).select(
+        "event_id",
+        "shard",
+        "t_us",
+        (
+            F.col("t_us")
+            + F.expr(
+                "cast(conv(substring(md5(cast(event_id as string)), 1, 15),"
+                " 16, 10) as bigint) % 7200000000"
+            )
+        ).alias("arrival_us"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        "arrival_us", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    marked = base.select(
+        "event_id",
+        "t_us",
+        F.max("t_us").over(w).alias("seen_max_us"),
+    )
+    lanes = marked.select(
+        "t_us",
+        "seen_max_us",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(d).cast("long")
+                    for d in (0, 300000000, 900000000, 1800000000,
+                              3600000000, 7200000000)
+                ]
+            )
+        ).alias("delay_us"),
+    )
+    return (
+        lanes.groupBy("delay_us")
+        .agg(
+            F.count("*").cast("long").alias("events"),
+            F.sum(
+                F.when(
+                    F.col("t_us")
+                    < F.col("seen_max_us") - F.col("delay_us"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("dropped"),
+        )
+        .select(
+            "delay_us",
+            "events",
+            "dropped",
+            F.expr("(1000000 * dropped) div nullif(events, 0)")
+            .cast("long").alias("drop_ppm"),
+        )
+        .orderBy("delay_us")
+    )
+
+
+ORACLE_WATERMARK_LATENESS = """
+WITH base AS (
+  SELECT event_id,
+         CAST(user_id % 8 AS BIGINT) AS shard,
+         CAST(date_diff('microsecond', TIMESTAMP '2024-01-01', ts)
+              AS BIGINT) AS t_us
+  FROM events
+),
+arr AS (
+  SELECT event_id, shard, t_us,
+         t_us + ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                  ::BIGINT % 7200000000 AS arrival_us
+  FROM base
+),
+marked AS (
+  SELECT event_id, t_us,
+         max(t_us) OVER (PARTITION BY shard ORDER BY arrival_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS seen_max_us
+  FROM arr
+),
+lanes AS (
+  SELECT t_us, seen_max_us, s.delay_us AS delay_us
+  FROM marked,
+       LATERAL (SELECT unnest([0, 300000000, 900000000, 1800000000,
+                               3600000000, 7200000000]::BIGINT[])
+                AS delay_us) s
+)
+SELECT delay_us,
+       CAST(count(*) AS BIGINT) AS events,
+       CAST(sum(CASE WHEN t_us < seen_max_us - delay_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+       CAST((1000000 * sum(CASE WHEN t_us < seen_max_us - delay_us
+                                THEN 1 ELSE 0 END))
+            // nullif(count(*), 0) AS BIGINT) AS drop_ppm
+FROM lanes GROUP BY 1 ORDER BY delay_us
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
@@ -18670,6 +19035,9 @@ QUERIES: dict[str, tuple] = {
     "kendall_tau": (q_kendall_tau, ORACLE_KENDALL_TAU),
     "graph_modularity": (q_graph_modularity, ORACLE_GRAPH_MODULARITY),
     "secretary_stopping": (q_secretary_stopping, ORACLE_SECRETARY_STOPPING),
+    "url_front_coding": (q_url_front_coding, ORACLE_URL_FRONT_CODING),
+    "ivm_delta_agg": (q_ivm_delta_agg, ORACLE_IVM_DELTA_AGG),
+    "watermark_lateness": (q_watermark_lateness, ORACLE_WATERMARK_LATENESS),
 }
 
 

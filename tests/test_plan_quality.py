@@ -1745,3 +1745,36 @@ def test_secretary_stopping_user_keyed_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_url_front_coding_partitioned_sort(spark):
+    """url_front_coding: the LCP scan is pure codegen'd array lambdas
+    riding ONE host-partitioned sort window — no UDF, no
+    SinglePartition, no join."""
+    from crawlers_spark.queries import q_url_front_coding
+
+    plan = _plan(q_url_front_coding(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivm_delta_agg_three_hashagg_lanes(spark):
+    """ivm_delta_agg: base/delta/truth are three hash-agg lanes over
+    one scan, merged by key — no sort-aggs, no cartesian."""
+    from crawlers_spark.queries import q_ivm_delta_agg
+
+    plan = _plan(q_ivm_delta_agg(spark, SF))
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_watermark_lateness_sharded_window(spark):
+    """watermark_lateness: the running event-time max rides a
+    shard-partitioned window (the partition-local watermark), never a
+    global single-partition sort."""
+    from crawlers_spark.queries import q_watermark_lateness
+
+    plan = _plan(q_watermark_lateness(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "Generate" in plan
