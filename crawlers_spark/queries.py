@@ -18698,6 +18698,314 @@ FROM lanes GROUP BY 1 ORDER BY delay_us
 """
 
 
+def q_static_cache_hit_law(spark: SparkSession, sf: str) -> DataFrame:
+    """Static-cache hit-rate law under a heavy-tailed request stream
+    (Breslau et al. INFOCOM'99: Zipf-family request popularity makes
+    small frequency-ordered caches capture most traffic — why
+    DNS/robots/page caches work). The corpus vocabulary is uniform by
+    construction, so the request stream derives from events via an
+    INTEGER inverse-power transform of the md5 lane: key =
+    N div (r+1) with r uniform on [0, N) gives P(key = k) =
+    1/(k(k+1)) exactly (Zipf-family, tail exponent 2), so the top-C
+    cache's expected mass is C/(C+1) — emitted as theory_ppm =
+    (10^6·C) div (C+1) next to the measured hit ppm, law vs
+    measurement in one table. For C ∈ {1, 2, 4, 16, 64, 256}:
+    cached keys (≤ C), hits, measured hit ppm, theory ppm — all
+    int64. Shape: one scan → one key hash-agg; rank + prefix sum
+    ride the bounded realized-key frame (hundreds of keys ≪ corpus,
+    same bounded-window convention as kendall_tau)."""
+    ev = load_table(spark, sf, "events")
+    reqs = ev.select(
+        F.expr(
+            "100000 div ((cast(conv(substring(md5(cast(event_id as"
+            " string)), 1, 15), 16, 10) as bigint) % 100000) + 1)"
+        ).cast("long").alias("key")
+    )
+    wc = reqs.groupBy("key").agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy(F.desc("n"), "key")
+    ranked = wc.select(
+        "n",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cum_hits"),
+    )
+    total = wc.agg(
+        F.sum("n").cast("long").alias("total_requests"),
+        F.count("*").cast("long").alias("universe"),
+    )
+    sizes = ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "cum_hits",
+        "total_requests",
+        "universe",
+        F.explode(
+            F.array(*[F.lit(c).cast("long") for c in (1, 2, 4, 16, 64, 256)])
+        ).alias("cache_size"),
+    ).filter(F.col("rank") <= F.col("cache_size"))
+    return (
+        sizes.groupBy("cache_size")
+        .agg(
+            F.max("rank").cast("long").alias("cached_keys"),
+            F.max("cum_hits").cast("long").alias("hits"),
+            F.max("total_requests").cast("long").alias("total_requests"),
+            F.max("universe").cast("long").alias("universe"),
+        )
+        .select(
+            "cache_size",
+            "cached_keys",
+            "hits",
+            "total_requests",
+            "universe",
+            F.expr("(1000000 * hits) div nullif(total_requests, 0)")
+            .cast("long").alias("hit_ppm"),
+            F.expr("(1000000 * cache_size) div (cache_size + 1)")
+            .cast("long").alias("theory_ppm"),
+        )
+        .orderBy("cache_size")
+    )
+
+
+ORACLE_STATIC_CACHE_HIT_LAW = """
+WITH reqs AS (
+  SELECT CAST(100000 // ((('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                    1, 15))::BIGINT % 100000) + 1)
+              AS BIGINT) AS key
+  FROM events
+),
+wc AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM reqs GROUP BY 1),
+ranked AS (
+  SELECT n,
+         CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank,
+         CAST(sum(n) OVER (ORDER BY n DESC, key
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS cum_hits
+  FROM wc
+),
+total AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_requests,
+         CAST(count(*) AS BIGINT) AS universe
+  FROM wc
+),
+sizes AS (
+  SELECT r.rank, r.cum_hits, t.total_requests, t.universe,
+         s.cache_size AS cache_size
+  FROM ranked r CROSS JOIN total t,
+       LATERAL (SELECT unnest([1, 2, 4, 16, 64, 256]::BIGINT[])
+                AS cache_size) s
+  WHERE r.rank <= s.cache_size
+)
+SELECT cache_size,
+       CAST(max(rank) AS BIGINT) AS cached_keys,
+       CAST(max(cum_hits) AS BIGINT) AS hits,
+       CAST(max(total_requests) AS BIGINT) AS total_requests,
+       CAST(max(universe) AS BIGINT) AS universe,
+       CAST((1000000 * max(cum_hits)) // nullif(max(total_requests), 0)
+            AS BIGINT) AS hit_ppm,
+       CAST((1000000 * cache_size) // (cache_size + 1) AS BIGINT)
+         AS theory_ppm
+FROM sizes GROUP BY 1 ORDER BY cache_size
+"""
+
+
+def q_bm25_param_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 parameter-sensitivity sweep — the tf-saturation knob k1
+    and the length-normalization knob b (Robertson & Zaragoza
+    FnTIR'09 §3.4.1: k1→0 collapses tf to presence, b=0 ignores
+    document length, b=1 fully normalizes) measured as ranking churn
+    against the (k1=1.2, b=0.75) default over the same fixed 3-term
+    query as bm25_search. Five variants — k1 ∈ {0.3, 1.2, 3.0} at
+    b=0.75 plus b ∈ {0, 1} at k1=1.2 — each rank documents (6-dp
+    rounded score, doc_id tie-break); the report compares each
+    variant's top 10 with the baseline's: overlap, exact set-Jaccard
+    ppm, and the largest rank shift among common docs — the table
+    that says which knob actually reorders results on THIS corpus
+    (tf averages ~2.3, so k1 churns mildly; b swings length
+    normalization across the spread of doc lengths). Every score is
+    the same pure expression of int64 counts evaluated identically
+    in both engines; set arithmetic is exact integers. Shape: the
+    tf/df/dl lanes are computed ONCE and a 5-wide (k1,b) explode
+    reuses them; per-variant ranks ride one window; the final
+    compare joins two ≤10-row frames."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = (
+        d.filter(F.length(norm) > 0)
+        .select("doc_id", F.explode(F.split(norm, " ")).alias("word"))
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double"))
+        .alias("avgdl"),
+    )
+    tf = (
+        words.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    variants = [
+        (3, 75), (12, 75), (30, 75), (12, 0), (12, 100),
+    ]
+    contrib = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "word")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("long").alias("k1_e1"),
+                            F.lit(bb).cast("long").alias("b_e2"),
+                        )
+                        for k, bb in variants
+                    ]
+                )
+            ).alias("v"),
+            "tf", "df", "dl", "n_docs", "avgdl",
+        )
+        .select(
+            "doc_id",
+            F.col("v.k1_e1").alias("k1_e1"),
+            F.col("v.b_e2").alias("b_e2"),
+            F.expr(
+                "ln(1.0 + (cast(n_docs - df as double) + 0.5)"
+                " / (cast(df as double) + 0.5))"
+                " * ((cast(tf as double)"
+                "     * (cast(k1_e1 as double) / 10.0 + 1.0))"
+                " / (cast(tf as double)"
+                "    + (cast(k1_e1 as double) / 10.0)"
+                "      * (1.0 - cast(b_e2 as double) / 100.0"
+                "         + (cast(b_e2 as double) / 100.0)"
+                "           * (cast(dl as double) / avgdl))))"
+            ).alias("part"),
+        )
+    )
+    scored = contrib.groupBy("k1_e1", "b_e2", "doc_id").agg(
+        F.round(F.sum("part"), 6).alias("score_q6")
+    )
+    wr = Window.partitionBy("k1_e1", "b_e2").orderBy(
+        F.desc("score_q6"), "doc_id"
+    )
+    top = scored.select(
+        "k1_e1",
+        "b_e2",
+        "doc_id",
+        F.row_number().over(wr).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= 10)
+    base = top.filter(
+        (F.col("k1_e1") == 12) & (F.col("b_e2") == 75)
+    ).select(
+        F.col("doc_id").alias("bdoc"), F.col("rank").alias("base_rank")
+    )
+    joined = top.join(
+        F.broadcast(base), F.col("doc_id") == F.col("bdoc"), "left"
+    )
+    return (
+        joined.groupBy("k1_e1", "b_e2")
+        .agg(
+            F.count("*").cast("long").alias("top_n"),
+            F.sum(F.when(F.col("bdoc").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("overlap_with_base"),
+            F.max(
+                F.when(
+                    F.col("bdoc").isNotNull(),
+                    F.abs(F.col("rank") - F.col("base_rank")),
+                )
+            ).cast("long").alias("max_rank_shift"),
+        )
+        .select(
+            "k1_e1",
+            "b_e2",
+            "top_n",
+            "overlap_with_base",
+            F.expr(
+                "(1000000 * overlap_with_base)"
+                " div nullif(2 * top_n - overlap_with_base, 0)"
+            ).cast("long").alias("jaccard_ppm"),
+            "max_rank_shift",
+        )
+        .orderBy("k1_e1", "b_e2")
+    )
+
+
+ORACLE_BM25_PARAM_SWEEP = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ')) AS word
+  FROM documents
+  WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM words WHERE word IN {_BM25_TERMS!r}
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT t.doc_id, s.x.k1_e1 AS k1_e1, s.x.b_e2 AS b_e2,
+         ln(1.0 + (CAST(st.n_docs - f.df AS DOUBLE) + 0.5)
+                  / (CAST(f.df AS DOUBLE) + 0.5))
+         * ((CAST(t.tf AS DOUBLE)
+             * (CAST(s.x.k1_e1 AS DOUBLE) / 10.0 + 1.0))
+            / (CAST(t.tf AS DOUBLE)
+               + (CAST(s.x.k1_e1 AS DOUBLE) / 10.0)
+                 * (1.0 - CAST(s.x.b_e2 AS DOUBLE) / 100.0
+                    + (CAST(s.x.b_e2 AS DOUBLE) / 100.0)
+                      * (CAST(d.dl AS DOUBLE) / st.avgdl))))
+           AS part
+  FROM tf t
+  JOIN dl d USING (doc_id)
+  JOIN dfreq f USING (word)
+  CROSS JOIN stats st,
+  LATERAL (SELECT unnest([
+    {{'k1_e1': CAST(3 AS BIGINT), 'b_e2': CAST(75 AS BIGINT)}},
+    {{'k1_e1': CAST(12 AS BIGINT), 'b_e2': CAST(75 AS BIGINT)}},
+    {{'k1_e1': CAST(30 AS BIGINT), 'b_e2': CAST(75 AS BIGINT)}},
+    {{'k1_e1': CAST(12 AS BIGINT), 'b_e2': CAST(0 AS BIGINT)}},
+    {{'k1_e1': CAST(12 AS BIGINT), 'b_e2': CAST(100 AS BIGINT)}}]) AS x) s
+),
+scored AS (
+  SELECT k1_e1, b_e2, doc_id, round(sum(part), 6) AS score_q6
+  FROM contrib GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT k1_e1, b_e2, doc_id,
+         CAST(row_number() OVER (PARTITION BY k1_e1, b_e2
+                                 ORDER BY score_q6 DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM scored QUALIFY rank <= 10
+),
+base AS (
+  SELECT doc_id AS bdoc, rank AS base_rank FROM top
+  WHERE k1_e1 = 12 AND b_e2 = 75
+)
+SELECT t.k1_e1, t.b_e2,
+       CAST(count(*) AS BIGINT) AS top_n,
+       CAST(sum(CASE WHEN b.bdoc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS overlap_with_base,
+       CAST((1000000 * sum(CASE WHEN b.bdoc IS NOT NULL THEN 1 ELSE 0 END))
+            // nullif(2 * count(*)
+                      - sum(CASE WHEN b.bdoc IS NOT NULL THEN 1 ELSE 0 END),
+                      0) AS BIGINT) AS jaccard_ppm,
+       CAST(max(CASE WHEN b.bdoc IS NOT NULL
+                     THEN abs(t.rank - b.base_rank) END) AS BIGINT)
+         AS max_rank_shift
+FROM top t LEFT JOIN base b ON t.doc_id = b.bdoc
+GROUP BY 1, 2 ORDER BY t.k1_e1, t.b_e2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
@@ -19038,6 +19346,8 @@ QUERIES: dict[str, tuple] = {
     "url_front_coding": (q_url_front_coding, ORACLE_URL_FRONT_CODING),
     "ivm_delta_agg": (q_ivm_delta_agg, ORACLE_IVM_DELTA_AGG),
     "watermark_lateness": (q_watermark_lateness, ORACLE_WATERMARK_LATENESS),
+    "static_cache_hit_law": (q_static_cache_hit_law, ORACLE_STATIC_CACHE_HIT_LAW),
+    "bm25_param_sweep": (q_bm25_param_sweep, ORACLE_BM25_PARAM_SWEEP),
 }
 
 

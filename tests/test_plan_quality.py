@@ -1778,3 +1778,25 @@ def test_watermark_lateness_sharded_window(spark):
     plan = _plan(q_watermark_lateness(spark, SF))
     assert "Exchange SinglePartition" not in plan
     assert "Generate" in plan
+
+
+def test_static_cache_hit_law_bounded_rank_frame(spark):
+    """static_cache_hit_law: the rank/prefix-sum window rides the
+    bounded realized-key aggregate; the corpus path is one hash-agg."""
+    from crawlers_spark.queries import q_static_cache_hit_law
+
+    plan = _plan(q_static_cache_hit_law(spark, SF))
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_param_sweep_single_lane_reuse(spark):
+    """bm25_param_sweep: tf/df/dl are computed once and the 5-wide
+    (k1,b) struct explode reuses them; dims broadcast; final compare
+    joins ≤10-row frames."""
+    from crawlers_spark.queries import q_bm25_param_sweep
+
+    plan = _plan(q_bm25_param_sweep(spark, SF))
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
