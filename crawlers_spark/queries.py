@@ -19006,6 +19006,482 @@ GROUP BY 1, 2 ORDER BY t.k1_e1, t.b_e2
 """
 
 
+_ERLANG_M = 8
+
+
+def q_erlang_blocking(spark: SparkSession, sf: str) -> DataFrame:
+    """Erlang-B connection-pool sizing (Erlang 1917; the loss formula
+    every connection/worker pool is sized with): given per-host
+    offered load E in erlangs (arrival rate × mean hold time — by
+    Little's law exactly sum_dur/horizon, the same integer lanes
+    littles_law certifies), the blocking probability with m servers
+    follows the numerically stable recurrence B_0 = 1, B_m =
+    E·B_{m-1}/(m + E·B_{m-1}), unrolled to m = 8 with the SAME
+    generated arithmetic in both engines (one Python loop emits both
+    the Spark column chain and the SQL select chain, so every
+    intermediate double is bit-identical — the pagerank/simhash
+    oracle-generation trick). Output per host: erlangs (one unrounded
+    int64/int64 division), blocking at m ∈ {1, 2, 4, 8} (unrounded
+    doubles), and min_pool — the smallest m with B_m < 1% (a
+    double-vs-literal comparison of identical doubles, so the integer
+    verdict is exact). Tasks derive from events exactly as in
+    littles_law (host = user_id % 10, dur = 1 min–2 h). Shape: one
+    scan → one host hash-agg → 8 chained projections of pure
+    arithmetic; nothing leaves the 10-row aggregate."""
+    ev = load_table(spark, sf, "events")
+    tasks = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("host"),
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp'2024-01-01', ts)"
+        ).cast("long").alias("t_us"),
+        (1000000 * (60 + (F.col("event_id") * 7) % 7200))
+        .cast("long").alias("dur_us"),
+    )
+    agg = tasks.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_tasks"),
+        F.sum("dur_us").cast("long").alias("sum_dur_us"),
+        (F.max(F.col("t_us") + F.col("dur_us")) - F.min("t_us"))
+        .cast("long").alias("horizon_us"),
+    )
+    cur = agg.select(
+        "host",
+        "n_tasks",
+        (F.col("sum_dur_us").cast("double") / F.col("horizon_us"))
+        .alias("erlangs"),
+        F.lit(1.0).alias("b0"),
+    )
+    for m in range(1, _ERLANG_M + 1):
+        cur = cur.withColumn(
+            f"b{m}",
+            (F.col("erlangs") * F.col(f"b{m - 1}"))
+            / (F.lit(float(m)) + F.col("erlangs") * F.col(f"b{m - 1}")),
+        )
+    min_pool = F.when(F.col("b1") < 0.01, 1)
+    for m in range(2, _ERLANG_M + 1):
+        min_pool = min_pool.when(F.col(f"b{m}") < 0.01, m)
+    return cur.select(
+        "host",
+        "n_tasks",
+        "erlangs",
+        F.col("b1").alias("blocking_m1"),
+        F.col("b2").alias("blocking_m2"),
+        F.col("b4").alias("blocking_m4"),
+        F.col("b8").alias("blocking_m8"),
+        min_pool.otherwise(-1).cast("long").alias("min_pool_1pct"),
+    ).orderBy("host")
+
+
+def _erlang_oracle() -> str:
+    steps = ""
+    for m in range(1, _ERLANG_M + 1):
+        steps += (
+            f", s{m} AS (SELECT *, (erlangs * b{m - 1})"
+            f" / ({m}.0 + erlangs * b{m - 1}) AS b{m} FROM s{m - 1})\n"
+        )
+    case = "CASE WHEN b1 < 0.01 THEN 1"
+    for m in range(2, _ERLANG_M + 1):
+        case += f" WHEN b{m} < 0.01 THEN {m}"
+    case += " ELSE -1 END"
+    return f"""
+WITH tasks AS (
+  SELECT CAST(user_id % 10 AS BIGINT) AS host,
+         CAST(date_diff('microsecond', TIMESTAMP '2024-01-01', ts)
+              AS BIGINT) AS t_us,
+         CAST(1000000 * (60 + (event_id * 7) % 7200) AS BIGINT) AS dur_us
+  FROM events
+),
+agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_tasks,
+         CAST(sum(dur_us) AS BIGINT) AS sum_dur_us,
+         CAST(max(t_us + dur_us) - min(t_us) AS BIGINT) AS horizon_us
+  FROM tasks GROUP BY 1
+),
+s0 AS (
+  SELECT host, n_tasks,
+         CAST(sum_dur_us AS DOUBLE) / horizon_us AS erlangs,
+         1.0 AS b0
+  FROM agg
+){steps}
+SELECT host, n_tasks, erlangs,
+       b1 AS blocking_m1, b2 AS blocking_m2,
+       b4 AS blocking_m4, b8 AS blocking_m8,
+       CAST({case} AS BIGINT) AS min_pool_1pct
+FROM s{_ERLANG_M}
+ORDER BY host
+"""
+
+
+ORACLE_ERLANG_BLOCKING = _erlang_oracle()
+
+
+def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Derandomized bootstrap confidence interval for the median
+    latency (Efron 1979; the uncertainty band an SLO dashboard should
+    draw around its p50): B = 32 with-replacement resamples per event
+    type, each slot's draw DERANDOMIZED through the md5 lane
+    (idx = md5(b|event_id) % n + 1 — reproducible in any engine, the
+    same derandomization convention as sample_weighted), value lookup
+    by rank join against the sorted original, each resample's median
+    by the exact nearest-rank rule, and the CI as the 2nd/31st of the
+    32 sorted medians (the ~5th/95th percentile band). Output per
+    type: n, the exact full-data p50, ci_lo, ci_hi, width, and
+    covered — whether the true p50 lies inside its own band (it
+    should, nearly always; a FALSE row flags a skewed/tiny stratum).
+    All lanes exact int64; no RNG anywhere. Shape: rank window →
+    32-wide explode → equi-join on (type, idx=rank) → per-(type,b)
+    median windows → a 32-row-per-type final window; at 10^10 rows
+    the explode is the real bootstrap cost and B caps it
+    explicitly."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    lat = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("lat_e2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("lat_e2", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = lat.select(
+        "event_type",
+        "lat_e2",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    exact = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(50 * n + 99) div 100"),
+                   F.col("lat_e2"))
+        ).cast("long").alias("exact_p50_e2"),
+    )
+    draws = lat.select(
+        "event_type",
+        "event_id",
+        F.explode(
+            F.array(*[F.lit(b).cast("long") for b in range(32)])
+        ).alias("b"),
+    ).join(
+        F.broadcast(exact.select("event_type", "n")), "event_type"
+    ).select(
+        "event_type",
+        "b",
+        "event_id",
+        (
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(b as string), '|',"
+                " cast(event_id as string))), 1, 15), 16, 10) as bigint)"
+            ) % F.col("n") + 1
+        ).alias("idx"),
+    )
+    vals = draws.join(
+        ranked.select("event_type", F.col("rn").alias("idx"),
+                      F.col("lat_e2").alias("v")),
+        ["event_type", "idx"],
+    )
+    wb = Window.partitionBy("event_type", "b").orderBy("v", "event_id")
+    wbn = Window.partitionBy("event_type", "b")
+    meds = (
+        vals.select(
+            "event_type",
+            "b",
+            "v",
+            F.row_number().over(wb).alias("brn"),
+            F.count("*").over(wbn).alias("bn"),
+        )
+        .groupBy("event_type", "b")
+        .agg(
+            F.max(
+                F.when(F.col("brn") == F.expr("(50 * bn + 99) div 100"),
+                       F.col("v"))
+            ).cast("long").alias("boot_p50_e2"),
+        )
+    )
+    wm = Window.partitionBy("event_type").orderBy("boot_p50_e2", "b")
+    band = (
+        meds.select(
+            "event_type",
+            "boot_p50_e2",
+            F.row_number().over(wm).alias("mr"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("mr") == 2, F.col("boot_p50_e2")))
+            .cast("long").alias("ci_lo_e2"),
+            F.max(F.when(F.col("mr") == 31, F.col("boot_p50_e2")))
+            .cast("long").alias("ci_hi_e2"),
+        )
+    )
+    return (
+        exact.join(band, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "exact_p50_e2",
+            "ci_lo_e2",
+            "ci_hi_e2",
+            (F.col("ci_hi_e2") - F.col("ci_lo_e2")).alias("ci_width_e2"),
+            (
+                (F.col("exact_p50_e2") >= F.col("ci_lo_e2"))
+                & (F.col("exact_p50_e2") <= F.col("ci_hi_e2"))
+            ).alias("covered"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_BOOTSTRAP_CI = """
+WITH lat AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS lat_e2
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, lat_e2,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY lat_e2, event_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM lat
+),
+exact AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN lat_e2 END)
+              AS BIGINT) AS exact_p50_e2
+  FROM ranked GROUP BY 1
+),
+draws AS (
+  SELECT l.event_type, s.b AS b, l.event_id,
+         ('0x' || substring(md5(CAST(s.b AS VARCHAR) || '|'
+                                || CAST(l.event_id AS VARCHAR)), 1, 15))
+           ::BIGINT % e.n + 1 AS idx
+  FROM lat l
+  JOIN exact e USING (event_type),
+  LATERAL (SELECT unnest(range(0, 32)) AS b) s
+),
+vals AS (
+  SELECT d.event_type, d.b, d.event_id, r.lat_e2 AS v
+  FROM draws d
+  JOIN ranked r ON r.event_type = d.event_type AND r.rn = d.idx
+),
+meds AS (
+  SELECT event_type, b,
+         CAST(max(CASE WHEN brn = (50 * bn + 99) // 100 THEN v END)
+              AS BIGINT) AS boot_p50_e2
+  FROM (SELECT event_type, b, v,
+               row_number() OVER (PARTITION BY event_type, b
+                                  ORDER BY v, event_id) AS brn,
+               count(*) OVER (PARTITION BY event_type, b) AS bn
+        FROM vals)
+  GROUP BY 1, 2
+),
+band AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN mr = 2 THEN boot_p50_e2 END) AS BIGINT)
+           AS ci_lo_e2,
+         CAST(max(CASE WHEN mr = 31 THEN boot_p50_e2 END) AS BIGINT)
+           AS ci_hi_e2
+  FROM (SELECT event_type, boot_p50_e2,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY boot_p50_e2, b) AS mr
+        FROM meds)
+  GROUP BY 1
+)
+SELECT e.event_type, e.n, e.exact_p50_e2,
+       b.ci_lo_e2, b.ci_hi_e2,
+       b.ci_hi_e2 - b.ci_lo_e2 AS ci_width_e2,
+       e.exact_p50_e2 >= b.ci_lo_e2 AND e.exact_p50_e2 <= b.ci_hi_e2
+         AS covered
+FROM exact e JOIN band b USING (event_type)
+ORDER BY e.event_type
+"""
+
+
+def q_dedup_transitivity_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitivity gap of the near-dup pair graph — the honesty
+    metric behind cluster dedup: pairwise Jaccard similarity is NOT
+    transitive, so connected-component closure (dedup_clusters)
+    retires docs no direct pair evidence supports; this query
+    measures exactly how much. Corpus: base docs (doc_id % 5 == 0)
+    with TWO graded suffix-drop mutants each (k and 2k trailing words,
+    k = 1 + (id div 5) % 12) so A~m1~m2 chains exist where A~m2 falls
+    below the cutoff. Edges = df-capped gram pairs qualifying at
+    Jaccard ≥ 50% (integer cross-multiplied). The report is the
+    global clustering coefficient decomposition in exact int64:
+    vertices, edges, wedges Σ C(deg,2), triangles (ordered a<b<c
+    three-edge join), closed wedges = 3·triangles, OPEN wedges —
+    each one a doc pair closure would merge with no direct evidence —
+    and transitivity ppm. Shape: the corpus-sized stages are the
+    production dedup's gram join; the graph stages (degree agg,
+    wedge arithmetic, triangle join) run on the pair table, which
+    near-dup thresholds keep ≪ corpus."""
+    base = (
+        load_table(spark, sf, "documents")
+        .filter(F.pmod("doc_id", F.lit(5)) == 0)
+        .select(
+            "doc_id",
+            F.split(normalize_text(F.coalesce("text", F.lit(""))), " ")
+            .alias("w"),
+        )
+    )
+
+    def drop_k(mult: int, offset: int) -> DataFrame:
+        return base.select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.slice(
+                "w", F.lit(1),
+                F.greatest(
+                    F.size("w")
+                    - (
+                        mult
+                        * (1 + F.pmod(F.expr("doc_id div 5"), F.lit(12)))
+                    ).cast("int"),
+                    F.lit(0),
+                ),
+            ).alias("w"),
+        )
+
+    t = base.unionByName(drop_k(1, _MUTANT_OFFSET)).unionByName(
+        drop_k(2, 2 * _MUTANT_OFFSET)
+    )
+    grams = (
+        t.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+            )).alias("s"),
+        )
+        .distinct()
+    )
+    sz = grams.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    hot = grams.groupBy("s").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= NGRAM_DF_CAP
+    )
+    cold = grams.join(hot.select("s"), "s")
+    inter = (
+        cold.alias("a")
+        .join(
+            cold.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("ni"))
+    )
+    edges = (
+        inter.join(sz.select(F.col("doc_id").alias("id_a"),
+                             F.col("n").alias("n_a")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"),
+                        F.col("n").alias("n_b")), "id_b")
+        .filter(
+            F.col("ni") * 100 >= 50 * (F.col("n_a") + F.col("n_b") - F.col("ni"))
+        )
+        .select("id_a", "id_b")
+    )
+    degs = (
+        edges.select(F.col("id_a").alias("v"))
+        .unionByName(edges.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    wedge_sum = degs.agg(
+        F.count("*").cast("long").alias("vertices"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("wedges"),
+    )
+    e_cnt = edges.agg(F.count("*").cast("long").alias("edges"))
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        wedge_sum.crossJoin(F.broadcast(e_cnt))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "vertices",
+            "edges",
+            "wedges",
+            "triangles",
+            (3 * F.col("triangles")).cast("long").alias("closed_wedges"),
+            (F.col("wedges") - 3 * F.col("triangles")).cast("long")
+            .alias("open_wedges"),
+            F.expr("(1000000 * 3 * triangles) div nullif(wedges, 0)")
+            .cast("long").alias("transitivity_ppm"),
+        )
+    )
+
+
+ORACLE_DEDUP_TRANSITIVITY_GAP = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                          '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE doc_id % 5 = 0
+),
+t AS (
+  SELECT doc_id, w FROM base
+  UNION ALL
+  SELECT doc_id + {_MUTANT_OFFSET},
+         w[1:greatest(len(w) - (1 + (doc_id // 5) % 12), 0)] FROM base
+  UNION ALL
+  SELECT doc_id + {2 * _MUTANT_OFFSET},
+         w[1:greatest(len(w) - 2 * (1 + (doc_id // 5) % 12), 0)] FROM base
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+           AS s
+  FROM t WHERE len(w) >= 3
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1),
+hot AS (SELECT s FROM grams GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}),
+cold AS (SELECT g.doc_id, g.s FROM grams g JOIN hot USING (s)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS ni
+  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN (SELECT doc_id AS id_a, n AS n_a FROM sz) sa USING (id_a)
+  JOIN (SELECT doc_id AS id_b, n AS n_b FROM sz) sb USING (id_b)
+  WHERE ni * 100 >= 50 * (n_a + n_b - ni)
+),
+degs AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT id_a AS v FROM edges UNION ALL SELECT id_b FROM edges)
+  GROUP BY 1
+),
+ws AS (
+  SELECT CAST(count(*) AS BIGINT) AS vertices,
+         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges
+  FROM degs
+),
+ec AS (SELECT CAST(count(*) AS BIGINT) AS edges FROM edges),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.id_b = e2.id_a
+  JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+)
+SELECT vertices, edges, wedges, triangles,
+       CAST(3 * triangles AS BIGINT) AS closed_wedges,
+       CAST(wedges - 3 * triangles AS BIGINT) AS open_wedges,
+       CAST((1000000 * 3 * triangles) // nullif(wedges, 0) AS BIGINT)
+         AS transitivity_ppm
+FROM ws CROSS JOIN ec CROSS JOIN tri
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
@@ -19348,6 +19824,12 @@ QUERIES: dict[str, tuple] = {
     "watermark_lateness": (q_watermark_lateness, ORACLE_WATERMARK_LATENESS),
     "static_cache_hit_law": (q_static_cache_hit_law, ORACLE_STATIC_CACHE_HIT_LAW),
     "bm25_param_sweep": (q_bm25_param_sweep, ORACLE_BM25_PARAM_SWEEP),
+    "erlang_blocking": (q_erlang_blocking, ORACLE_ERLANG_BLOCKING),
+    "bootstrap_ci": (q_bootstrap_ci, ORACLE_BOOTSTRAP_CI),
+    "dedup_transitivity_gap": (
+        q_dedup_transitivity_gap,
+        ORACLE_DEDUP_TRANSITIVITY_GAP,
+    ),
 }
 
 

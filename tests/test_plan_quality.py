@@ -1800,3 +1800,37 @@ def test_bm25_param_sweep_single_lane_reuse(spark):
     assert "Generate" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_erlang_blocking_aggregate_only_arithmetic(spark):
+    """erlang_blocking: one events scan collapses to the 10-row host
+    aggregate; the unrolled recurrence is pure projection arithmetic
+    (no joins, no extra exchanges beyond the agg)."""
+    from crawlers_spark.queries import q_erlang_blocking
+
+    plan = _plan(q_erlang_blocking(spark, SF))
+    assert plan.count("Scan parquet") == 2  # one scan: tree node + details
+    assert "Join" not in plan
+    assert "SortAggregate" not in plan
+
+
+def test_bootstrap_ci_capped_explode(spark):
+    """bootstrap_ci: the B=32 resample explode joins by (type, rank)
+    equi-keys — hash joins only, no cartesian; medians ride
+    (type, b)-partitioned windows."""
+    from crawlers_spark.queries import q_bootstrap_ci
+
+    plan = _plan(q_bootstrap_ci(spark, SF))
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_transitivity_gap_graph_on_pairs(spark):
+    """dedup_transitivity_gap: corpus stages are the df-capped gram
+    join; wedge/triangle stages run on the qualifying pair table only
+    — no cartesian anywhere."""
+    from crawlers_spark.queries import q_dedup_transitivity_gap
+
+    plan = _plan(q_dedup_transitivity_gap(spark, SF))
+    assert "CartesianProduct" not in plan
