@@ -19482,6 +19482,333 @@ FROM ws CROSS JOIN ec CROSS JOIN tri
 """
 
 
+def q_join_cardinality_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-cardinality estimation audit — the uniformity assumption
+    every cost-based optimizer leans on (Selinger SIGMOD'79:
+    |A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B)) measured against the true
+    join size for the schema's three natural equi-joins
+    (orders⋈customer, lineitem⋈part, lineitem⋈orders) plus a
+    cross-domain lane (events.user_id ⋈ orders.o_custkey) where the
+    containment/uniformity assumptions genuinely break. Each lane
+    reports exact int64 inputs (rows, NDVs via distinct hash-aggs),
+    the Selinger estimate (integer division), the ACTUAL join row
+    count, and the signed error ppm — the table that shows where the
+    uniformity assumption holds (uniform FKs) and how it degrades
+    under key overlap the formula cannot see (the regime AQE's
+    runtime statistics exist for).
+    Shape: per lane two tiny stat aggs + the real join counted by ONE
+    hash-agg; nothing is materialized beyond counts."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+
+    def lane(name, a, ka, b, kb):
+        sa = a.agg(
+            F.count("*").cast("long").alias("rows_a"),
+            F.countDistinct(ka).cast("long").alias("ndv_a"),
+        )
+        sb = b.agg(
+            F.count("*").cast("long").alias("rows_b"),
+            F.countDistinct(kb).cast("long").alias("ndv_b"),
+        )
+        actual = (
+            a.select(F.col(ka).alias("k"))
+            .join(b.select(F.col(kb).alias("k")), "k")
+            .agg(F.count("*").cast("long").alias("actual_rows"))
+        )
+        return (
+            sa.crossJoin(F.broadcast(sb))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(name).alias("join_lane"),
+                "rows_a",
+                "rows_b",
+                "ndv_a",
+                "ndv_b",
+                F.expr(
+                    "(rows_a * rows_b) div greatest(ndv_a, ndv_b)"
+                ).cast("long").alias("est_rows"),
+                "actual_rows",
+                F.expr(
+                    "(1000000 * ((rows_a * rows_b)"
+                    " div greatest(ndv_a, ndv_b) - actual_rows))"
+                    " div nullif(actual_rows, 0)"
+                ).cast("long").alias("err_ppm"),
+            )
+        )
+
+    ev = load_table(spark, sf, "events")
+    out = lane("orders_customer", o, "o_custkey", c, "c_custkey")
+    out = out.unionByName(lane("lineitem_part", li, "l_partkey", p, "p_partkey"))
+    out = out.unionByName(
+        lane("lineitem_orders", li, "l_orderkey", o, "o_orderkey")
+    )
+    out = out.unionByName(
+        lane("events_orders_user", ev, "user_id", o, "o_custkey")
+    )
+    return out.orderBy("join_lane")
+
+
+ORACLE_JOIN_CARDINALITY_ESTIMATE = """
+WITH lanes AS (
+  SELECT 'orders_customer' AS join_lane,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS rows_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer) AS rows_b,
+         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+           AS ndv_a,
+         (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer)
+           AS ndv_b,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM orders JOIN customer ON o_custkey = c_custkey) AS actual_rows
+  UNION ALL
+  SELECT 'lineitem_part',
+         (SELECT count(*) FROM lineitem), (SELECT count(*) FROM part),
+         (SELECT count(DISTINCT l_partkey) FROM lineitem),
+         (SELECT count(DISTINCT p_partkey) FROM part),
+         (SELECT count(*) FROM lineitem JOIN part ON l_partkey = p_partkey)
+  UNION ALL
+  SELECT 'lineitem_orders',
+         (SELECT count(*) FROM lineitem), (SELECT count(*) FROM orders),
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+         (SELECT count(DISTINCT o_orderkey) FROM orders),
+         (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+  UNION ALL
+  SELECT 'events_orders_user',
+         (SELECT count(*) FROM events), (SELECT count(*) FROM orders),
+         (SELECT count(DISTINCT user_id) FROM events),
+         (SELECT count(DISTINCT o_custkey) FROM orders),
+         (SELECT count(*) FROM events JOIN orders ON user_id = o_custkey)
+)
+SELECT join_lane, rows_a, rows_b, ndv_a, ndv_b,
+       CAST((rows_a * rows_b) // greatest(ndv_a, ndv_b) AS BIGINT)
+         AS est_rows,
+       actual_rows,
+       CAST((1000000 * ((rows_a * rows_b) // greatest(ndv_a, ndv_b)
+                        - actual_rows)) // nullif(actual_rows, 0) AS BIGINT)
+         AS err_ppm
+FROM lanes ORDER BY join_lane
+"""
+
+
+def q_bloom_join_savings(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter join-pushdown savings — what Spark's runtime row-
+    group/bloom filter pushdown buys (SPARK-32268): when the build
+    side of a selective join broadcasts a membership filter, probe
+    rows whose key cannot match are dropped BEFORE the shuffle. For
+    three selective joins (orders of AUTOMOBILE customers; lineitems
+    of large parts p_size ≥ 40; events of users < 100), the census
+    reports probe rows, rows surviving an exact membership prefilter
+    (the Bloom upper bound at FPR→0), dropped rows, and shuffle-bytes
+    saved ppm — the table that says which joins deserve the filter.
+    Exact integers: membership via LeftSemi against the distinct
+    build keys (a zero-FPR Bloom; a real filter drops slightly fewer).
+    Shape: per lane one distinct build agg + one semi-join count —
+    the same two passes the runtime filter itself costs."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    ev = load_table(spark, sf, "events")
+
+    def lane(name, probe, pk, build, bk):
+        n = probe.agg(F.count("*").cast("long").alias("probe_rows"))
+        keep = (
+            probe.select(F.col(pk).alias("k"))
+            .join(build.select(F.col(bk).alias("k")).distinct(),
+                  "k", "left_semi")
+            .agg(F.count("*").cast("long").alias("kept_rows"))
+        )
+        return n.crossJoin(F.broadcast(keep)).select(
+            F.lit(name).alias("join_lane"),
+            "probe_rows",
+            "kept_rows",
+            (F.col("probe_rows") - F.col("kept_rows")).alias("dropped_rows"),
+            F.expr(
+                "(1000000 * (probe_rows - kept_rows))"
+                " div nullif(probe_rows, 0)"
+            ).cast("long").alias("saved_ppm"),
+        )
+
+    out = lane(
+        "orders_automobile_customers",
+        o, "o_custkey",
+        c.filter(F.col("c_mktsegment") == "AUTOMOBILE"), "c_custkey",
+    )
+    out = out.unionByName(
+        lane("lineitem_large_parts", li, "l_partkey",
+             p.filter(F.col("p_size") >= 40), "p_partkey")
+    )
+    out = out.unionByName(
+        lane("events_low_users", ev, "user_id",
+             ev.filter(F.col("user_id") < 100), "user_id")
+    )
+    return out.orderBy("join_lane")
+
+
+ORACLE_BLOOM_JOIN_SAVINGS = """
+WITH lanes AS (
+  SELECT 'orders_automobile_customers' AS join_lane,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS probe_rows,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'AUTOMOBILE'))
+           AS kept_rows
+  UNION ALL
+  SELECT 'lineitem_large_parts',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40))
+  UNION ALL
+  SELECT 'events_low_users',
+         (SELECT count(*) FROM events),
+         (SELECT count(*) FROM events
+          WHERE user_id IN (SELECT user_id FROM events WHERE user_id < 100))
+)
+SELECT join_lane, probe_rows, kept_rows,
+       probe_rows - kept_rows AS dropped_rows,
+       CAST((1000000 * (probe_rows - kept_rows)) // nullif(probe_rows, 0)
+            AS BIGINT) AS saved_ppm
+FROM lanes ORDER BY join_lane
+"""
+
+
+def q_pagination_stability(spark: SparkSession, sf: str) -> DataFrame:
+    """Offset vs keyset pagination under concurrent inserts — the API
+    law (every cursor-pagination guide's motivating bug): an OFFSET
+    page re-read after new rows land shifts its window, re-serving
+    rows from the previous page and skipping others, while a keyset
+    cursor (WHERE key > last-seen ORDER BY key) is insert-stable.
+    Simulated declaratively: snapshot A = orders with o_orderkey % 7
+    != 0, snapshot B = all orders (the % 7 rows are the concurrent
+    inserts); page 2 = rows 101-200 by (o_orderdate, o_orderkey).
+    The census compares page 2 read from A vs re-read from B under
+    both strategies: rows in common, rows REPEATED from already-read
+    page 1 (the classic duplicate-serving bug — inserts only push
+    rows to LATER ranks, so nothing is ever lost, it is re-served),
+    legitimately-new inserted rows, and the stable verdict =
+    zero repeats — offset fails it, keyset passes by construction
+    (its cursor is A-page-1's last (date, key)). All exact int64 set
+    arithmetic over ≤200-row frames; the corpus stages are two rank
+    windows (pagination is inherently a global order — the windows
+    are the simulation, and the deep-OFFSET O(offset) cost they show
+    is exactly the law's second half)."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    snap_a = o.filter(F.col("o_orderkey") % 7 != 0)
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    ra = snap_a.select(
+        "o_orderkey", F.row_number().over(w).alias("rn")
+    )
+    rb = o.select(
+        "o_orderkey", F.row_number().over(w).alias("rn")
+    )
+    a_p2 = ra.filter((F.col("rn") > 100) & (F.col("rn") <= 200)).select(
+        F.col("o_orderkey").alias("k")
+    )
+    b_p2 = rb.filter((F.col("rn") > 100) & (F.col("rn") <= 200)).select(
+        F.col("o_orderkey").alias("k")
+    )
+    a_p1 = ra.filter(F.col("rn") <= 100).select(F.col("o_orderkey").alias("k"))
+    cursor = (
+        ra.filter(F.col("rn") == 100)
+        .select(F.col("o_orderkey").alias("ck"))
+        .join(
+            o.select(
+                F.col("o_orderkey").alias("ck"),
+                F.col("o_orderdate").alias("cd"),
+            ),
+            "ck",
+        )
+    )
+    key_b_p2 = (
+        o.crossJoin(F.broadcast(cursor.select("cd", "ck")))
+        .filter(
+            (F.col("o_orderdate") > F.col("cd"))
+            | (
+                (F.col("o_orderdate") == F.col("cd"))
+                & (F.col("o_orderkey") > F.col("ck"))
+            )
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+
+    def compare(name, reread):
+        common = a_p2.join(reread, "k", "left_semi").agg(
+            F.count("*").cast("long").alias("common_rows")
+        )
+        repeated = reread.join(a_p1, "k", "left_semi").agg(
+            F.count("*").cast("long").alias("repeated_from_p1")
+        )
+        fresh = reread.filter(F.col("k") % 7 == 0).agg(
+            F.count("*").cast("long").alias("new_rows_served")
+        )
+        return (
+            common.crossJoin(F.broadcast(repeated))
+            .crossJoin(F.broadcast(fresh))
+            .select(
+                F.lit(name).alias("strategy"),
+                "common_rows",
+                "repeated_from_p1",
+                "new_rows_served",
+                (F.col("repeated_from_p1") == 0).alias("stable"),
+            )
+        )
+
+    return compare("offset", b_p2).unionByName(
+        compare("keyset", key_b_p2)
+    ).orderBy("strategy")
+
+
+ORACLE_PAGINATION_STABILITY = """
+WITH o AS (SELECT o_orderkey, o_orderdate FROM orders),
+ra AS (
+  SELECT o_orderkey,
+         row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM o WHERE o_orderkey % 7 != 0
+),
+rb AS (
+  SELECT o_orderkey,
+         row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM o
+),
+a_p1 AS (SELECT o_orderkey AS k FROM ra WHERE rn <= 100),
+a_p2 AS (SELECT o_orderkey AS k FROM ra WHERE rn > 100 AND rn <= 200),
+b_p2 AS (SELECT o_orderkey AS k FROM rb WHERE rn > 100 AND rn <= 200),
+cursor AS (
+  SELECT oo.o_orderdate AS cd, oo.o_orderkey AS ck
+  FROM ra JOIN o oo USING (o_orderkey) WHERE ra.rn = 100
+),
+key_b_p2 AS (
+  SELECT o_orderkey AS k
+  FROM o CROSS JOIN cursor
+  WHERE o_orderdate > cd
+     OR (o_orderdate = cd AND o_orderkey > ck)
+  ORDER BY o_orderdate, o_orderkey LIMIT 100
+),
+lanes AS (
+  SELECT 'offset' AS strategy,
+         (SELECT CAST(count(*) AS BIGINT) FROM a_p2 SEMI JOIN b_p2 USING (k))
+           AS common_rows,
+         (SELECT CAST(count(*) AS BIGINT) FROM b_p2 SEMI JOIN a_p1 USING (k))
+           AS repeated_from_p1,
+         (SELECT CAST(count(*) AS BIGINT) FROM b_p2 WHERE k % 7 = 0)
+           AS new_rows_served
+  UNION ALL
+  SELECT 'keyset',
+         (SELECT count(*) FROM a_p2 SEMI JOIN key_b_p2 USING (k)),
+         (SELECT count(*) FROM key_b_p2 SEMI JOIN a_p1 USING (k)),
+         (SELECT count(*) FROM key_b_p2 WHERE k % 7 = 0)
+)
+SELECT strategy, common_rows, repeated_from_p1, new_rows_served,
+       repeated_from_p1 = 0 AS stable
+FROM lanes ORDER BY strategy
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
@@ -19829,6 +20156,15 @@ QUERIES: dict[str, tuple] = {
     "dedup_transitivity_gap": (
         q_dedup_transitivity_gap,
         ORACLE_DEDUP_TRANSITIVITY_GAP,
+    ),
+    "join_cardinality_estimate": (
+        q_join_cardinality_estimate,
+        ORACLE_JOIN_CARDINALITY_ESTIMATE,
+    ),
+    "bloom_join_savings": (q_bloom_join_savings, ORACLE_BLOOM_JOIN_SAVINGS),
+    "pagination_stability": (
+        q_pagination_stability,
+        ORACLE_PAGINATION_STABILITY,
     ),
 }
 

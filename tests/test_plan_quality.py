@@ -1834,3 +1834,33 @@ def test_dedup_transitivity_gap_graph_on_pairs(spark):
 
     plan = _plan(q_dedup_transitivity_gap(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_join_cardinality_estimate_stat_aggs(spark):
+    """join_cardinality_estimate: every lane is two stat aggs + one
+    counted hash join; scalars combine by 1-row broadcast — no
+    cartesian over data."""
+    from crawlers_spark.queries import q_join_cardinality_estimate
+
+    plan = _plan(q_join_cardinality_estimate(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_join_savings_semi_joins(spark):
+    """bloom_join_savings: membership is LeftSemi against the distinct
+    build keys — the zero-FPR bloom bound — never a full join."""
+    from crawlers_spark.queries import q_bloom_join_savings
+
+    plan = _plan(q_bloom_join_savings(spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagination_stability_bounded_pages(spark):
+    """pagination_stability: page frames are <=200 rows and set
+    arithmetic is semi/anti joins on them; keyset cursor broadcasts."""
+    from crawlers_spark.queries import q_pagination_stability
+
+    plan = _plan(q_pagination_stability(spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
