@@ -19527,12 +19527,13 @@ def q_join_cardinality_estimate(spark: SparkSession, sf: str) -> DataFrame:
                 "ndv_a",
                 "ndv_b",
                 F.expr(
-                    "(rows_a * rows_b) div greatest(ndv_a, ndv_b)"
+                    "(rows_a * rows_b)"
+                    " div nullif(greatest(ndv_a, ndv_b), 0)"
                 ).cast("long").alias("est_rows"),
                 "actual_rows",
                 F.expr(
                     "(1000000 * ((rows_a * rows_b)"
-                    " div greatest(ndv_a, ndv_b) - actual_rows))"
+                    " div nullif(greatest(ndv_a, ndv_b), 0) - actual_rows))"
                     " div nullif(actual_rows, 0)"
                 ).cast("long").alias("err_ppm"),
             )
@@ -19581,10 +19582,11 @@ WITH lanes AS (
          (SELECT count(*) FROM events JOIN orders ON user_id = o_custkey)
 )
 SELECT join_lane, rows_a, rows_b, ndv_a, ndv_b,
-       CAST((rows_a * rows_b) // greatest(ndv_a, ndv_b) AS BIGINT)
-         AS est_rows,
+       CAST((rows_a * rows_b) // nullif(greatest(ndv_a, ndv_b), 0)
+            AS BIGINT) AS est_rows,
        actual_rows,
-       CAST((1000000 * ((rows_a * rows_b) // greatest(ndv_a, ndv_b)
+       CAST((1000000 * ((rows_a * rows_b)
+                        // nullif(greatest(ndv_a, ndv_b), 0)
                         - actual_rows)) // nullif(actual_rows, 0) AS BIGINT)
          AS err_ppm
 FROM lanes ORDER BY join_lane
@@ -19806,6 +19808,290 @@ lanes AS (
 SELECT strategy, common_rows, repeated_from_p1, new_rows_served,
        repeated_from_p1 = 0 AS stable
 FROM lanes ORDER BY strategy
+"""
+
+
+def q_learned_index_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned-index error bound (Kraska et al. SIGMOD'18: replace a
+    B-tree node with a model predicting rank from key; lookups binary-
+    search only the model's ±max-error window): per 16-bucket shard
+    of the sorted URL-hash key space (the seen-set's own layout), fit
+    the least-squares line rank ≈ a + b·key from exact int64 moment
+    sums (n, Σx, Σy, Σxy, Σx² — each a hash-agg; x is the md5-lane
+    key rescaled to the shard, y the within-shard rank), then report
+    the max and mean absolute prediction error and the resulting
+    search window 2·maxerr + 1 vs the ⌈log2 n⌉ probes a binary search
+    costs — the table that says whether a learned node beats the tree
+    on THIS distribution (md5 keys are near-uniform: the window is
+    tiny). The regression x is the key's top 16 bits (key >> 44) so
+    every moment product stays far inside int64 at any tested SF
+    (n·Σx² ≈ n²·2³²/3 — safe through millions of rows per shard);
+    rank ties on the quantized x break by the full key, and the
+    (x, rank) multiset per shard is tie-order invariant, so errors
+    are deterministic. Slope/intercept/errors are doubles computed
+    from identical int64 moments with identical expression shape,
+    rounded at 6 dp (irrational-boundary convention). Shape: one
+    scan → rank window per shard → one moment hash-agg per shard →
+    an error re-scan joined on the 16-row model table; nothing
+    quadratic."""
+    ev = load_table(spark, sf, "events")
+    keys = ev.select(
+        F.expr(
+            "cast(conv(substring(md5(cast(event_id as string)), 1, 15),"
+            " 16, 10) as bigint)"
+        ).alias("key")
+    ).select(
+        (F.col("key") % 16).alias("shard"),
+        F.expr(f"key div {2 ** 44}").alias("x"),
+        F.col("key").alias("k"),
+    )
+    w = Window.partitionBy("shard").orderBy("x", "k")
+    ranked = keys.select(
+        "shard", "x", F.row_number().over(w).cast("long").alias("y")
+    )
+    mom = ranked.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+    )
+    model = mom.select(
+        "shard",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        ).alias("slope"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+    ).select(
+        "shard",
+        "n",
+        "slope",
+        (
+            (F.col("syd") - F.col("slope") * F.col("sxd"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+    )
+    err = ranked.join(F.broadcast(model), "shard").select(
+        "shard",
+        "n",
+        F.abs(
+            F.col("y").cast("double")
+            - (F.col("intercept") + F.col("slope") * F.col("x").cast("double"))
+        ).alias("e"),
+    )
+    return (
+        err.groupBy("shard")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(F.max("e"), 6).alias("max_err_q6"),
+            F.round(F.sum("e") / F.max("n").cast("double"), 6)
+            .alias("mean_err_q6"),
+        )
+        .select(
+            "shard",
+            "n",
+            "max_err_q6",
+            "mean_err_q6",
+            (2 * F.ceil("max_err_q6").cast("long") + 1)
+            .alias("search_window"),
+            F.ceil(F.log2(F.col("n").cast("double"))).cast("long")
+            .alias("btree_probes"),
+            (
+                2 * F.ceil("max_err_q6").cast("long") + 1
+                < F.pow(F.lit(2.0), F.ceil(F.log2(F.col("n").cast("double"))))
+            ).alias("model_wins"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_LEARNED_INDEX_ERROR = """
+WITH keys AS (
+  SELECT (('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+            ::BIGINT) AS key
+  FROM events
+),
+sharded AS (SELECT key % 16 AS shard, key // 17592186044416 AS x,
+                   key AS k
+            FROM keys),
+ranked AS (
+  SELECT shard, x,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY x, k)
+              AS BIGINT) AS y
+  FROM sharded
+),
+mom AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM ranked GROUP BY 1
+),
+model AS (
+  SELECT shard, n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM mom
+),
+model2 AS (
+  SELECT shard, n, slope,
+         (syd - slope * sxd) / CAST(n AS DOUBLE) AS intercept
+  FROM model
+),
+err AS (
+  SELECT r.shard, m.n,
+         abs(CAST(r.y AS DOUBLE)
+             - (m.intercept + m.slope * CAST(r.x AS DOUBLE))) AS e
+  FROM ranked r JOIN model2 m USING (shard)
+)
+SELECT shard,
+       CAST(max(n) AS BIGINT) AS n,
+       round(max(e), 6) AS max_err_q6,
+       round(sum(e) / CAST(max(n) AS DOUBLE), 6) AS mean_err_q6,
+       CAST(2 * ceil(round(max(e), 6)) + 1 AS BIGINT) AS search_window,
+       CAST(ceil(log2(CAST(max(n) AS DOUBLE))) AS BIGINT) AS btree_probes,
+       2 * ceil(round(max(e), 6)) + 1
+         < pow(2.0, ceil(log2(CAST(max(n) AS DOUBLE)))) AS model_wins
+FROM err GROUP BY shard ORDER BY shard
+"""
+
+
+def q_int_encoding_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer column-encoding selection — the other half of
+    dict_encoding_sizing's writer decision (Parquet/ORC encoders pick
+    between PLAIN 8-byte, RLE for long runs, and DELTA varint for
+    sorted-ish data by measuring exactly these statistics): for four
+    int64 columns in their storage sort order (events.user_id sorted
+    by event_id — scattered; events.event_id — sequential, delta
+    wins; lineitem.l_orderkey in file order — long runs, RLE wins;
+    lineitem.l_quantity — small domain), compute exact byte models:
+    plain = 8n; RLE = runs·(8 + 2); delta = Σ⌈bits(zigzag(gap))/7⌉
+    via the bin() bit-length lane (first value full width). Winner
+    per column + ppm vs plain. Runs and gaps ride ONE lag window
+    partitioned by column lane in the file's own order (a monotone id
+    sort — exactly the scan order a writer sees; per-lane partitions,
+    no single-partition global sort). All int64 exact."""
+    ev = load_table(spark, sf, "events")
+    li = load_table(spark, sf, "lineitem")
+    lanes = [
+        ("events.user_id", ev.select(
+            F.col("event_id").alias("pos"), F.col("user_id").alias("v"))),
+        ("events.event_id", ev.select(
+            F.col("event_id").alias("pos"), F.col("event_id").alias("v"))),
+        ("lineitem.l_orderkey", li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pos"),
+            F.col("l_orderkey").alias("v"))),
+        ("lineitem.l_quantity", li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pos"),
+            F.col("l_quantity").cast("long").alias("v"))),
+        # same values as events.user_id but CLUSTERED by user — the
+        # sort-order-matters lane where RLE finally beats delta
+        ("events.user_id_clustered", ev.select(
+            (F.col("user_id") * 100000 + F.col("event_id")).alias("pos"),
+            F.col("user_id").alias("v"))),
+    ]
+    allv = None
+    for name, df in lanes:
+        part = df.select(F.lit(name).alias("col"), "pos", "v")
+        allv = part if allv is None else allv.unionByName(part)
+    # (pos, v) — pos alone can tie (synthetic lineitem repeats line
+    # numbers); adding v as the last sort key pins the value sequence
+    w = Window.partitionBy("col").orderBy("pos", "v")
+    lagged = allv.select(
+        "col", "v", F.lag("v").over(w).alias("prev")
+    )
+    out = lagged.groupBy("col").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("v") != F.col("prev")), 1
+            ).otherwise(0)
+        ).cast("long").alias("runs"),
+        F.sum(
+            F.when(F.col("prev").isNull(), F.lit(8))
+            .otherwise(
+                F.expr(
+                    "(length(bin(case when v - prev >= 0"
+                    " then 2 * (v - prev)"
+                    " else -2 * (v - prev) - 1 end + 1)) + 6) div 7"
+                )
+            )
+        ).cast("long").alias("delta_bytes"),
+    ).select(
+        "col",
+        "n",
+        (8 * F.col("n")).alias("plain_bytes"),
+        (10 * F.col("runs")).alias("rle_bytes"),
+        "delta_bytes",
+    )
+    return out.select(
+        "col",
+        "n",
+        "plain_bytes",
+        "rle_bytes",
+        "delta_bytes",
+        F.expr(
+            "case when rle_bytes <= delta_bytes and rle_bytes <= plain_bytes"
+            " then 'rle' when delta_bytes <= plain_bytes then 'delta'"
+            " else 'plain' end"
+        ).alias("winner"),
+        F.expr(
+            "(1000000 * least(plain_bytes, rle_bytes, delta_bytes))"
+            " div nullif(plain_bytes, 0)"
+        ).cast("long").alias("best_vs_plain_ppm"),
+    ).orderBy("col")
+
+
+ORACLE_INT_ENCODING_SELECTION = """
+WITH lanes AS (
+  SELECT 'events.user_id' AS col, event_id AS pos, user_id AS v FROM events
+  UNION ALL
+  SELECT 'events.event_id', event_id, event_id FROM events
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', l_orderkey * 10 + l_linenumber, l_orderkey
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_quantity', l_orderkey * 10 + l_linenumber,
+         CAST(l_quantity AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'events.user_id_clustered', user_id * 100000 + event_id, user_id
+  FROM events
+),
+lagged AS (
+  SELECT col, v,
+         lag(v) OVER (PARTITION BY col ORDER BY pos, v) AS prev
+  FROM lanes
+),
+sized AS (
+  SELECT col,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN prev IS NULL OR v != prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS runs,
+         CAST(sum(CASE WHEN prev IS NULL THEN 8
+                       ELSE (length(bin(CASE WHEN v - prev >= 0
+                                             THEN 2 * (v - prev)
+                                             ELSE -2 * (v - prev) - 1
+                                        END + 1)) + 6) // 7
+                  END) AS BIGINT) AS delta_bytes
+  FROM lagged GROUP BY 1
+)
+SELECT col, n,
+       CAST(8 * n AS BIGINT) AS plain_bytes,
+       CAST(10 * runs AS BIGINT) AS rle_bytes,
+       delta_bytes,
+       CASE WHEN 10 * runs <= delta_bytes AND 10 * runs <= 8 * n THEN 'rle'
+            WHEN delta_bytes <= 8 * n THEN 'delta'
+            ELSE 'plain' END AS winner,
+       CAST((1000000 * least(8 * n, 10 * runs, delta_bytes))
+            // nullif(8 * n, 0) AS BIGINT) AS best_vs_plain_ppm
+FROM sized ORDER BY col
 """
 
 
@@ -20165,6 +20451,11 @@ QUERIES: dict[str, tuple] = {
     "pagination_stability": (
         q_pagination_stability,
         ORACLE_PAGINATION_STABILITY,
+    ),
+    "learned_index_error": (q_learned_index_error, ORACLE_LEARNED_INDEX_ERROR),
+    "int_encoding_selection": (
+        q_int_encoding_selection,
+        ORACLE_INT_ENCODING_SELECTION,
     ),
 }
 

@@ -1864,3 +1864,25 @@ def test_pagination_stability_bounded_pages(spark):
     plan = _plan(q_pagination_stability(spark, SF))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_learned_index_error_no_quadratic(spark):
+    """learned_index_error: moments are one hash-agg per shard, the
+    model is a 16-row broadcast onto the error re-scan — no cartesian,
+    no SinglePartition."""
+    from crawlers_spark.queries import q_learned_index_error
+
+    plan = _plan(q_learned_index_error(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_int_encoding_selection_partitioned_lanes(spark):
+    """int_encoding_selection: the lag window partitions by column
+    lane (never a global single-partition sort) and the byte models
+    collapse in one hash-agg."""
+    from crawlers_spark.queries import q_int_encoding_selection
+
+    plan = _plan(q_int_encoding_selection(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "SortAggregate" not in plan
