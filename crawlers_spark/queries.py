@@ -20095,6 +20095,437 @@ FROM sized ORDER BY col
 """
 
 
+def q_rate_shaper_delay(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-bucket rate shaping as ONE window pass — the politeness
+    enforcement a crawler applies per host, computed declaratively
+    via the virtual-time identity (GCRA/leaky-bucket, ATM Forum
+    TM 4.0; Parekh & Gallager '93 for the virtual-finish view): a
+    shaper that releases at most one request per T has virtual finish
+    V_i = max(a_i, V_{i-1}) + T, whose closed form is V_i = T·(i+1) +
+    max_{j≤i}(a_j − T·j) — a RUNNING MAX, so the whole recursion
+    collapses into one host-partitioned window instead of a
+    sequential loop (the trick that makes rate-limit auditing of a
+    10^10-row fetch log a single shuffle). The three audited rates
+    are DATA-ADAPTIVE per host — T = horizon/(2n), horizon/n, and
+    2·horizon/n (offered utilization ≈ 0.5, 1, 2 at every SF) — so
+    the census shows the shaper law itself: sub-critical traffic
+    waits only on bursts, util ≈ 1 queues chronically, util 2 diverges
+    linearly. Per (host, lane): requests, how many would wait, mean
+    and max shaping delay (exact integer µs; mean as one int64/int64
+    division), and utilization n·T/horizon ppm. Arrivals = event ts
+    per host (user_id % 10), tie-broken by event_id. Shape: one scan
+    → per-host stats join → a 3-wide lane explode → one (host, lane)-
+    partitioned window sort carrying rank, the s_j running max, and
+    the delay — then one hash-agg."""
+    ev = load_table(spark, sf, "events")
+    arr = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("host"),
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp'2024-01-01', ts)"
+        ).cast("long").alias("a_us"),
+    )
+    stats = arr.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_host"),
+        (F.max("a_us") - F.min("a_us")).cast("long").alias("horizon_us"),
+    )
+    base = arr.join(F.broadcast(stats), "host").select(
+        "host",
+        "event_id",
+        "a_us",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("half").alias("lane"),
+                    F.expr("horizon_us div (2 * n_host)").alias("t_us"),
+                ),
+                F.struct(
+                    F.lit("match").alias("lane"),
+                    F.expr("horizon_us div n_host").alias("t_us"),
+                ),
+                F.struct(
+                    F.lit("double").alias("lane"),
+                    F.expr("(2 * horizon_us) div n_host").alias("t_us"),
+                ),
+            )
+        ).alias("x"),
+    ).select(
+        "host", "event_id", "a_us",
+        F.col("x.lane").alias("lane"), F.col("x.t_us").alias("t_us"),
+    )
+    w = Window.partitionBy("host", "lane").orderBy("a_us", "event_id")
+    idx = base.select(
+        "host",
+        "lane",
+        "t_us",
+        "a_us",
+        "event_id",
+        (F.row_number().over(w) - 1).cast("long").alias("i"),
+    ).withColumn("s", F.col("a_us") - F.col("t_us") * F.col("i"))
+    delayed = idx.select(
+        "host",
+        "lane",
+        "t_us",
+        F.max("s").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("r_prev"),
+        "a_us",
+        "i",
+    ).select(
+        "host",
+        "lane",
+        "t_us",
+        F.when(
+            F.col("r_prev").isNull(), F.lit(0)
+        ).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.col("t_us") * F.col("i") + F.col("r_prev") - F.col("a_us"),
+            )
+        ).cast("long").alias("delay_us"),
+    )
+    return (
+        delayed.groupBy("host", "lane")
+        .agg(
+            F.max("t_us").cast("long").alias("t_us"),
+            F.count("*").cast("long").alias("n_requests"),
+            F.sum(F.when(F.col("delay_us") > 0, 1).otherwise(0))
+            .cast("long").alias("n_delayed"),
+            F.sum("delay_us").cast("long").alias("total_delay_us"),
+            F.max("delay_us").cast("long").alias("max_delay_us"),
+        )
+        .join(F.broadcast(stats), "host")
+        .select(
+            "host",
+            "lane",
+            "t_us",
+            "n_requests",
+            "n_delayed",
+            F.expr("total_delay_us div n_requests").cast("long")
+            .alias("mean_delay_us"),
+            "max_delay_us",
+            F.expr(
+                "(1000000 * n_requests * t_us) div nullif(horizon_us, 0)"
+            ).cast("long").alias("utilization_ppm"),
+        )
+        .orderBy("host", "lane")
+    )
+
+
+ORACLE_RATE_SHAPER_DELAY = """
+WITH arr AS (
+  SELECT CAST(user_id % 10 AS BIGINT) AS host, event_id,
+         CAST(date_diff('microsecond', TIMESTAMP '2024-01-01', ts)
+              AS BIGINT) AS a_us
+  FROM events
+),
+stats AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_host,
+         CAST(max(a_us) - min(a_us) AS BIGINT) AS horizon_us
+  FROM arr GROUP BY 1
+),
+lanes AS (
+  SELECT a.host, a.event_id, a.a_us, s.x.lane AS lane,
+         CASE s.x.lane
+           WHEN 'half' THEN st.horizon_us // (2 * st.n_host)
+           WHEN 'match' THEN st.horizon_us // st.n_host
+           ELSE (2 * st.horizon_us) // st.n_host
+         END AS t_us
+  FROM arr a
+  JOIN stats st USING (host),
+  LATERAL (SELECT unnest([{'lane': 'half'}, {'lane': 'match'},
+                          {'lane': 'double'}]) AS x) s
+),
+idx AS (
+  SELECT host, lane, t_us, a_us, event_id,
+         CAST(row_number() OVER (PARTITION BY host, lane
+                                 ORDER BY a_us, event_id) - 1
+              AS BIGINT) AS i
+  FROM lanes
+),
+stepped AS (
+  SELECT host, lane, t_us, a_us, i,
+         max(a_us - t_us * i) OVER (PARTITION BY host, lane
+                                    ORDER BY a_us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS r_prev
+  FROM idx
+),
+delayed AS (
+  SELECT host, lane, t_us,
+         CAST(CASE WHEN r_prev IS NULL THEN 0
+                   ELSE greatest(0, t_us * i + r_prev - a_us)
+              END AS BIGINT) AS delay_us
+  FROM stepped
+)
+SELECT d.host, d.lane,
+       CAST(max(d.t_us) AS BIGINT) AS t_us,
+       CAST(count(*) AS BIGINT) AS n_requests,
+       CAST(sum(CASE WHEN delay_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_delayed,
+       CAST(sum(delay_us) // count(*) AS BIGINT) AS mean_delay_us,
+       CAST(max(delay_us) AS BIGINT) AS max_delay_us,
+       CAST((1000000 * count(*) * max(d.t_us)) // nullif(max(h.horizon_us), 0)
+            AS BIGINT) AS utilization_ppm
+FROM delayed d JOIN stats h USING (host)
+GROUP BY d.host, d.lane ORDER BY d.host, d.lane
+"""
+
+
+_MMR_ROUNDS = 5
+_MMR_LAMBDA_E1 = 7  # λ = 0.7
+
+
+def q_mmr_diversification(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98 — the diversity re-rank RAG retrievers run so the top-k
+    isn't five copies of the same passage): from the BM25 top-10 for
+    the fixed 3-term query (bm25_search's exact lanes), greedily pick
+    5 docs maximizing λ·rel_norm − (1−λ)·max-sim-to-already-picked
+    (λ = 0.7; similarity = exact bigram Jaccard between candidates,
+    a ≤10×10 bounded pair table; rel normalized by the pool max as
+    one double division). Each greedy round is generated from ONE
+    Python loop for both engines (byte-identical arithmetic, the
+    pagerank-oracle trick): anti-join the picked set, attach the max
+    prior similarity, take the (unrounded-mmr, doc_id) argmax as a
+    1-row broadcast. Output per round: the pick, its relevance, its
+    max similarity to prior picks, and the mmr score (6 dp at the
+    boundary only). The numbers SHOW the operator: round 1 is the
+    plain BM25 winner; later rounds skip near-duplicate high-rel docs
+    for diverse mid-rel ones. Shape: corpus stages = one BM25 pass +
+    one gram join semi-filtered to the 10 candidates; every greedy
+    stage touches ≤10 rows."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    words = (
+        d.filter(F.length(norm) > 0)
+        .select("doc_id", F.explode(F.split(norm, " ")).alias("word"))
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double"))
+        .alias("avgdl"),
+    )
+    tf = (
+        words.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "word")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "ln(1.0 + (cast(n_docs - df as double) + 0.5)"
+                " / (cast(df as double) + 0.5))"
+                " * ((cast(tf as double) * 2.2)"
+                " / (cast(tf as double)"
+                "    + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl))))"
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("rel"))
+        .orderBy(F.desc("rel"), "doc_id")
+        .limit(10)
+    )
+    pool_max = scored.agg(F.max("rel").alias("mx"))
+    cand = scored.crossJoin(F.broadcast(pool_max)).select(
+        "doc_id", "rel", (F.col("rel") / F.col("mx")).alias("rel_norm")
+    )
+    big = (
+        d.join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
+        .select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("arr"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "case when size(arr) < 2 then array()"
+                    " else transform(sequence(0, size(arr) - 2),"
+                    " i -> concat(arr[i], ' ', arr[i + 1])) end"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    bsz = big.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    sims = (
+        big.alias("x")
+        .join(big.alias("y"),
+              (F.col("x.g") == F.col("y.g"))
+              & (F.col("x.doc_id") != F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").cast("long").alias("ni"))
+        .join(bsz.select(F.col("doc_id").alias("a"),
+                         F.col("n").alias("na")), "a")
+        .join(bsz.select(F.col("doc_id").alias("b"),
+                         F.col("n").alias("nb")), "b")
+        .select(
+            "a", "b",
+            (F.col("ni").cast("double")
+             / (F.col("na") + F.col("nb") - F.col("ni")).cast("double"))
+            .alias("sim"),
+        )
+    )
+    lam = _MMR_LAMBDA_E1 / 10.0
+    picked = None
+    out_rows = []
+    remaining = cand
+    for r in range(1, _MMR_ROUNDS + 1):
+        if picked is None:
+            ms = remaining.select(
+                "doc_id", "rel", "rel_norm", F.lit(0.0).alias("max_sim")
+            )
+        else:
+            ms = (
+                remaining.join(
+                    sims.join(
+                        F.broadcast(picked.select(F.col("doc_id").alias("b"))),
+                        "b", "left_semi",
+                    ).groupBy("a").agg(F.max("sim").alias("max_sim")),
+                    remaining.doc_id == F.col("a"),
+                    "left",
+                )
+                .select(
+                    "doc_id", "rel", "rel_norm",
+                    F.coalesce("max_sim", F.lit(0.0)).alias("max_sim"),
+                )
+            )
+        pick = (
+            ms.select(
+                "doc_id", "rel", "rel_norm", "max_sim",
+                (F.lit(lam) * F.col("rel_norm")
+                 - F.lit(1 - lam) * F.col("max_sim")).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), "doc_id")
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "doc_id", "rel", "max_sim", "mmr",
+            )
+        )
+        out_rows.append(pick)
+        picked = (
+            pick.select("doc_id")
+            if picked is None
+            else picked.unionByName(pick.select("doc_id"))
+        )
+        remaining = remaining.join(
+            F.broadcast(pick.select("doc_id")), "doc_id", "left_anti"
+        )
+    out = out_rows[0]
+    for p in out_rows[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "round",
+        "doc_id",
+        "rel",
+        F.round("max_sim", 6).alias("max_sim_q6"),
+        F.round("mmr", 6).alias("mmr_q6"),
+    ).orderBy("round")
+
+
+def _mmr_oracle() -> str:
+    lam = _MMR_LAMBDA_E1 / 10.0
+    rounds = ""
+    for r in range(1, _MMR_ROUNDS + 1):
+        if r == 1:
+            prev_picked = "SELECT NULL::BIGINT AS doc_id WHERE false"
+        else:
+            prev_picked = " UNION ALL ".join(
+                f"SELECT doc_id FROM p{i}" for i in range(1, r)
+            )
+        rounds += f""",
+picked{r} AS ({prev_picked}),
+ms{r} AS (
+  SELECT c.doc_id, c.rel, c.rel_norm,
+         coalesce((SELECT max(s.sim) FROM sims s
+                   WHERE s.a = c.doc_id
+                     AND s.b IN (SELECT doc_id FROM picked{r})), 0.0)
+           AS max_sim
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM picked{r})
+),
+p{r} AS (
+  SELECT {r}::BIGINT AS round, doc_id, rel, max_sim,
+         {lam} * rel_norm - {1 - lam} * max_sim AS mmr
+  FROM ms{r}
+  ORDER BY {lam} * rel_norm - {1 - lam} * max_sim DESC, doc_id
+  LIMIT 1
+)"""
+    sel = " UNION ALL ".join(
+        f"SELECT * FROM p{r}" for r in range(1, _MMR_ROUNDS + 1)
+    )
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ')) AS word
+  FROM documents
+  WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM words WHERE word IN ({terms})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, round(sum(
+           ln(1.0 + (CAST(st.n_docs - f.df AS DOUBLE) + 0.5)
+                    / (CAST(f.df AS DOUBLE) + 0.5))
+           * ((CAST(t.tf AS DOUBLE) * 2.2)
+              / (CAST(t.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / st.avgdl))))
+         ), 6) AS rel
+  FROM tf t JOIN dl d USING (doc_id) JOIN dfreq f USING (word)
+  CROSS JOIN stats st
+  GROUP BY 1 ORDER BY rel DESC, doc_id LIMIT 10
+),
+cand AS (
+  SELECT doc_id, rel, rel / (SELECT max(rel) FROM scored) AS rel_norm
+  FROM scored
+),
+big AS (
+  SELECT DISTINCT d.doc_id, arr[i] || ' ' || arr[i + 1] AS g
+  FROM (SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),
+                                                '\\s+', ' ', 'g')), ' ')
+                 AS arr
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM cand)) d,
+       LATERAL (SELECT unnest(range(1, len(arr))) AS i) s
+),
+bsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY 1),
+sims AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(count(*) AS DOUBLE)
+           / CAST(sa.n + sb.n - count(*) AS DOUBLE) AS sim
+  FROM big x
+  JOIN big y ON x.g = y.g AND x.doc_id != y.doc_id
+  JOIN bsz sa ON sa.doc_id = x.doc_id
+  JOIN bsz sb ON sb.doc_id = y.doc_id
+  GROUP BY x.doc_id, y.doc_id, sa.n, sb.n
+){rounds}
+SELECT round, doc_id, rel,
+       round(max_sim, 6) AS max_sim_q6,
+       round(mmr, 6) AS mmr_q6
+FROM ({sel}) ORDER BY round
+"""
+
+
+ORACLE_MMR_DIVERSIFICATION = _mmr_oracle()
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
@@ -20457,6 +20888,8 @@ QUERIES: dict[str, tuple] = {
         q_int_encoding_selection,
         ORACLE_INT_ENCODING_SELECTION,
     ),
+    "rate_shaper_delay": (q_rate_shaper_delay, ORACLE_RATE_SHAPER_DELAY),
+    "mmr_diversification": (q_mmr_diversification, ORACLE_MMR_DIVERSIFICATION),
 }
 
 

@@ -1886,3 +1886,25 @@ def test_int_encoding_selection_partitioned_lanes(spark):
     plan = _plan(q_int_encoding_selection(spark, SF))
     assert "Exchange SinglePartition" not in plan
     assert "SortAggregate" not in plan
+
+
+def test_rate_shaper_delay_one_window_pass(spark):
+    """rate_shaper_delay: the GCRA recursion collapses into ONE
+    (host, lane)-partitioned window sort (rank + running max + delay
+    ride it); stats broadcast; no SinglePartition."""
+    from crawlers_spark.queries import q_rate_shaper_delay
+
+    plan = _plan(q_rate_shaper_delay(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_diversification_bounded_greedy(spark):
+    """mmr_diversification: every greedy round is a bounded TakeOrdered
+    over ≤10 candidate rows; the gram-pair stage is semi-filtered to
+    the candidate pool; no cartesian."""
+    from crawlers_spark.queries import q_mmr_diversification
+
+    plan = _plan(q_mmr_diversification(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
