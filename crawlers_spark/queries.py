@@ -20526,6 +20526,138 @@ FROM ({sel}) ORDER BY round
 ORACLE_MMR_DIVERSIFICATION = _mmr_oracle()
 
 
+def q_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman, JRSS 1934:
+    for a fixed budget, sampling each stratum ∝ N_h·s_h minimizes the
+    estimator's variance — the design a corpus-QA team uses to spread
+    1000 audit docs across sources): strata = source, audited metric
+    = doc length. Per-stratum sd uses the exact int64 sum-of-squares
+    identity (n·Σx² − (Σx)², overflow-checked lanes) with ONE IEEE
+    sqrt — sqrt is correctly rounded by the standard, so both engines
+    produce bit-identical s_h where pow/log would not. The B = 1000
+    budget is apportioned by Hamilton largest remainder over the
+    N_h·s_h weights (fraction desc, source tie-break), against a
+    proportional-allocation control; alloc sums are self-certified
+    (sum_ok via an integer window sum). Output per source: n, mean
+    length, s_h (6 dp), both allocations, and the per-stratum
+    oversampling factor Neyman applies to high-variance sources —
+    the design law visible row by row. Shape: one scan → one
+    per-source hash-agg → 20-row windows; nothing leaves the
+    aggregate."""
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        F.coalesce("source", F.lit("?")).alias("source"),
+        F.coalesce("n_chars", F.length("text"), F.lit(0))
+        .cast("long").alias("x"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+    )
+    stats = agg.select(
+        "source",
+        "n",
+        F.expr("sx div n").cast("long").alias("mean_len"),
+        (
+            F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("s"),
+    ).withColumn("w", F.col("n").cast("double") * F.col("s"))
+    tw = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def hamilton(weight_col, prefix):
+        quota = (
+            F.lit(1000.0)
+            * F.col(weight_col)
+            / F.sum(weight_col).over(tw)
+        )
+        fl = F.floor(quota).cast("long")
+        frac = quota - fl.cast("double")
+        rk = F.row_number().over(Window.orderBy(F.desc(frac), "source"))
+        short = F.lit(1000) - F.sum(fl).over(tw)
+        return (fl + F.when(rk <= short, 1).otherwise(0)).cast("long").alias(
+            f"alloc_{prefix}"
+        )
+
+    out = stats.select(
+        "source",
+        "n",
+        "mean_len",
+        F.round("s", 6).alias("s_q6"),
+        hamilton("w", "neyman"),
+        hamilton("n", "prop"),
+    )
+    ws = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return out.select(
+        "source",
+        "n",
+        "mean_len",
+        "s_q6",
+        "alloc_neyman",
+        "alloc_prop",
+        (F.col("alloc_neyman") - F.col("alloc_prop")).alias("neyman_shift"),
+        (
+            (F.sum("alloc_neyman").over(ws) == 1000)
+            & (F.sum("alloc_prop").over(ws) == 1000)
+        ).alias("sum_ok"),
+    ).orderBy("source")
+
+
+ORACLE_NEYMAN_ALLOCATION = """
+WITH base AS (
+  SELECT coalesce(source, '?') AS source,
+         CAST(coalesce(n_chars, length(text), 0) AS BIGINT) AS x
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY 1
+),
+stats AS (
+  SELECT source, n,
+         CAST(sx // n AS BIGINT) AS mean_len,
+         sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE) AS s
+  FROM agg
+),
+weighted AS (SELECT *, CAST(n AS DOUBLE) * s AS w FROM stats),
+ney AS (
+  SELECT source,
+         CAST(floor(q) AS BIGINT)
+           + CASE WHEN row_number() OVER (ORDER BY q - floor(q) DESC, source)
+                       <= 1000 - sum(CAST(floor(q) AS BIGINT)) OVER ()
+                  THEN 1 ELSE 0 END AS alloc_neyman
+  FROM (SELECT source, 1000.0 * w / sum(w) OVER () AS q FROM weighted)
+),
+prop AS (
+  SELECT source,
+         CAST(floor(q) AS BIGINT)
+           + CASE WHEN row_number() OVER (ORDER BY q - floor(q) DESC, source)
+                       <= 1000 - sum(CAST(floor(q) AS BIGINT)) OVER ()
+                  THEN 1 ELSE 0 END AS alloc_prop
+  FROM (SELECT source,
+               1000.0 * CAST(n AS DOUBLE) / sum(CAST(n AS DOUBLE)) OVER ()
+                 AS q
+        FROM weighted)
+)
+SELECT s.source, s.n, s.mean_len,
+       round(s.s, 6) AS s_q6,
+       ney.alloc_neyman, prop.alloc_prop,
+       ney.alloc_neyman - prop.alloc_prop AS neyman_shift,
+       sum(ney.alloc_neyman) OVER () = 1000
+         AND sum(prop.alloc_prop) OVER () = 1000 AS sum_ok
+FROM stats s JOIN ney USING (source) JOIN prop USING (source)
+ORDER BY s.source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
@@ -20890,6 +21022,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "rate_shaper_delay": (q_rate_shaper_delay, ORACLE_RATE_SHAPER_DELAY),
     "mmr_diversification": (q_mmr_diversification, ORACLE_MMR_DIVERSIFICATION),
+    "neyman_allocation": (q_neyman_allocation, ORACLE_NEYMAN_ALLOCATION),
 }
 
 

@@ -519,3 +519,79 @@ def stream_circuit_breaker(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_rate_shaper(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    t_us: int = 1_000_000,
+):
+    """Streaming GCRA/token-bucket rate shaper — the stateful twin of
+    queries.q_rate_shaper_delay's window closed form: per host the
+    ENTIRE shaper state is one int64 (the virtual finish V of the last
+    admitted request; V_new = max(a, V_prev) + T, delay = max(0,
+    V_prev − a)) — the O(1)-per-host-forever streaming shape
+    (contrast stream_dedup_exact's growing key set), O(batch) update
+    cost. Batches are expected in arrival order (the fetch-log
+    cadence, same contract as stream_circuit_breaker); arrivals
+    inside a batch are processed in (a_us, event_id) order, so whole
+    ordered batches reproduce the batch window formula exactly
+    (equivalence-tested) and a restart resumes the bucket level from
+    checkpointed state — a pre-crash burst still delays the first
+    post-crash request. Reference analog: the per-site sleep pacing
+    inside the serial collection loops
+    (/root/reference/coinmarketcap/coin_market_cap_api_2.0.py:214),
+    here as exact virtual time instead of wall-clock sleeps."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long"
+    ).parquet(events_dir)
+    d = src.select(
+        (F.col("user_id") % 10).alias("host"),
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp'2024-01-01', ts)"
+        ).cast("long").alias("a_us"),
+    )
+
+    def step(key, pdfs, state: GroupState):
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(["a_us", "event_id"])
+        v = int(state.get[0]) if state.exists else None
+        delays = []
+        for a in pdf["a_us"].astype("int64"):
+            a = int(a)
+            delays.append(0 if v is None else max(0, v - a))
+            v = (a if v is None else max(a, v)) + t_us
+        state.update((v,))
+        yield pd.DataFrame(
+            {
+                "host": key[0],
+                "event_id": pdf["event_id"].astype("int64"),
+                "a_us": pdf["a_us"].astype("int64"),
+                "delay_us": pd.Series(delays, index=pdf.index, dtype="int64"),
+            }
+        )
+
+    out = d.groupBy("host").applyInPandasWithState(
+        step,
+        outputStructType=(
+            "host long, event_id long, a_us long, delay_us long"
+        ),
+        stateStructType="v_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

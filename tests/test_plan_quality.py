@@ -1908,3 +1908,13 @@ def test_mmr_diversification_bounded_greedy(spark):
     plan = _plan(q_mmr_diversification(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_neyman_allocation_aggregate_windows(spark):
+    """neyman_allocation: one corpus hash-agg; Hamilton rounding rides
+    the bounded 20-row stratum frame."""
+    from crawlers_spark.queries import q_neyman_allocation
+
+    plan = _plan(q_neyman_allocation(spark, SF))
+    assert plan.count("Scan parquet") == 2  # one scan: tree node + details
+    assert "SortAggregate" not in plan

@@ -425,3 +425,67 @@ def test_stream_circuit_breaker_matches_batch_across_restart(spark, tmp_path):
     assert got == want
     assert got[(1, "2024-01-03")][2] == "half_open"  # state crossed the restart
     assert got[(2, "2024-01-03")][2] == "closed"
+
+
+def test_stream_rate_shaper_matches_recursion_across_restart(spark, tmp_path):
+    """Streaming shaper == the GCRA recursion (and therefore
+    q_rate_shaper_delay's window closed form) when fed ordered
+    batches, with the ONE-int64 bucket state surviving a restart: a
+    burst right before the restart must delay the first post-restart
+    request from checkpointed virtual time."""
+    import datetime
+
+    import pandas as pd
+
+    from crawlers_spark.streaming.micro_batch import stream_rate_shaper
+
+    events_dir = str(tmp_path / "events.parquet")
+    os.makedirs(events_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    T = 1_000_000  # 1 s per request
+
+    def batch(rows):
+        df = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [t0 + datetime.timedelta(microseconds=r[1]) for r in rows],
+                "user_id": [r[2] for r in rows],
+            }
+        )
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        return df
+
+    # host 3: spaced arrivals then a tight burst right before restart
+    b1 = [(1, 0, 3), (2, 2_500_000, 3), (3, 2_600_000, 3), (4, 2_700_000, 3)]
+    # host 7: single slow stream — never delayed
+    b1 += [(5, 0, 7), (6, 5_000_000, 7)]
+    batch(b1).to_parquet(os.path.join(events_dir, "b1.parquet"))
+    q = stream_rate_shaper(spark, events_dir, out_dir, ckpt, t_us=T)
+    q.awaitTermination(120)
+
+    # restart boundary: host 3's bucket is 2 requests deep in virtual time
+    b2 = [(7, 2_800_000, 3), (8, 20_000_000, 3), (9, 10_000_000, 7)]
+    batch(b2).to_parquet(os.path.join(events_dir, "b2.parquet"))
+    q2 = stream_rate_shaper(spark, events_dir, out_dir, ckpt, t_us=T)
+    q2.awaitTermination(120)
+
+    got = {
+        r["event_id"]: r["delay_us"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # reference recursion per host over the full ordered arrival list
+    want = {}
+    for host in (3, 7):
+        v = None
+        for eid, a, h in sorted(b1 + b2, key=lambda r: (r[1], r[0])):
+            if h != host:
+                continue
+            want[eid] = 0 if v is None else max(0, v - a)
+            v = (a if v is None else max(a, v)) + T
+    assert got == want
+    # the burst delay crossed the restart via checkpointed state
+    assert got[7] > 0
+    # and the law: spaced host 7 never waits
+    assert got[5] == got[6] == got[9] == 0
