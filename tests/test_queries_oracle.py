@@ -114,6 +114,30 @@ def test_entry_contract(spark):
     assert len(q) >= 25
 
 
+def test_driver_window_curated():
+    """The driver's CORRECTNESS gate grades the FIRST 50 queries() entries;
+    DRIVER_WINDOW curates that window (VERDICT r4 item #2). Pin: exactly 50
+    names, all registered, queries() leads with them in order, and the
+    image-dedup family is inside the window."""
+    from crawlers_spark.queries import DRIVER_WINDOW
+
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    assert set(DRIVER_WINDOW) <= set(QUERIES)
+    q = entry_mod.queries()
+    assert list(q)[:50] == DRIVER_WINDOW
+    assert len(q) == len(QUERIES)
+    for name in (
+        "phash_near_dups",
+        "phash_clusters",
+        "image_embed_near_dups",
+        "image_decode_stats",
+        "span_dup_fraction",
+        "crawl_pages_by_host",
+    ):
+        assert name in DRIVER_WINDOW
+
+
 def test_doc_repetition_short_docs_edge(spark, tmp_path):
     """Docs shorter than the gram widths (1, 2, 4 words) must not crash
     (sequence(0, size-k) goes descending => ANSI array-index error
