@@ -139,6 +139,7 @@ def _get_spark(cpus: int, shuffle: int, extra_conf: dict | None = None,
 def run_crawl_bench(
     cpus: int, reps: int | None = None, n_candidates: int | None = None,
     executors: int = 0, exec_cores: int = 4, skip_fetch: bool = False,
+    n_preseen: int | None = None, stage_walls: bool = False,
 ) -> dict:
     """Frontier mega-generation → throughput dict (fresh process per call).
 
@@ -174,6 +175,8 @@ def run_crawl_bench(
     p = dict(CRAWL_BENCH)
     if n_candidates:
         p["n_candidates"] = n_candidates
+    if n_preseen:
+        p["n_preseen"] = n_preseen
     reps = reps or p["reps"]
     _use_tmpfs_local_dir()
     master = None
@@ -223,8 +226,21 @@ def run_crawl_bench(
     # scheduler/GC jitter per run, so each level runs REPS repetitions and
     # reports the minimum (identical protocol at both levels).
     walls, n_scheduled = [], 0
+    gen_walls: list[float] = []
     last_out = None
     for _rep in range(reps):
+        if stage_walls:
+            # per-stage wall (VERDICT r4 item #4): time the map-only
+            # generation stage alone (forced by a hash-only agg, zero
+            # string bytes to the driver), so the datasize grid can show
+            # each STAGE's linearity, not just the total's
+            tg = time.monotonic()
+            raw_g = distributed_candidates(
+                spark, web, p["n_candidates"], p["n_host_buckets"],
+                partitions=cpus * 4,
+            )
+            raw_g.agg(F.expr("bit_xor(url_hash)")).collect()
+            gen_walls.append(time.monotonic() - tg)
         t0 = time.monotonic()
         # one Python pass: generate + canonicalize + hash + bucket; raw
         # spellings never cross the Arrow boundary, and no host string
@@ -252,9 +268,15 @@ def run_crawl_bench(
         "wall_s": round(wall, 2),
         "walls": [round(w, 2) for w in walls],
         "candidates": p["n_candidates"],
+        "preseen": p["n_preseen"],
         "scheduled": n_scheduled,
         "urls_per_sec": round(p["n_candidates"] / wall, 1),
     }
+    if gen_walls:
+        gw = min(gen_walls)
+        out["gen_wall_s"] = round(gw, 2)
+        out["gen_walls"] = [round(w, 2) for w in gen_walls]
+        out["sched_wall_s"] = round(max(wall - gw, 0.01), 2)
     if executors > 0:
         out["executors"] = executors
         out["exec_cores"] = exec_cores
@@ -453,6 +475,51 @@ def ceiling_probes(n_lo: int, n_hi: int) -> dict:
     return out
 
 
+def ceiling_probes_cluster(e_lo: int, e_hi: int, cores: int = 4) -> dict:
+    """Hardware-ceiling ladder measured in EXECUTOR GEOMETRY (VERDICT r4
+    item #5): E separate process pools of ``cores`` workers each —
+    matching local-cluster[E,cores]'s per-executor Python-worker layout —
+    instead of one flat pool. Same four probes, same fixed work per
+    worker, lo/hi interleaved with min-of-2, so the multi-executor pair
+    gets its OWN same-window ceiling instead of borrowing the thread
+    ladder's. With all pools on one shared box the E pools contend for
+    the same DRAM/clock budget a flat E*cores pool does; measuring in
+    the E-pool geometry verifies that (and catches any per-pool dispatch
+    cost the flat ladder would hide)."""
+    import multiprocessing as mp
+    from concurrent.futures import ThreadPoolExecutor
+
+    def timed(fn, work, warm, n_exec: int) -> float:
+        pools = [mp.Pool(cores) for _ in range(n_exec)]
+        try:
+            for p in pools:
+                p.map(fn, warm * cores)
+            t0 = time.monotonic()
+            with ThreadPoolExecutor(n_exec) as tpe:
+                list(tpe.map(lambda p: p.map(fn, work * cores), pools))
+            return time.monotonic() - t0
+        finally:
+            for p in pools:
+                p.terminate()
+                p.join()
+
+    out: dict[str, dict] = {}
+    for name, (fn, work, warm) in _PROBES.items():
+        lo_w, hi_w = [], []
+        for _ in range(2):  # interleaved lo/hi so VM drift cancels
+            lo_w.append(timed(fn, work, warm, e_lo))
+            hi_w.append(timed(fn, work, warm, e_hi))
+        tl, th = min(lo_w), min(hi_w)
+        speedup = (e_hi / th) / (e_lo / tl)
+        out[name] = {
+            "lo_executors": e_lo, "hi_executors": e_hi, "cores": cores,
+            "lo_wall_s": round(tl, 2), "hi_wall_s": round(th, 2),
+            "speedup": round(speedup, 2),
+            "ceiling_eff": round(speedup / (e_hi / e_lo), 3),
+        }
+    return out
+
+
 def _agg_level(runs: list[dict]) -> dict:
     """Merge repeated spawns of one level: min wall across all reps."""
     best = min(runs, key=lambda r: r["wall_s"])
@@ -558,6 +625,11 @@ def update_baseline_md(
         vs_thread_rows = ""
         if vs_thread is not None:
             vs_thread_rows = f"""| cluster eff / thread-pair eff, SAME window | {vs_thread:.3f} | cluster spawns interleaved INSIDE the 4v16 thread cycle — ≥1 means real multi-executor geometry scales at least as well as the thread stand-in |
+"""
+        cc = cluster.get("ceiling_probes_cluster")
+        if cc is not None:
+            vs_thread_rows += f"""| cluster-geometry kernel ceiling (1 vs 4 pools × 4 procs) | {cc['kernels']['ceiling_eff']:.3f} | bare frontier kernels in EXECUTOR geometry (E separate pools of 4, same window) — busy {cc['busy_loop']['ceiling_eff']:.3f}, memcpy {cc['memcpy']['ceiling_eff']:.3f}, kernels+IPC {cc['kernels_ipc']['ceiling_eff']:.3f} |
+| cluster efficiency vs cluster-geometry kernel ceiling | {cluster.get('eff_vs_cluster_kernel_ceiling', 0):.3f} | raw eff ÷ the pair's OWN same-window ceiling, no transfer from the thread ladder |
 """
         cluster_note = f"""
 
@@ -698,6 +770,9 @@ def _history_section(primary, secondary, levels, cluster=None) -> str:
         rec["eff_cluster_1v4E"] = cluster["efficiency"]
         if "eff_vs_thread_same_window" in cluster:
             rec["cluster_vs_thread"] = cluster["eff_vs_thread_same_window"]
+        if "eff_vs_cluster_kernel_ceiling" in cluster:
+            rec["cluster_vs_cluster_ceiling"] = (
+                cluster["eff_vs_cluster_kernel_ceiling"])
     try:
         with open(hist_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -722,7 +797,9 @@ def _history_section(primary, secondary, levels, cluster=None) -> str:
         f"\nRange summary over all {len(all_runs)} recorded sessions: "
         f"raw 4v16 {_rng('eff_4v16')}; vs kernel ceiling 4v16 "
         f"{_rng('vs_kernel_4v16')}; raw 8v32 {_rng('eff_8v32')}; "
-        f"multi-executor 1v4E {_rng('eff_cluster_1v4E')}. The "
+        f"multi-executor 1v4E {_rng('eff_cluster_1v4E')}; 1v4E vs its "
+        f"own cluster-geometry kernel ceiling "
+        f"{_rng('cluster_vs_cluster_ceiling')}. The "
         "multi-executor (real separate-JVM) pair falls inside the thread "
         "4v16 pair's drift range — same process geometry, same DRAM "
         "bound — so the thread pair's ceiling-relative reading applies "
@@ -755,48 +832,89 @@ window, later rows inside the thread cycle.)
 {rows}{range_note}"""
 
 
-def run_datasize_probe(cpus: int = 16, factor: int = 4, reps: int = 2) -> dict:
-    """Data-size linearity probe (axis B): same parallelism, same
-    long-lived state (seen-set/robots), 1x vs ``factor``x the CANDIDATE
-    volume — the per-generation cost model at a growing frontier, where
-    state is resident and only the candidate side moves. Ideal linear
-    behavior keeps URLs/sec constant as data grows; ``retention`` =
-    thr(big)/thr(base). Spawns are fresh-JVM subprocesses interleaved
-    base/big/base/big so host-VM drift cancels (the scaling-pair
-    protocol); fetch is skipped — the metric is scheduled+deduped URLs.
-    Persists BENCH/datasize.json, which update_baseline_md renders as
-    the axis-B section on every subsequent bench run."""
+def run_datasize_probe(levels: tuple = (8, 32), factors: tuple = (1, 10),
+                       reps: int = 2) -> dict:
+    """Data-size linearity GRID (axis B, VERDICT r4 item #4): for each
+    parallelism level, the same long-lived state model with the CANDIDATE
+    volume grown ``factors``x — including the 10x mega-generation
+    (120M candidates against a 25M-URL seen-set at the default
+    CRAWL_BENCH sizes). Ideal linear behavior keeps URLs/sec constant as
+    data grows; ``retention`` = thr(big)/thr(base) per level, reported
+    PER STAGE (map-only generation vs exchange+schedule) so a
+    super-linear term in either stage is visible, not averaged away.
+    Spawns are fresh-JVM subprocesses interleaved across the whole grid
+    twice so host-VM drift cancels (the scaling-pair protocol); fetch is
+    skipped — the metric is scheduled+deduped URLs. Persists
+    BENCH/datasize.json, which update_baseline_md renders as the axis-B
+    section on every subsequent bench run."""
     import datetime
 
     base_nc = CRAWL_BENCH["n_candidates"]
-    big_nc = base_nc * factor
+    base_ps = CRAWL_BENCH["n_preseen"]
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
-    walls: dict[int, list] = {base_nc: [], big_nc: []}
+    cells: dict[tuple, dict] = {
+        (c, f): {"walls": [], "gen_walls": []}
+        for c in levels for f in factors
+    }
     for _round in range(2):
-        for nc in (base_nc, big_nc):
-            time.sleep(10)
-            cmd = [sys.executable, os.path.abspath(__file__), "--crawl",
-                   "--cpus", str(cpus), "--reps", str(reps), "--no-fetch",
-                   "--candidates", str(nc)]
-            proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=1800, env=env)
-            line = [l for l in proc.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            walls[nc].extend(json.loads(line)["walls"])
-    w_base, w_big = min(walls[base_nc]), min(walls[big_nc])
-    thr_base, thr_big = base_nc / w_base, big_nc / w_big
+        for cpus in levels:
+            for f in factors:
+                nc = base_nc * f
+                # the 10x point also scales the resident seen-set to
+                # >=25M rows — the mega-generation shape the 10^10 claim
+                # is read against
+                ps = max(base_ps, 25_000_000) if f >= 10 else base_ps
+                r = reps if f == 1 else 1
+                time.sleep(10)
+                cmd = [sys.executable, os.path.abspath(__file__), "--crawl",
+                       "--cpus", str(cpus), "--reps", str(r), "--no-fetch",
+                       "--stage-walls", "--candidates", str(nc),
+                       "--preseen", str(ps)]
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=3000, env=env)
+                line = [l for l in proc.stdout.splitlines()
+                        if l.startswith("{")][-1]
+                d = json.loads(line)
+                cell = cells[(cpus, f)]
+                cell["walls"].extend(d["walls"])
+                cell["gen_walls"].extend(d.get("gen_walls", []))
+                cell["candidates"] = d["candidates"]
+                cell["preseen"] = d["preseen"]
+    points = []
+    retention: dict[str, dict] = {}
+    for cpus in levels:
+        per_factor = {}
+        for f in factors:
+            cell = cells[(cpus, f)]
+            nc = cell["candidates"]
+            w = min(cell["walls"])
+            gw = min(cell["gen_walls"]) if cell["gen_walls"] else None
+            pt = {
+                "cpus": cpus, "factor": f, "candidates": nc,
+                "preseen": cell["preseen"],
+                "wall_s": round(w, 2),
+                "walls": [round(x, 2) for x in cell["walls"]],
+                "urls_per_sec": round(nc / w, 1),
+            }
+            if gw is not None:
+                pt["gen_wall_s"] = round(gw, 2)
+                pt["sched_wall_s"] = round(max(w - gw, 0.01), 2)
+                pt["gen_urls_per_sec"] = round(nc / gw, 1)
+                pt["sched_urls_per_sec"] = round(nc / max(w - gw, 0.01), 1)
+            per_factor[f] = pt
+            points.append(pt)
+        lo, hi = per_factor[min(factors)], per_factor[max(factors)]
+        ret = {"total": round(hi["urls_per_sec"] / lo["urls_per_sec"], 3)}
+        if "gen_urls_per_sec" in lo and "gen_urls_per_sec" in hi:
+            ret["gen"] = round(hi["gen_urls_per_sec"] / lo["gen_urls_per_sec"], 3)
+            ret["sched"] = round(
+                hi["sched_urls_per_sec"] / lo["sched_urls_per_sec"], 3)
+        retention[str(cpus)] = ret
     out = {
         "utc": datetime.datetime.now(datetime.timezone.utc)
         .strftime("%Y-%m-%d %H:%M"),
-        "cpus": cpus,
-        "base_candidates": base_nc,
-        "big_candidates": big_nc,
-        "base_urls_per_sec": round(thr_base, 1),
-        "big_urls_per_sec": round(thr_big, 1),
-        "retention": round(thr_big / thr_base, 3),
-        "wall_base": round(w_base, 2), "wall_big": round(w_big, 2),
-        "walls_base": [round(w, 2) for w in walls[base_nc]],
-        "walls_big": [round(w, 2) for w in walls[big_nc]],
+        "levels": list(levels), "factors": list(factors),
+        "points": points, "retention": retention,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -822,22 +940,45 @@ def _datasize_section() -> str:
 
 
 def _render_datasize(d: dict) -> str:
+    rows = ""
+    for pt in d["points"]:
+        stage = ""
+        if "gen_wall_s" in pt:
+            stage = (f" gen {pt['gen_wall_s']} s ({pt['gen_urls_per_sec']:,.0f}/s), "
+                     f"exchange+schedule {pt['sched_wall_s']} s "
+                     f"({pt['sched_urls_per_sec']:,.0f}/s)")
+        rows += (f"| local[{pt['cpus']}] | {pt['candidates']:,} | "
+                 f"{pt['preseen']:,} | {pt['urls_per_sec']:,} | "
+                 f"wall {pt['wall_s']} s (reps {pt['walls']});{stage} |\n")
+    ret_rows = ""
+    for cpus, r in d["retention"].items():
+        stage = ""
+        if "gen" in r:
+            stage = f" gen {r['gen']:.3f}, exchange+schedule {r['sched']:.3f}"
+        ret_rows += (f"| local[{cpus}] | {r['total']:.3f} |{stage} |\n")
+    fmax = max(d["factors"])
     return f"""
 
-## Data-size linearity (axis B — measured {d['utc']} UTC via `python bench.py --datasize`)
+## Data-size linearity grid (axis B — measured {d['utc']} UTC via `python bench.py --datasize`)
 
-Same parallelism (local[{d['cpus']}]), same resident seen-set/robots
-state, candidate volume grown {d['big_candidates'] // d['base_candidates']}x
-— the per-generation cost model at a growing frontier. Ideal linear
-behavior keeps URLs/sec constant; spawns interleaved base/big/base/big
-(fresh JVMs, min-of-reps):
+For each parallelism level, the same resident seen-set/robots state
+model with the candidate volume grown up to {fmax}x — including the
+mega-generation point (10x candidates against a >=25M-row seen-set).
+Ideal linear behavior keeps URLs/sec constant; spawns interleaved
+across the whole grid twice (fresh JVMs, min-of-reps). Per-URL
+throughput is reported per STAGE (map-only generation vs
+exchange+schedule) so a super-linear term in either stage would be
+visible rather than averaged away:
 
-| metric | value | config |
+| level | candidates | seen-set rows | URLs/s | detail |
+|---|---|---|---|---|
+{rows}
+Throughput retention at {fmax}x data (thr_big/thr_base; 1.0 = perfectly
+linear, >1 = economies of scale from fixed per-job overheads):
+
+| level | total | per stage |
 |---|---|---|
-| URLs scheduled+deduped/sec @ {d['base_candidates']:,} candidates | {d['base_urls_per_sec']:,} | wall {d['wall_base']} s (reps {d['walls_base']}) |
-| URLs scheduled+deduped/sec @ {d['big_candidates']:,} candidates | {d['big_urls_per_sec']:,} | wall {d['wall_big']} s (reps {d['walls_big']}) |
-| throughput retention at {d['big_candidates'] // d['base_candidates']}x data | {d['retention']:.3f} | 1.0 = perfectly linear; sub-linear residue is the bigger shuffle's memory footprint on this shared box |
-"""
+{ret_rows}"""
 
 
 def main() -> None:
@@ -853,22 +994,27 @@ def main() -> None:
     ap.add_argument("--exec-cores", type=int, default=4)
     ap.add_argument("--no-fetch", action="store_true",
                     help="skip the image-fetch stage timing")
+    ap.add_argument("--preseen", type=int, default=None,
+                    help="override the resident seen-set size")
+    ap.add_argument("--stage-walls", action="store_true",
+                    help="also time the map-only generation stage per rep")
     ap.add_argument("--datasize", action="store_true",
-                    help="data-size linearity probe (axis B): 1x vs 4x "
-                         "candidates at fixed local[16], interleaved; "
-                         "persists BENCH/datasize.json")
+                    help="data-size linearity grid (axis B): 1x vs 10x "
+                         "candidates (10x vs a 25M seen-set) at local[8] "
+                         "and local[32], interleaved; persists "
+                         "BENCH/datasize.json")
     args = ap.parse_args()
 
     if args.datasize:
-        print(json.dumps(run_datasize_probe(cpus=args.cpus if args.cpus != 32
-                                            else 16, reps=args.reps or 2)))
+        print(json.dumps(run_datasize_probe(reps=args.reps or 2)))
         return
 
     if args.crawl:
         print(json.dumps(run_crawl_bench(
             args.cpus, reps=args.reps, n_candidates=args.candidates,
             executors=args.executors, exec_cores=args.exec_cores,
-            skip_fetch=args.no_fetch)))
+            skip_fetch=args.no_fetch, n_preseen=args.preseen,
+            stage_walls=args.stage_walls)))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -990,6 +1136,16 @@ def main() -> None:
                 result["host_ceiling"]["8v32"] = ceil_s
             except Exception:  # noqa: BLE001
                 ceil_s = None
+            # cluster-geometry ladder: same probes in E pools x 4 procs,
+            # same session/window as the cluster spawns below — the
+            # multi-executor pair's OWN ceiling (VERDICT r4 item #5)
+            ceil_c = None
+            if cluster_on:
+                try:
+                    ceil_c = ceiling_probes_cluster(1, 4, cores=4)
+                    result["host_ceiling"]["cluster_1v4E"] = ceil_c
+                except Exception:  # noqa: BLE001
+                    ceil_c = None
             # cycle order: the cluster pair rides between the primary
             # thread levels (same drift window for the cluster-vs-thread
             # comparison); the primary pair + cluster pair complete first
@@ -1034,10 +1190,22 @@ def main() -> None:
                     # the thread stand-in in this drift window
                     detail_cluster["eff_vs_thread_same_window"] = round(
                         detail_cluster["efficiency"] / primary[2], 3)
+                if ceil_c is not None:
+                    # the pair's OWN same-window ceiling, measured in
+                    # executor geometry (1 vs 4 pools of 4 procs)
+                    detail_cluster["ceiling_probes_cluster"] = ceil_c
+                    detail_cluster["cluster_kernel_ceiling_eff"] = (
+                        ceil_c["kernels"]["ceiling_eff"])
+                    detail_cluster["eff_vs_cluster_kernel_ceiling"] = round(
+                        detail_cluster["efficiency"]
+                        / ceil_c["kernels"]["ceiling_eff"], 3)
                 ck = ["executors_1_urls_per_sec",
                       "executors_4_urls_per_sec", "efficiency"]
                 if "eff_vs_thread_same_window" in detail_cluster:
                     ck.append("eff_vs_thread_same_window")
+                if "eff_vs_cluster_kernel_ceiling" in detail_cluster:
+                    ck += ["cluster_kernel_ceiling_eff",
+                           "eff_vs_cluster_kernel_ceiling"]
                 result["crawl_scaling_executors"] = {
                     k: detail_cluster[k] for k in ck
                 }

@@ -214,6 +214,16 @@ def test_politeness_audit_single_fetch_host_edge(spark, tmp_path):
 
 SWEEP_SKIP_PREFIXES = ("crawl", "image", "phash", "video", "audio")
 
+# The six whole-registry pathology sweeps each re-run all ~255 oracle
+# queries in both engines (~40 min combined under load). The DEFAULT suite
+# skips them so `pytest tests/` stays inside ~15-20 min (VERDICT r4 item
+# #7); run the full sweeps before each commit batch with
+# ``SPARK_GRAFT_SWEEPS=1 python -m pytest tests/test_queries_oracle.py``.
+full_sweep = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SWEEPS", "0") != "1",
+    reason="whole-registry sweep; set SPARK_GRAFT_SWEEPS=1 (run before commit batches)",
+)
+
 
 def _run_registry_sweep(spark, tmp_path, mutate):
     """Shared pathology-sweep harness: rewrite the sf0.001 corpus through
@@ -262,6 +272,7 @@ def _run_registry_sweep(spark, tmp_path, mutate):
     assert not failures, failures
 
 
+@full_sweep
 def test_all_oracle_queries_tolerate_empty_corpus(spark, tmp_path):
     """Whole-registry robustness sweep on a fully EMPTY corpus (correct
     schemas, 0 rows) — the guard that surfaced the DuckDB-UNPIVOT-
@@ -270,6 +281,7 @@ def test_all_oracle_queries_tolerate_empty_corpus(spark, tmp_path):
     _run_registry_sweep(spark, tmp_path, lambda df, t: df.limit(0))
 
 
+@full_sweep
 def test_all_oracle_queries_tolerate_null_payloads(spark, tmp_path):
     """Whole-registry dirty-data sweep with every PAYLOAD column NULL
     (keys intact) — surfaced incremental_dedup's NULL-fingerprint
@@ -291,6 +303,7 @@ def test_all_oracle_queries_tolerate_null_payloads(spark, tmp_path):
     _run_registry_sweep(spark, tmp_path, mutate)
 
 
+@full_sweep
 def test_all_oracle_queries_tolerate_maximal_skew(spark, tmp_path):
     """Whole-registry skew sweep: 100% duplicate document text and ONE
     mega-host owning every event — the pathology the salted/df-capped
@@ -313,6 +326,7 @@ def test_all_oracle_queries_tolerate_maximal_skew(spark, tmp_path):
     _run_registry_sweep(spark, tmp_path, mutate)
 
 
+@full_sweep
 def test_all_oracle_queries_tolerate_unicode_text(spark, tmp_path):
     """Whole-registry Unicode sweep: accents, emoji, CJK, sharp-s,
     ligatures injected into every document and event_type. Excludes the
@@ -407,6 +421,7 @@ def test_metric_qc_counts_dirty_values_cross_engine(spark, tmp_path):
     assert tot["n_pinf"] == sum(1 for i in range(n) if i % 17 and i % 23 == 0)
 
 
+@full_sweep
 def test_all_oracle_queries_parallelism_deterministic(spark):
     """North-rule property sweep: every oracle query's canonical result
     is IDENTICAL at 32 vs 3 shuffle partitions — no partition-order-
@@ -428,6 +443,7 @@ def test_all_oracle_queries_parallelism_deterministic(spark):
     assert not failures, failures
 
 
+@full_sweep
 def test_all_oracle_queries_tolerate_megadoc(spark, tmp_path):
     """Whole-registry size-outlier sweep: ONE ~200 KB document (doc 0's
     text repeated 1600x — same vocabulary, so the stress is pure string
