@@ -96,6 +96,12 @@ class CrawlConfig:
     # scale. Salting never changes results (two-phase exact top-k), only
     # the physical task bound, so auto-raising is always safe.
     auto_salt: bool = True
+    # scope spark.sql.shuffle.partitions to n_host_buckets and disable
+    # AQE for the duration of run() (restored on exit): every exchange
+    # in the loop is hand-sized, so the generic shuffle width only adds
+    # empty tasks and AQE's stage barrier is pure latency (the crawl
+    # bench documents the same protocol). False = leave session as-is.
+    scope_session_conf: bool = True
 
 
 @dataclass
@@ -244,9 +250,17 @@ class CrawlPlan:
 
     def _robots_state_df(self) -> DataFrame:
         if self._robots_state is None:
-            self._robots_state = robots_state(
-                self.spark, self.robots, self.cfg.n_host_buckets
-            ).localCheckpoint(eager=True)
+            st = robots_state(self.spark, self.robots, self.cfg.n_host_buckets)
+            # a driver-literal robots table (the common case) is a
+            # LocalRelation — it unions into each generation's state side
+            # for free and pinning it would only add a job; anything with
+            # real lineage (a read/join) is checkpointed once so the loop
+            # never recomputes it per generation
+            try:
+                is_local = self.robots.isLocal()
+            except Exception:  # noqa: BLE001 — conservative fallback
+                is_local = False
+            self._robots_state = st if is_local else st.localCheckpoint(eager=True)
         return self._robots_state
 
     def _state_for(
@@ -319,6 +333,31 @@ class CrawlPlan:
             f"MAX_LINK_SLOTS={MAX_LINK_SLOTS}: the candidate agg packs "
             "(parent_priority, slot) into one long lexicographically"
         )
+        if not self.cfg.scope_session_conf:
+            return self._run_dispatch(seeds, resume)
+        # Every exchange in the loop is hand-sized to n_host_buckets (the
+        # cogroup, the rank, the checkpoint layout), so (a) the session's
+        # generic shuffle width only adds empty reduce tasks, and (b)
+        # AQE's query-stage materialization barrier is pure latency on
+        # this fixed-size workload — the same finding the crawl BENCH
+        # documents and configures (BENCH/BASELINE.md, AQE paragraph).
+        # Scope both confs to the loop and restore on exit; partition
+        # count never changes results (whole-registry
+        # parallelism-determinism sweep) and results returned lazily in
+        # CrawlResult re-plan under the caller's own confs.
+        conf = self.spark.conf
+        saved = {k: conf.get(k) for k in (
+            "spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")}
+        try:
+            conf.set("spark.sql.shuffle.partitions",
+                     str(self.cfg.n_host_buckets))
+            conf.set("spark.sql.adaptive.enabled", "false")
+            return self._run_dispatch(seeds, resume)
+        finally:
+            for k, v in saved.items():
+                conf.set(k, v)
+
+    def _run_dispatch(self, seeds: DataFrame, resume: bool = False) -> CrawlResult:
         if self.cfg.fused:
             return self._run_fused(seeds, resume)
         assert self.cfg.max_retries == 0, (

@@ -1786,7 +1786,10 @@ def _small_crawl(spark: SparkSession, generations: int = 2):
     web = _small_web()
     cfg = CrawlConfig(web=web, max_generations=generations, n_host_buckets=8)
     plan = CrawlPlan(spark, cfg)
-    seeds = spark.createDataFrame(make_seed_urls(web, 16))
+    # 16 literal seed rows: one partition, not default-parallelism many —
+    # every downstream narrow stage otherwise schedules ~32 near-empty
+    # tasks per job on a wide local[] session
+    seeds = spark.createDataFrame(make_seed_urls(web, 16)).coalesce(1)
     return plan.run(seeds)
 
 

@@ -35,7 +35,7 @@ def main() -> None:
         t0 = time.monotonic()
         rows = q_crawl_pages_by_host(spark, "/root/testdata/sf0.1").collect()
         walls.append(round(time.monotonic() - t0, 2))
-        jobs_after = sc._jsc.sc().dagScheduler().nextJobId().get()
+        jobs_after = int(sc._jsc.sc().dagScheduler().nextJobId())
     print(json.dumps({
         "cpus": cpus, "walls": walls, "wall_min": min(walls),
         "total_jobs_run": jobs_after, "rows": len(rows),
