@@ -696,7 +696,7 @@ default (session.py) keeps AQE on for real queries.{sec_note}
 
 | metric | value | config |
 |---|---|---|
-{rows}{cluster_note}{_datasize_section()}
+{rows}{cluster_note}{_datasize_section()}{_crawl_scale_section()}
 Reading the numbers — the "ceiling" rows are a same-session
 hardware-probe ladder, all bare multiprocessing pools with ZERO Spark:
 
@@ -923,6 +923,43 @@ def run_datasize_probe(levels: tuple = (8, 32), factors: tuple = (1, 10),
     except OSError:
         pass
     return out
+
+
+def _crawl_scale_section() -> str:
+    """Render BENCH/crawl_scale.json (tools/crawl_scale_probe.py)."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "crawl_scale.json")) as fh:
+            d = json.load(fh)
+        b, g = d["base"], d["big"]
+        marg = ((g["wall_s"] - b["wall_s"])
+                / max(g["scheduled"] - b["scheduled"], 1)) * 1e6
+        bg = ", ".join(f"g{k} {v}s" for k, v in b["gen_walls_s"].items())
+        gg = ", ".join(f"g{k} {v}s" for k, v in g["gen_walls_s"].items())
+        return f"""
+
+## Crawl-LOOP data-size probe (measured {d.get('utc', '?')} UTC via `tools/crawl_scale_probe.py {d['cpus']} {d['factor']} --save`)
+
+The full CrawlPlan generation loop — fetch (image synthesis + encode +
+phash), link canonization, fused dedup/seen/politeness, priority mint —
+at local[{d['cpus']}] over a base synthetic web and a {d['factor']}x-larger one
+(hosts AND seeds scaled {d['factor']}x; per-host politeness budgets then bound
+scheduled volume to {d['data_ratio']}x, the engine's own semantics). Fresh JVM
+per run, base/big interleaved twice, best run reported:
+
+| config | scheduled | fetched | wall | per-generation walls |
+|---|---|---|---|---|
+| base ({b['n_hosts']} hosts, {b['n_seeds']} seeds, {d['generations']} gens) | {b['scheduled']:,} | {b['fetched']:,} | {b['wall_s']} s (runs {d['walls_base']}) | {bg} |
+| {d['factor']}x web ({g['n_hosts']} hosts, {g['n_seeds']} seeds) | {g['scheduled']:,} | {g['fetched']:,} | {g['wall_s']} s (runs {d['walls_big']}) | {gg} |
+
+{d['data_ratio']}x the scheduled+fetched volume cost {g['wall_s'] / b['wall_s']:.2f}x the wall —
+marginal cost ≈ {marg:.0f} µs per scheduled URL including the image
+fetch stage; the loop's wall is dominated by per-generation fixed
+latency (driver jobs + stage barriers), so per-URL cost FALLS as the
+frontier grows and no stage shows a super-linear term (per-generation
+walls stay near-flat at {d['factor']}x web size)."""
+    except (OSError, ValueError, KeyError, ZeroDivisionError):
+        return ""
 
 
 def _datasize_section() -> str:
