@@ -650,10 +650,12 @@ drift window for both shapes), fresh cluster per spawn, min-of-reps:
 | URLs scheduled+deduped/sec @ 4 executors | {cluster['executors_4_urls_per_sec']:,} | {cl_m4}, wall {cluster['wall_4']} s (reps {cluster['walls_4']}) |
 | scaling efficiency (thr_4E/thr_1E)/4 | {cluster['efficiency']:.3f} | target >= 0.8 (BASELINE.json north_rule) |
 {vs_thread_rows}
-The process geometry matches the 4v16 thread pair (4 vs 16 task slots +
-as many Python workers), so the same hardware ceiling ladder applies:
-the bare-kernel pool's 4→16-proc speedup bounds what ANY engine can
-measure on this shared box. Same-window stage profiling (2026-08-19,
+The pair now carries its OWN hardware-ceiling ladder, measured in
+EXECUTOR geometry (E separate process pools of 4 workers, matching
+local-cluster's per-executor Python-worker layout) in the same session
+window as the cluster spawns — the "cluster-geometry kernel ceiling"
+rows above — so the 0.8-relative reading no longer transfers from the
+thread ladder. Same-window stage profiling (2026-08-19,
 tools/profile_bench_stages.py) decomposes the sub-0.8 raw number: the
 map-only candidate-generation stage — pure Arrow/numpy compute, NO
 shuffle — scales at ~0.64 from 4 to 16 busy slots while the
